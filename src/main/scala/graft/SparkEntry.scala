@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{PhotometryRel, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,13 +13,13 @@ import graft.queries.Relational
 object SparkEntry {
 
   private def catalog: Seq[NamedQuery] =
-    Relational.all
+    Relational.all ++ PhotometryRel.all ++ TimeSeries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The "epoch photometry catalog" slice (SURVEY.md §7): filter → derived
     * magnitude columns → two-sided rank trim → top-k. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.all.find(_.name == "q11_window_rank_topk").get
+    PhotometryRel.all.find(_.name == "q22_catalog_trim").get
       .run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

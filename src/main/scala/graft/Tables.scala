@@ -31,7 +31,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      // integer `div`, NOT `/`: ns epochs exceed 2^53, double division
+      // would round the microsecond off by ±1.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
