@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2.10): tokenization, shingling, stopword heuristics, quality
+  * signals, rolling-hash fingerprints. All pure Catalyst expression trees
+  * (no UDFs) so they stay inside whole-stage codegen; every formula has a
+  * 1:1 ANSI SQL mirror used by the oracle queries.
+  */
+object TextFunctions {
+
+  /** Whitespace-normalized lowercase tokens. The explicit collapse-then-
+    * split keeps Spark `split` and DuckDB `string_split` in exact agreement
+    * on empty-token edge cases. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")
+
+  /** Word n-gram shingles (space-joined), as an array; distinct-ified by
+    * callers that need set semantics. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Occurrence count of function-word tokens — the language-ID /
+    * quality-score building block. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  /** Deterministic rolling polynomial fingerprint over the first `maxChars`
+    * characters: acc ← (acc·31 + ascii(c)) mod 1e9+7. Engine-independent
+    * (document fingerprinting, §2.10). */
+  def rollingFingerprint(text: Column, maxChars: Int): Column =
+    aggregate(
+      sequence(lit(1), least(length(text), lit(maxChars))),
+      lit(0L),
+      (acc, i) => (acc * lit(31L) + ascii(text.substr(i, lit(1)))) % lit(1000000007L))
+}

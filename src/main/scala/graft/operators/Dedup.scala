@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deduplication operator family for large-scale training-data pipelines
+  * (SURVEY.md §2.10): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. All are DataFrame compositions — shuffles are
+  * keyed by content hashes / band signatures, never by a cross product, so
+  * each scales out by adding partitions. False candidates from banding are
+  * always removed by an exact verification join, so banding only affects
+  * recall/cost, never precision.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per identical text.
+    * `groupBy(text)` rather than dropDuplicates so the survivor is
+    * deterministic. At scale, group by `xxhash64(text)` first and compare
+    * texts within buckets to keep shuffle keys small. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(col(text))
+      .agg(min(col(id)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), length(col(text)).as("n_chars"))
+
+  /** Distinct word-n-gram shingle set per document: (doc_id, shingle). */
+  def shingleSet(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("doc_id"),
+        explode(array_distinct(shingles(tokens(col(text)), n))).as("shingle"))
+      .distinct()
+
+  private def jaccardFromPairs(pairShingles: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame = {
+    val common = pairShingles
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, J ≥ threshold).
+    * The inverted-index self-join on shingle replaces the O(n²) all-pairs
+    * comparison: only documents sharing a shingle ever meet. Hot shingles
+    * (stop-phrases) are the skew risk at 100 TB — AQE skew-join handles
+    * moderate skew; aggressive pipelines drop shingles above a document-
+    * frequency cap first. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleSet(df, id, text, n).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairShingles = sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    jaccardFromPairs(pairShingles, counts, threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs. k hash functions h_i(s) = xxhash64(i, s);
+    * signatures banded (bands × rowsPerBand = k); candidate pairs share a
+    * band signature; candidates are exact-verified with true Jaccard ≥
+    * threshold, so banding can only lose recall (P(miss) = (1−J^r)^b — for
+    * J ≥ 0.9, k=32, b=8, r=4: < 1e-4). Shuffle is keyed by (band, sig):
+    * linear in corpus size, never quadratic. */
+  def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sh = shingleSet(df, id, text, n).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val seeds = array((0 until numHashes).map(lit): _*)
+    val sig = sh
+      .withColumn("k", explode(seeds))
+      .withColumn("h", xxhash64(col("k"), col("shingle")))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("h")).as("mh"))
+    // Band signature: order-independent XOR fold of the band's minhashes
+    // (no overflow under ANSI mode). Collisions would only add false
+    // candidates, which exact verification removes.
+    val bandSigs = sig
+      .withColumn("band", col("k") % lit(bands))
+      .withColumn("kh", xxhash64(col("k"), col("mh")))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr("bit_xor(kh)").as("band_sig"))
+    val candidates = bandSigs.as("a").join(bandSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val pairShingles = candidates
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .select(col("id_a"), col("id_b"))
+    jaccardFromPairs(pairShingles, counts, threshold)
+  }
+
+  /** 64-bit SimHash per document: each token's xxhash64 votes ±1 on every
+    * bit position; the sign of the per-bit vote sum sets the bit. Pure
+    * two-stage hash aggregation (doc,bit) → doc. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .withColumn("vote",
+        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(lit(0L)))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for
+    * guaranteed recall: with 4 16-bit chunks, ≤3 differing bits leave at
+    * least one chunk identical — pigeonhole). Chunk-keyed equi-join, then
+    * exact popcount filter. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for <= 3")
+    val sigs = simhash(df, id, text)
+    val chunked = sigs
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("(simhash >> (c * 16)) & 65535"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ threshold, id_a < id_b).
+    * All-pairs with a broadcast side here; at corpus scale the same verify
+    * runs behind LSH/IVF candidate generation (see Similarity). */
+  def embeddingNearDup(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(id).as("vid"),
+      VectorFunctions.toDouble(col(vec)).as("e"))
+    val a = v.select(col("vid").as("id_a"), col("e").as("ea"))
+    val b = v.select(col("vid").as("id_b"), col("e").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.10). Brute-force cosine top-k is the exact baseline; the
+  * IVF (inverted-file) variant prunes to the `nprobe` closest coarse cells
+  * and is the 100 TB scale path: the corpus is partitioned by cell id, a
+  * probe only touches nprobe partitions, and the candidate set shrinks by
+  * ~|cells|/nprobe.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each probe vector (self-match excluded).
+    * Probes are broadcast; ranking is a per-probe window with deterministic
+    * (cosine desc, id) ordering. */
+  def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, probeId: String, probeVec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("e"))
+    val p = probes.select(col(probeId).as("q_id"), toDouble(col(probeVec)).as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    c.join(broadcast(p), col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** IVF coarse cells from a partition column (e.g. a cluster label):
+    * centroid = elementwise mean per cell. */
+  def centroids(corpus: DataFrame, cell: String, vec: String): DataFrame =
+    corpus.select(col(cell).as("cell"), posexplode(toDouble(col(vec))))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
+  /** IVF top-k: rank cells by probe↔centroid cosine, search only the top
+    * `nprobe` cells, then exact top-k within the candidate set. Approximate:
+    * a true neighbor outside the probed cells is missed — recall is tested
+    * against bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, cell, vec)
+    val p = probes.select(col(probeId).as("q_id"), toDouble(col(probeVec)).as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probeCells = p.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val c = corpus.select(col(id).as("vec_id"), col(cell).as("cell"),
+      toDouble(col(vec)).as("e"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    c.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
+        col("rank"))
+  }
+}

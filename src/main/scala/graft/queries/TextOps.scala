@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.Compat._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data text operators over the `documents` fixture
+  * (SURVEY.md §2.10): dedup family, language ID, quality scoring, token
+  * counting, fingerprinting, term frequencies, and the multimodal binary
+  * plumbing's metadata path.
+  */
+object TextOps {
+
+  /** Shared tokenization SQL mirror (see TextFunctions.tokens). */
+  private val toksSql =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** Exact dedup with deterministic survivor. */
+  private val q60 = NamedQuery(
+    "q60_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("n_chars", col("n_chars").cast(LongType)),
+    Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents GROUP BY text"""))
+
+  private def jaccardSql(threshold: Double) =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b, common,
+        CAST(common AS DOUBLE)/(ca.n_sh + cb.n_sh - common) AS jaccard
+      FROM p JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+      WHERE CAST(common AS DOUBLE)/(ca.n_sh + cb.n_sh - common) >= $threshold"""
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  private val q61 = NamedQuery(
+    "q61_ngram_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6),
+    Some(jaccardSql(0.6)))
+
+  /** MinHash+LSH near-dup pairs, exact-verified at J ≥ 0.9. The oracle is
+    * the exact-Jaccard SQL: at J ≥ 0.9 with k=32, b=8, r=4 the banding miss
+    * probability is < 1e-4 per pair and the xxhash64 pipeline is
+    * deterministic — equality against the exact oracle is validated on the
+    * gate fixtures. */
+  private val q62 = NamedQuery(
+    "q62_minhash_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      3, 32, 8, 0.9),
+    Some(jaccardSql(0.9)))
+
+  /** SimHash near-dup pairs. xxhash64-based bit votes are not reproducible
+    * in the oracle engine → rows-only check; recall/precision covered by
+    * ScalaTest against the exact pairs. */
+  private val q63 = NamedQuery(
+    "q63_simhash_pairs",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3),
+    None)
+
+  /** Language-ID heuristic: function-word occurrence ratio (n-gram
+    * heuristic surface; the fixture text is synthetic so the signal, not
+    * the accuracy, is under test). */
+  private val q64 = NamedQuery(
+    "q64_langid_heuristic",
+    (s, d) => {
+      val t = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+      t.select(col("doc_id"), col("lang"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          stopwordHits(col("toks"), Seq("the", "a")).cast(LongType).as("en_hits"))
+        .withColumn("en_ratio", col("en_hits").cast(DoubleType) / col("n_tokens"))
+        .withColumn("pred_lang",
+          when(col("en_ratio") >= 0.04, lit("en")).otherwise(lit("other")))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      x AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT) AS en_hits
+            FROM t)
+      SELECT doc_id, lang, n_tokens, en_hits,
+        CAST(en_hits AS DOUBLE) / n_tokens AS en_ratio,
+        CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.04 THEN 'en' ELSE 'other' END AS pred_lang,
+        (CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.04 THEN 'en' ELSE 'other' END) = lang AS is_match
+      FROM x"""))
+
+  /** Quality scoring: length, type-token ratio, mean token length,
+    * stopword ratio, combined score (quality-scoring surface). */
+  private val q65 = NamedQuery(
+    "q65_quality_score",
+    (s, d) => {
+      val t = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+      val nTok = size(col("toks")).cast(LongType)
+      val ttr = size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))
+      val meanLen = aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (a, x) => a + x).cast(DoubleType) / size(col("toks"))
+      val stopRatio = stopwordHits(col("toks"), Seq("the", "a"))
+        .cast(DoubleType) / size(col("toks"))
+      t.select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        nTok.as("n_tokens"),
+        ttr.as("ttr"),
+        meanLen.as("mean_tok_len"),
+        stopRatio.as("stop_ratio"),
+        (ttr * 0.5 + stopRatio * 0.3 + meanLen * 0.05).as("quality"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) / len(toks) AS mean_tok_len,
+        CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(toks) AS stop_ratio,
+        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+          + (CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(toks)) * 0.3
+          + (CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) / len(toks)) * 0.05 AS quality
+      FROM t"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  private val q66 = NamedQuery(
+    "q66_token_count",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+      t.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("re_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents"""))
+
+  /** Rolling polynomial fingerprint (document fingerprinting). */
+  private val q67 = NamedQuery(
+    "q67_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), rollingFingerprint(col("text"), 64).as("fp")),
+    Some("""SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        generate_series(1, LEAST(LENGTH(text), 64))),
+        (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007) AS fp
+      FROM documents"""))
+
+  /** Corpus term frequencies: explode + two-level counts (TF surface). */
+  private val q68 = NamedQuery(
+    "q68_term_frequency",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs")),
+    Some(s"""WITH x AS (SELECT doc_id, UNNEST($toksSql) AS token FROM documents)
+      SELECT token, COUNT(*) AS n_occurrences,
+        COUNT(DISTINCT doc_id) AS n_docs
+      FROM x GROUP BY token"""))
+
+  /** Multimodal metadata path: text treated as an opaque binary payload
+    * (the image/audio column pattern — abstraction #1 in SURVEY.md §1);
+    * deterministic byte-level features stand in for decode. The real
+    * decode plumbing (schema, partitioning, batch shape) lives in
+    * graft.multimodal with a stubbed codec. */
+  private val q69 = NamedQuery(
+    "q69_multimodal_meta",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      t.select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        ascii(substring(col("text"), 1, 1)).cast(LongType).as("first_byte"),
+        rollingFingerprint(col("text"), 64).as("checksum"),
+        substring(col("text"), 1, 16).as("head"))
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        generate_series(1, LEAST(LENGTH(text), 64))),
+        (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007) AS checksum,
+      substring(text, 1, 16) AS head
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.Compat._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators over the `embeddings` fixture
+  * (SURVEY.md §2.10): brute-force cosine top-k (exact baseline), IVF
+  * cell-probed ANN (scale path), cosine near-dup pairs, per-cluster stats.
+  */
+object VectorOps {
+
+  private def probes(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+
+  /** Exact cosine top-5 per probe vector. */
+  private val q70 = NamedQuery(
+    "q70_cosine_topk",
+    (s, d) => Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      probes(s, d), "vec_id", "embedding", 5),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
+      p AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+      j AS (SELECT p.q_id, n.vec_id,
+              list_dot_product(p.qe, n.e) / (p.qn * n.nrm) AS cos_raw
+            FROM p CROSS JOIN n WHERE n.vec_id <> p.q_id),
+      r AS (SELECT q_id, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
+            FROM j)
+      SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank
+      FROM r WHERE rank <= 5"""))
+
+  /** IVF ANN (label cells, nprobe=3). Approximate by construction →
+    * rows-only check; recall vs the exact baseline is a ScalaTest. */
+  private val q71 = NamedQuery(
+    "q71_ann_ivf_topk",
+    (s, d) => Similarity.ivfTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", "label",
+      probes(s, d), "vec_id", "embedding", 5, 3),
+    None)
+
+  /** Embedding-cosine near-dup pairs. */
+  private val q72 = NamedQuery(
+    "q72_embedding_neardup",
+    (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
+      "embedding", 0.45),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45"""))
+
+  /** Per-cluster embedding statistics (norms + first-component mean). */
+  private val q73 = NamedQuery(
+    "q73_embedding_stats",
+    (s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("label"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+        .withColumn("e0", col("e").getItem(0))
+      v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("nrm"))).as("mean_norm"),
+          r6(avg(col("e0"))).as("mean_e0"))
+    },
+    Some("""WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+        ROUND(AVG(SQRT(list_dot_product(e, e))), 6) AS mean_norm,
+        ROUND(AVG(e[1]), 6) AS mean_e0
+      FROM v GROUP BY label"""))
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73)
+}
