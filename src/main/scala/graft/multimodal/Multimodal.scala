@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.10): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, decoded/feature-extracted
+  * in partition-sized batches.
+  *
+  * The Spark-side contract — schema, partitioning, batch shape, feature
+  * vector signature — is real and tested. The codec itself is a STUB: this
+  * container has no image/audio libraries, so `decodeStub` computes a
+  * deterministic fake (byte histogram) where a real deployment would call
+  * an actual decoder on the payload bytes. Swapping the stub for a real
+  * codec changes no schema and no partitioning.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String,
+      payload: Array[Byte], width: Int, height: Int, channels: Int)
+
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Int, feature: Array[Double])
+
+  /** Build a media table from the documents fixture: the UTF-8 bytes stand
+    * in for encoded media; metadata is derived deterministically. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
+      (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** STUB decode: a real implementation would decode `payload` with an
+    * image/audio codec here. The deterministic fake — a 16-bin byte
+    * histogram, L1-normalized — preserves the real contract: bytes in,
+    * fixed-length double feature vector out, computed per partition batch
+    * (the Scala analog of a `mapInPandas` batch). */
+  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) / 16) += 1.0
+      i += 1
+    }
+    val total = math.max(payload.length, 1).toDouble
+    hist.map(_ / total)
+  }
+
+  /** Feature extraction over partition batches. Repartitioning by doc_id
+    * spreads decode work evenly; each task processes its batch without
+    * driver involvement — the 100 TB path is embarrassingly parallel. */
+  def extractFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = (if (partitions > 0) media.repartition(partitions, col("doc_id"))
+      else media).as[MediaRow]
+    src.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.doc_id, m.media_type, m.payload.length,
+          decodeStub(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th 16-byte block
+    * fingerprinted — the frame-sample operator's plumbing with the decode
+    * stubbed to a rolling hash. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(_.media_type == "video")
+      .flatMap { m =>
+        val nFrames = m.payload.length / 16
+        (0 until nFrames by stride).map { f =>
+          val block = m.payload.slice(f * 16, f * 16 + 16)
+          var acc = 0L
+          block.foreach(b => acc = (acc * 31 + (b & 0xff)) % 1000000007L)
+          (m.doc_id, f, acc)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_fp")
+  }
+}

@@ -1,0 +1,332 @@
+package graft.pipeline
+
+import graft.functions.SigmaClippedStats.sigmaClippedStats
+import graft.operators.SpatialJoins
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline's image-domain operators re-expressed over
+  * long-form pixels `(img_id: long, y: long, x: long, v: double)` —
+  * abstraction #1 in SURVEY.md §1. Long form makes every per-pixel
+  * operation a plain projection/aggregate: background stats are a grouped
+  * sigma-clipped aggregate, median combine is `groupBy(y,x)`, np.roll is a
+  * key rewrite, detection is a 3×3-neighborhood equi-join. A 4096² frame is
+  * 16.7 M rows — at 100 TB the pixel table partitions by `img_id` and each
+  * stage shuffles by its natural key, never collecting an image to one
+  * node.
+  */
+object Photometry {
+
+  /** Per-image sigma-clipped background (sigma_clipped_stats, psf_phot.py:68;
+    * sigma=2.0 per core.py:70). */
+  def backgroundStats(pixels: DataFrame): DataFrame = {
+    val scs = sigmaClippedStats(2.0, 5)
+    pixels.groupBy(col("img_id"))
+      .agg(scs(col("v")).as("s"))
+      .select(col("img_id"), col("s.mean").as("bkg_mean"),
+        col("s.median").as("bkg_median"), col("s.std").as("bkg_std"))
+  }
+
+  /** Global background subtraction (psf_phot.py:69: image −= median). */
+  def subtractBackground(pixels: DataFrame): DataFrame =
+    pixels.join(broadcast(backgroundStats(pixels)), Seq("img_id"))
+      .select(col("img_id"), col("y"), col("x"),
+        (col("v") - col("bkg_median")).as("v"))
+
+  /** Star detection (DAOStarFinder semantics simplified, core.py:116-146):
+    * local maxima above `bkg + nSigma·std` (core.py:143's 10σ default),
+    * then flux-weighted centroid over a (2R+1)² box. The neighborhood
+    * maximum comes from a 9-cell contribution join — one shuffle by pixel
+    * key; the centroid box join explodes only the (few) peaks, not the
+    * pixel table. Emits one star row per image peak: the Generator shape
+    * (§2.11). */
+  def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame = {
+    val stats = broadcast(backgroundStats(pixels))
+    val offs = array((-1 to 1).map(lit): _*)
+    val contrib = pixels
+      .withColumn("dy", explode(offs)).withColumn("dx", explode(offs))
+      .select(col("img_id"), (col("y") + col("dy")).as("y"),
+        (col("x") + col("dx")).as("x"), col("v").as("nv"))
+    val nbrMax = contrib.groupBy(col("img_id"), col("y"), col("x"))
+      .agg(max(col("nv")).as("nbr_max"))
+    val peaks = pixels.join(nbrMax, Seq("img_id", "y", "x"))
+      .join(stats, Seq("img_id"))
+      .filter(col("v") >= col("nbr_max") &&
+        col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
+      .select(col("img_id"), col("y").as("py"), col("x").as("px"),
+        col("v").as("peak"), col("bkg_median"))
+    val boxOffs = array((-boxRadius to boxRadius).map(lit): _*)
+    val box = peaks
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("py"), col("px"), col("peak"), col("bkg_median"),
+        (col("py") + col("dy")).as("y"), (col("px") + col("dx")).as("x"))
+    box.join(pixels, Seq("img_id", "y", "x"))
+      .withColumn("w", greatest(col("v") - col("bkg_median"), lit(0.0)))
+      .groupBy(col("img_id"), col("py"), col("px"))
+      .agg(first(col("peak")).as("peak"), sum(col("w")).as("flux"),
+        (sum(col("w") * col("x")) / sum(col("w"))).as("xcentroid"),
+        (sum(col("w") * col("y")) / sum(col("w"))).as("ycentroid"))
+      .withColumn("star_id", row_number().over(
+        Window.partitionBy(col("img_id")).orderBy(col("py"), col("px"))))
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        col("peak"), col("flux"))
+  }
+
+  /** image_combiner (core.py:245-279): detect stars per image, estimate each
+    * image's integer shift against the reference frame (nearest-neighbor
+    * match → median offset, core.py:148-177 + 203-206), roll the pixel keys
+    * (core.py:209 — a projection, no data movement beyond the final
+    * combine), then per-pixel sigma-clipped median across the stack
+    * (core.py:215-243). `height`/`width` wrap the roll like np.roll. */
+  def alignAndCombine(pixels: DataFrame, height: Int, width: Int,
+      nSigma: Double = 10.0, matchRadius: Double = 20.0): DataFrame = {
+    val stars = detectStars(pixels, nSigma, 3).cache()
+    val refImg = stars.agg(min(col("img_id"))).head().getLong(0)
+    val ref = stars.filter(col("img_id") === refImg)
+      .select(col("star_id").as("ref_id"), col("xcentroid").as("rx"),
+        col("ycentroid").as("ry"))
+    val others = stars.filter(col("img_id") =!= refImg)
+      .withColumn("sid", concat_ws("_", col("img_id"), col("star_id")))
+    // nearest reference star per detected star, then per-image median offset
+    val matched = SpatialJoins.nearestNeighbor(
+      others, "sid", "xcentroid", "ycentroid",
+      ref, "ref_id", "rx", "ry", matchRadius)
+      .join(others.select(col("sid").as("left_id"), col("img_id")), Seq("left_id"))
+    // np.int(np.round(median)) with banker's rounding (core.py:207-208)
+    val rintUdf = udf((d: Double) => math.rint(d).toLong)
+    val shifts = matched.groupBy(col("img_id"))
+      .agg(rintUdf(median(negate(col("dx")))).as("shift_x"),
+        rintUdf(median(negate(col("dy")))).as("shift_y"))
+    val rolled = pixels.join(broadcast(shifts), Seq("img_id"), "left_outer")
+      .withColumn("sx", coalesce(col("shift_x"), lit(0L)))
+      .withColumn("sy", coalesce(col("shift_y"), lit(0L)))
+      .select(col("img_id"),
+        pmod(col("y") + col("sy"), lit(height.toLong)).as("y"),
+        pmod(col("x") + col("sx"), lit(width.toLong)).as("x"), col("v"))
+    val scs = sigmaClippedStats(2.0, 5)
+    rolled.groupBy(col("y"), col("x"))
+      .agg(scs(col("v")).as("s"))
+      .select(col("y"), col("x"), col("s.median").as("v"), col("s.n").as("n_stack"))
+  }
+
+  /** EPSF-style oversampled mean stack of flux-normalized star cutouts
+    * (core.py:384-414; oversampling=2, core.py:411). Each star's cutout is
+    * mapped onto an oversampled grid centered on its centroid and the stack
+    * is averaged per grid cell — the grouped iterative aggregate of
+    * SURVEY.md §2.5 (smoothing iterations elided: one stacking pass). */
+  def buildEpsf(pixels: DataFrame, stars: DataFrame, cutoutRadius: Int,
+      oversample: Int): DataFrame = {
+    val boxOffs = array((-cutoutRadius to cutoutRadius).map(lit): _*)
+    val cut = stars
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        col("flux"))
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        col("flux"),
+        (round(col("ycentroid")).cast(LongType) + col("dy")).as("y"),
+        (round(col("xcentroid")).cast(LongType) + col("dx")).as("x"))
+    cut.join(pixels, Seq("img_id", "y", "x"))
+      .withColumn("u", round((col("x") - col("xcentroid")) * oversample).cast(LongType))
+      .withColumn("w", round((col("y") - col("ycentroid")) * oversample).cast(LongType))
+      .withColumn("nv", col("v") / col("flux"))
+      .groupBy(col("w"), col("u"))
+      .agg(avg(col("nv")).as("epsf"), count(lit(1)).as("n_samples"))
+  }
+
+  private val starSchema = StructType(Seq(
+    StructField("img_id", LongType), StructField("star_id", IntegerType),
+    StructField("group_id", IntegerType), StructField("x_fit", DoubleType),
+    StructField("y_fit", DoubleType), StructField("flux_fit", DoubleType),
+    StructField("iter_detected", IntegerType)))
+
+  /** Iteratively-subtracted PSF photometry (do_photometry, core.py:416-452):
+    * `nIters` rounds of detect → group (DAOGroup connected components
+    * within 2·fwhm, core.py:440) → per-group linear LSQ flux fit of a
+    * Gaussian PSF with fixed centroids → model subtraction. The fixpoint
+    * loop runs on the driver with localCheckpoint'ed residuals (SURVEY.md
+    * §7 hard-part 1); the group fits run distributed via flatMapGroups —
+    * per-image star counts are bounded, so groups stay small at any data
+    * scale. Positions-fixed linear fluxes replace the reference's full
+    * nonlinear LevMar fit; GaussianFit covers the nonlinear path. */
+  def iterativePhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
+      nIters: Int, nSigma: Double): DataFrame = {
+    import spark.implicits._
+    val sigma = fwhm / GaussianFit.SigmaToFwhm
+    val boxR = math.max(math.ceil(2 * fwhm).toInt, 2)
+    var residual = pixels.localCheckpoint()
+    var results = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], starSchema)
+
+    var iter = 1
+    var continue = true
+    while (iter <= nIters && continue) {
+      val stars = detectStars(residual, nSigma, boxR)
+      val grouped = groupStars(spark, stars, 2 * fwhm)
+      if (grouped.isEmpty) { continue = false }
+      else {
+        val fitted = fitGroups(spark, grouped, residual, sigma, boxR)
+          .withColumn("iter_detected", lit(iter))
+          .localCheckpoint()
+        results = results.unionByName(fitted.select(starSchema.map(f => col(f.name)): _*))
+        residual = subtractModel(residual, fitted, sigma, boxR).localCheckpoint()
+      }
+      iter += 1
+    }
+    results
+  }
+
+  /** DAOGroup (core.py:440): connected components of the within-`linkRadius`
+    * star graph, per image, via flatMapGroups union-find — no Catalyst
+    * primitive expresses transitive closure, and per-image cardinality is
+    * bounded, so in-memory per group is the right scale tradeoff. */
+  def groupStars(spark: SparkSession, stars: DataFrame, linkRadius: Double): DataFrame = {
+    import spark.implicits._
+    val r2 = linkRadius * linkRadius
+    stars.select(col("img_id"), col("star_id"), col("xcentroid"),
+        col("ycentroid"), col("peak"), col("flux"))
+      .as[(Long, Int, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (img, it) =>
+        val ss = it.toArray
+        val parent = Array.tabulate(ss.length)(identity)
+        def find(i: Int): Int = {
+          var r = i; while (parent(r) != r) r = parent(r)
+          var c = i
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        for (i <- ss.indices; j <- (i + 1) until ss.length) {
+          val dx = ss(i)._3 - ss(j)._3; val dy = ss(i)._4 - ss(j)._4
+          if (dx * dx + dy * dy <= r2) {
+            val (ri, rj) = (find(i), find(j))
+            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+        }
+        ss.indices.iterator.map { i =>
+          val s = ss(i)
+          (img, s._2, ss(find(i))._2, s._3, s._4, s._5, s._6)
+        }
+      }
+      .toDF("img_id", "star_id", "group_id", "xcentroid", "ycentroid",
+        "peak", "flux")
+  }
+
+  /** Per-group linear LSQ: solve (ΦᵀΦ)f = Φᵀz for member fluxes, Gaussian
+    * basis φ_j centered on fixed centroids. Pixel evidence is gathered by a
+    * box join keyed on (img, group); each group solves a k×k system. */
+  private def fitGroups(spark: SparkSession, grouped: DataFrame,
+      residual: DataFrame, sigma: Double, boxR: Int): DataFrame = {
+    import spark.implicits._
+    val boxOffs = array((-boxR to boxR).map(lit): _*)
+    val box = grouped
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("group_id"), col("star_id"),
+        col("xcentroid"), col("ycentroid"),
+        (round(col("ycentroid")).cast(LongType) + col("dy")).as("y"),
+        (round(col("xcentroid")).cast(LongType) + col("dx")).as("x"))
+    val evidence = box.join(residual, Seq("img_id", "y", "x"))
+      .select(col("img_id"), col("group_id"), col("star_id"),
+        col("xcentroid"), col("ycentroid"), col("x"), col("y"), col("v"))
+      .as[(Long, Int, Int, Double, Double, Long, Long, Double)]
+    evidence.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Int, Double, Double, Long, Long, Double)]) =>
+        val (img, gid) = key
+        val rows = it.toArray
+        // member stars (id → centroid)
+        val members = rows.map(r => (r._3, r._4, r._5)).distinct.sortBy(_._1)
+        val k = members.length
+        // distinct pixels
+        val pix = rows.map(r => (r._6, r._7, r._8)).distinct
+        val phi = Array.ofDim[Double](pix.length, k)
+        for (pi <- pix.indices; mi <- 0 until k) {
+          val dx = pix(pi)._1 - members(mi)._2
+          val dy = pix(pi)._2 - members(mi)._3
+          phi(pi)(mi) = math.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+        }
+        val ata = Array.ofDim[Double](k, k)
+        val atb = new Array[Double](k)
+        for (pi <- pix.indices) {
+          for (a <- 0 until k) {
+            atb(a) += phi(pi)(a) * pix(pi)._3
+            for (b <- 0 until k) ata(a)(b) += phi(pi)(a) * phi(pi)(b)
+          }
+        }
+        // ridge for stability of blended groups
+        for (a <- 0 until k) ata(a)(a) += 1e-9
+        val fluxesRaw = LinAlg.solve(ata, atb).getOrElse(new Array[Double](k))
+        val norm = 2 * math.Pi * sigma * sigma
+        members.indices.iterator.map { mi =>
+          (img, members(mi)._1, gid, members(mi)._2, members(mi)._3,
+            fluxesRaw(mi) * norm, 0)
+        }
+      }
+      .toDF("img_id", "star_id", "group_id", "x_fit", "y_fit", "flux_fit",
+        "iter_detected")
+  }
+
+  /** Subtract the fitted Gaussian models from the residual image. */
+  private def subtractModel(residual: DataFrame, fitted: DataFrame,
+      sigma: Double, boxR: Int): DataFrame = {
+    val boxOffs = array((-boxR to boxR).map(lit): _*)
+    val model = fitted
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"),
+        (round(col("y_fit")).cast(LongType) + col("dy")).as("y"),
+        (round(col("x_fit")).cast(LongType) + col("dx")).as("x"),
+        col("x_fit"), col("y_fit"), col("flux_fit"))
+      .withColumn("contrib",
+        col("flux_fit") / lit(2 * math.Pi * sigma * sigma) *
+          exp((negate((col("x") - col("x_fit")) * (col("x") - col("x_fit")) +
+            (col("y") - col("y_fit")) * (col("y") - col("y_fit")))) /
+            lit(2 * sigma * sigma)))
+      .groupBy(col("img_id"), col("y"), col("x"))
+      .agg(sum(col("contrib")).as("model_v"))
+    residual.join(model, Seq("img_id", "y", "x"), "left_outer")
+      .select(col("img_id"), col("y"), col("x"),
+        (col("v") - coalesce(col("model_v"), lit(0.0))).as("v"))
+  }
+}
+
+/** Small dense linear algebra for the group fits. */
+object LinAlg {
+  /** k×k Gaussian elimination with partial pivoting; None if singular. */
+  def solve(m: Array[Array[Double]], rhs: Array[Double]): Option[Array[Double]] = {
+    val n = rhs.length
+    val a = m.map(_.clone()); val b = rhs.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col; var best = math.abs(a(col)(col))
+      var r = col + 1
+      while (r < n) {
+        if (math.abs(a(r)(col)) > best) { best = math.abs(a(r)(col)); piv = r }
+        r += 1
+      }
+      if (best < 1e-300) return None
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        var c = col
+        while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var row = n - 1
+    while (row >= 0) {
+      var s = b(row)
+      var c = row + 1
+      while (c < n) { s -= a(row)(c) * x(c); c += 1 }
+      x(row) = s / a(row)(row)
+      row -= 1
+    }
+    Some(x)
+  }
+}

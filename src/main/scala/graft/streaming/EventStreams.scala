@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference's
+  * epoch-incremental structure as streaming transforms. Every function here
+  * takes a (possibly streaming) events DataFrame and returns a transformed
+  * one — the same code path serves `readStream` in production and
+  * MemoryStream/batch in tests. Watermarks bound state; all aggregations
+  * are keyed (window/session/user) so state partitions across executors.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserState(n: Long, mean: Double, m2: Double)
+
+  final case class UserStat(user_id: Long, n: Long, mean: Double, std: Double)
+
+  /** Tumbling 1 h windowed counts per event type with a watermark — late
+    * epochs beyond the watermark are dropped (README.md:22-27 rerun
+    * semantics → idempotent windowed aggregation). */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Session windows (10 min gap) per user — exposure-burst grouping. */
+  def userSessions(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+
+  /** Running per-star ensemble statistics across epochs (SURVEY.md §7
+    * hard-part 7): Welford mean/variance carried in keyed state via
+    * mapGroupsWithState — out-of-order arrivals within a batch are folded
+    * in event order; state is O(1) per key. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStat] {
+        (user: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n1 = s.n + 1
+            val delta = e.value - s.mean
+            val mean1 = s.mean + delta / n1
+            val m21 = s.m2 + delta * (e.value - mean1)
+            s = UserState(n1, mean1, m21)
+          }
+          state.update(s)
+          UserStat(user, s.n, s.mean,
+            if (s.n > 0) math.sqrt(s.m2 / s.n) else 0.0)
+      }
+  }
+}

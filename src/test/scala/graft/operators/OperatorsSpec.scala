@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpatialJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomPoints(n: Int, seed: Int, idOffset: Int = 0) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i + idOffset, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("id", "x", "y")
+  }
+
+  test("grid-bucketed NN join equals brute force") {
+    val a = randomPoints(200, 1)
+    val b = randomPoints(60, 2, 1000)
+    val radius = 7.0
+    val got = SpatialJoins.nearestNeighbor(a, "id", "x", "y", b, "id", "x", "y", radius)
+      .select("left_id", "right_id").as[(Int, Int)].collect().toSet
+    // brute force
+    val as = a.as[(Int, Double, Double)].collect()
+    val bs = b.as[(Int, Double, Double)].collect()
+    val expect = as.flatMap { case (ai, ax, ay) =>
+      val withDist = bs.map { case (bi, bx, by) =>
+        (bi, math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)))
+      }
+      val (bi, d) = withDist.minBy { case (i, d) => (d, i) }
+      if (d < radius) Some((ai, bi)) else None
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("NN join radius edge: farther-than-radius candidates excluded") {
+    val a = Seq((1, 0.0, 0.0)).toDF("id", "x", "y")
+    val b = Seq((10, 5.0, 0.0), (11, 30.0, 0.0)).toDF("id", "x", "y")
+    val got = SpatialJoins.nearestNeighbor(a, "id", "x", "y", b, "id", "x", "y", 20.0)
+      .select("right_id").as[Int].collect()
+    assert(got.toSeq === Seq(10))
+    val none = SpatialJoins.nearestNeighbor(a, "id", "x", "y",
+      Seq((11, 30.0, 0.0)).toDF("id", "x", "y"), "id", "x", "y", 20.0).count()
+    assert(none === 0)
+  }
+
+  test("crowding anti-join drops exactly the crowded points") {
+    // cluster of 3 within r, plus 2 isolated
+    val pts = Seq((1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0),
+      (4, 50.0, 50.0), (5, 80.0, 10.0)).toDF("id", "x", "y")
+    val kept = SpatialJoins.crowdingAnti(pts, "id", "x", "y", 5.0)
+      .select("id").as[Int].collect().toSet
+    assert(kept === Set(4, 5))
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("latest at-or-before row matches; no-match yields null") {
+    val left = Seq((100L, 1L, ts(50)), (101L, 1L, ts(5)), (102L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(10), 1.0), (11L, 1L, ts(40), 2.0),
+      (12L, 1L, ts(60), 3.0), (13L, 3L, ts(1), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id",
+      Seq("event_id", "value"))
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(11L)) // ts 40 is latest <= 50
+    assert(out(101L) === None)      // nothing at or before 5
+    assert(out(102L) === None)      // user 2 has no right rows
+  }
+
+  test("inclusive at equal timestamps, largest id wins ties") {
+    val left = Seq((100L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(10), 1.0), (11L, 1L, ts(10), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id",
+      Seq("event_id")).select("asof_event_id").as[Long].head()
+    assert(out === 11L)
+  }
+}
+
+class RankTrimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def group(n: Int, g: String) =
+    (1 to n).map(i => (g, i, i.toDouble * 10)).toDF("g", "id", "flux")
+
+  test("trim fires only above the 10-row threshold (core.py:339)") {
+    val at10 = RankTrim.trim(group(10, "a"), Seq($"g"), $"flux", Seq($"id"), 5, 10)
+    assert(at10.count() === 10) // untouched at exactly 10
+    val at11 = RankTrim.trim(group(11, "b"), Seq($"g"), $"flux", Seq($"id"), 5, 10)
+    val kept = at11.select("id").as[Int].collect().toSet
+    assert(kept === Set(6)) // 5 brightest (7..11) and 5 dimmest (1..5) removed
+  }
+
+  test("groups trim independently") {
+    val df = group(10, "a").union(group(20, "b"))
+    val out = RankTrim.trim(df, Seq($"g"), $"flux", Seq($"id"), 5, 10)
+    assert(out.filter($"g" === "a").count() === 10)
+    assert(out.filter($"g" === "b").count() === 10)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup
+    (4L, "completely different content about spark engines and data pipelines here"),
+    (5L, "another unrelated document mentioning databases and queries only once")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps deterministic survivor with copy count") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L)
+    assert(!out.contains(2L))
+    assert(out(3L) === 1L)
+  }
+
+  test("ngram jaccard finds exact and near dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+  }
+
+  test("minhash LSH recovers the high-similarity pairs of exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0; pairs symmetric-free (a<b)") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val h12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(h12.exists(_._3 === 0L))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val emb = (0 until 100).map { i =>
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    (i.toLong, base, i % 4)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k excludes self, ranks by cosine desc") {
+    val probes = emb.filter($"vec_id" < 3)
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5)
+    val rows = out.as[(Long, Long, Double, Long)].collect()
+    assert(rows.length === 15)
+    assert(rows.forall(r => r._1 != r._2))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    }
+  }
+
+  test("IVF with nprobe=all equals brute force; fewer probes keep recall") {
+    val probes = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      probes, "vec_id", "embedding", 3, 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll === brute)
+    val ivf2 = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      probes, "vec_id", "embedding", 3, 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = ivf2.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GaussianFitSpec extends SparkSpec {
+
+  private def sample(a: Double, x0: Double, y0: Double, sx: Double,
+      sy: Double, off: Double, n: Int = 21) = {
+    val xs = scala.collection.mutable.ArrayBuffer[Double]()
+    val ys = scala.collection.mutable.ArrayBuffer[Double]()
+    val zs = scala.collection.mutable.ArrayBuffer[Double]()
+    for (y <- 0 until n; x <- 0 until n) {
+      val dx = x - x0; val dy = y - y0
+      xs += x; ys += y
+      zs += a * math.exp(-dx * dx / (2 * sx * sx) - dy * dy / (2 * sy * sy)) + off
+    }
+    (xs.toArray, ys.toArray, zs.toArray)
+  }
+
+  test("recovers planted parameters on a clean Gaussian") {
+    val (xs, ys, zs) = sample(a = 500.0, x0 = 10.3, y0 = 9.7, sx = 2.0,
+      sy = 2.5, off = 50.0)
+    val fit = GaussianFit.fit(xs, ys, zs)
+    assert(fit.converged)
+    assert(math.abs(fit.x0 - 10.3) < 0.05)
+    assert(math.abs(fit.y0 - 9.7) < 0.05)
+    assert(math.abs(fit.amplitude - 500.0) / 500.0 < 0.05)
+    // FWHM = mean(2.0, 2.5)*2.3548 = 5.298
+    assert(math.abs(fit.fwhm - 2.25 * GaussianFit.SigmaToFwhm) < 0.1)
+  }
+
+  test("noisy Gaussian still converges near truth") {
+    val rnd = new scala.util.Random(3)
+    val (xs, ys, zs) = sample(300.0, 8.0, 8.0, 1.8, 1.8, 10.0, 17)
+    val noisy = zs.map(_ + rnd.nextGaussian() * 3.0)
+    val fit = GaussianFit.fit(xs, ys, noisy)
+    assert(fit.converged)
+    assert(math.abs(fit.x0 - 8.0) < 0.2 && math.abs(fit.y0 - 8.0) < 0.2)
+  }
+
+  test("degenerate input returns the reference's fwhm=0 sentinel") {
+    val fit = GaussianFit.fit(Array(1.0, 2.0), Array(1.0, 2.0), Array(0.0, 0.0))
+    assert(!fit.converged && fit.fwhm === 0.0)
+  }
+}
+
+class PhotometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic star field (FIXTURES.md §B images_long): flat background +
+    * planted Gaussians, optional integer shift and hot pixel. */
+  private def starField(imgId: Long, size: Int, bkg: Double,
+      stars: Seq[(Double, Double, Double, Double)], shift: (Int, Int) = (0, 0),
+      hot: Option[(Int, Int, Double)] = None): DataFrame = {
+    val rnd = new scala.util.Random(imgId)
+    val rows = for (y <- 0 until size; x <- 0 until size) yield {
+      var v = bkg + rnd.nextGaussian() * 1.0
+      stars.foreach { case (sx0, sy0, amp, sig) =>
+        val dx = x - (sx0 + shift._1); val dy = y - (sy0 + shift._2)
+        v += amp * math.exp(-(dx * dx + dy * dy) / (2 * sig * sig))
+      }
+      hot.foreach { case (hy, hx, hv) => if (y == hy && x == hx) v += hv }
+      (imgId, y.toLong, x.toLong, v)
+    }
+    rows.toDF("img_id", "y", "x", "v")
+  }
+
+  private val planted = Seq((12.0, 14.0, 800.0, 1.8), (40.0, 22.0, 600.0, 1.8),
+    (30.0, 45.0, 700.0, 1.8))
+
+  test("background stats recover the flat level despite stars") {
+    val px = starField(1L, 64, 100.0, planted)
+    val row = Photometry.backgroundStats(px).head()
+    assert(math.abs(row.getAs[Double]("bkg_median") - 100.0) < 1.0)
+  }
+
+  test("detection finds exactly the planted stars with accurate centroids") {
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val stars = Photometry.detectStars(px, 10.0, 4)
+      .select("xcentroid", "ycentroid").as[(Double, Double)].collect()
+    assert(stars.length === planted.length)
+    planted.foreach { case (sx, sy, _, _) =>
+      assert(stars.exists { case (cx, cy) =>
+        math.abs(cx - sx) < 0.5 && math.abs(cy - sy) < 0.5 })
+    }
+  }
+
+  test("align + sigma-clipped median combine removes a hot pixel and aligns shifts") {
+    val base = starField(0L, 64, 100.0, planted)
+    val shifted = starField(1L, 64, 100.0, planted, shift = (2, -1))
+    val withHot = starField(2L, 64, 100.0, planted, hot = Some((5, 5, 5000.0)))
+    val combined = Photometry.alignAndCombine(
+      base.union(shifted).union(withHot), 64, 64)
+    // hot pixel clipped away: combined value near background
+    val hotV = combined.filter($"y" === 5 && $"x" === 5).select("v").as[Double].head()
+    assert(math.abs(hotV - 100.0) < 5.0)
+    // star survives at the reference position
+    val peak = combined.filter($"y" === 14 && $"x" === 12).select("v").as[Double].head()
+    assert(peak > 400.0)
+  }
+
+  test("EPSF stack peaks at the center cell") {
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val stars = Photometry.detectStars(px, 10.0, 4)
+    val epsf = Photometry.buildEpsf(px, stars, 5, 2)
+      .select("w", "u", "epsf").as[(Long, Long, Double)].collect()
+    val center = epsf.find(e => e._1 == 0 && e._2 == 0).get._3
+    assert(epsf.forall(_._3 <= center + 1e-9))
+  }
+
+  test("iterative photometry recovers planted fluxes within 15%") {
+    val sig = 1.8
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val fwhm = sig * GaussianFit.SigmaToFwhm
+    val out = Photometry.iterativePhotometry(spark, px, fwhm, 2, 10.0)
+      .select("x_fit", "y_fit", "flux_fit").as[(Double, Double, Double)].collect()
+    planted.foreach { case (sx, sy, amp, s) =>
+      val trueFlux = amp * 2 * math.Pi * s * s
+      val got = out.filter(o => math.abs(o._1 - sx) < 1.5 && math.abs(o._2 - sy) < 1.5)
+      assert(got.nonEmpty, s"star at ($sx,$sy) not measured")
+      val flux = got.map(_._3).sum // re-detections across iterations are residual top-ups
+      assert(math.abs(flux - trueFlux) / trueFlux < 0.15,
+        s"flux $flux vs true $trueFlux")
+    }
+  }
+
+  test("star grouping: connected components within link radius") {
+    val stars = Seq(
+      (1L, 1, 10.0, 10.0, 1.0, 1.0), (1L, 2, 12.0, 10.0, 1.0, 1.0),
+      (1L, 3, 13.5, 10.0, 1.0, 1.0), // chain 1-2-3 transitively linked
+      (1L, 4, 50.0, 50.0, 1.0, 1.0))
+      .toDF("img_id", "star_id", "xcentroid", "ycentroid", "peak", "flux")
+    val groups = Photometry.groupStars(spark, stars, 2.5)
+      .select("star_id", "group_id").as[(Int, Int)].collect().toMap
+    assert(groups(1) === groups(2) && groups(2) === groups(3))
+    assert(groups(4) !== groups(1))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long) = new Timestamp(minutes * 60000)
+
+  private def runStream(stream: MemoryStream[Event],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode, name: String): Unit = {
+    val q = transform(stream.toDF())
+      .writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling windowed counts accumulate per window and type") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 1, "view", 3.0))
+    val q = hourlyTypeCounts(stream.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling").start()
+    q.processAllAvailable()
+    stream.addData(Event(4, ts(15), 1, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_type, n FROM tumbling")
+      .as[(String, Long)].collect().toMap
+    assert(out("click") === 3L) // incremental batch folded into hour-0 window
+    assert(out("view") === 1L)
+  }
+
+  test("watermark drops events later than the bound (append mode)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = hourlyTypeCounts(stream.toDF(), watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm").start()
+    // batch 1: hour-0 data, then advance event time far ahead
+    stream.addData(Event(1, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    stream.addData(Event(2, ts(300), 1, "click", 1.0)) // watermark → 270 min
+    q.processAllAvailable()
+    // batch 3: a straggler in hour 0, far behind the watermark → dropped
+    stream.addData(Event(3, ts(6), 1, "click", 100.0))
+    q.processAllAvailable()
+    // hour-0 window closed with only the on-time event
+    val hour0 = spark.sql("SELECT n FROM wm WHERE wstart = timestamp'1970-01-01 00:00:00'")
+      .as[Long].collect()
+    q.stop()
+    assert(hour0.toSeq === Seq(1L))
+  }
+
+  test("session windows split on the 10-minute gap") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 1.0),
+      Event(3, ts(9), 1, "click", 1.0),  // one session (gaps < 10)
+      Event(4, ts(30), 1, "click", 1.0), // new session
+      Event(5, ts(2), 2, "view", 1.0))   // other user, own session
+    runStream(stream, df => userSessions(df), OutputMode.Complete(), "sessions")
+    val out = spark.sql("SELECT user_id, n FROM sessions ORDER BY user_id, n")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("stateful running user stats fold incrementally across batches") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = runningUserStats(stream.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("running").start()
+    stream.addData(Event(1, ts(0), 1, "click", 10.0),
+      Event(2, ts(1), 1, "click", 20.0))
+    q.processAllAvailable()
+    stream.addData(Event(3, ts(2), 1, "click", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update row for user 1: n=3, mean=20, std=sqrt(200/3)
+    val last = spark.sql("SELECT n, mean, std FROM running")
+      .as[(Long, Double, Double)].collect().maxBy(_._1)
+    assert(last._1 === 3L)
+    assert(math.abs(last._2 - 20.0) < 1e-9)
+    assert(math.abs(last._3 - math.sqrt(200.0 / 3)) < 1e-9)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.Multimodal
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world of multimodal payloads", 34L),
+    (2L, "another longer document with more bytes inside it", 50L),
+    (3L, "video-ish payload for frame sampling goes here now", 50L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("media table carries binary payload + typed metadata") {
+    val m = Multimodal.fromDocuments(docs)
+    val row = m.filter($"doc_id" === 1L).head()
+    assert(row.getAs[Array[Byte]]("payload").length === 34)
+    assert(Seq("image", "audio", "video").contains(row.getAs[String]("media_type")))
+  }
+
+  test("feature extraction: fixed-length normalized histogram per row") {
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs), 2)
+      .collect()
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.sum - 1.0) < 1e-9)
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("frame sampling emits strided deterministic fingerprints") {
+    val m = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.frameSample(m, 2).as[(Long, Int, Long)].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 2 == 0))
+    val again = Multimodal.frameSample(m, 2).as[(Long, Int, Long)].collect()
+    assert(frames.sortBy(f => (f._1, f._2)).toSeq === again.sortBy(f => (f._1, f._2)).toSeq)
+  }
+}
