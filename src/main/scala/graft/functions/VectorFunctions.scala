@@ -15,8 +15,13 @@ object VectorFunctions {
   /** Elementwise cast array<float> → array<double>. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two double arrays — a native codegen'd Expression
+    * (graft.plans.DotProduct); left-to-right summation, identical to the
+    * builtin-HOF composition it replaces. */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
+
+  /** The builtin-HOF formulation, kept as the portability reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
 
   /** L2 norm. */
@@ -24,4 +29,12 @@ object VectorFunctions {
 
   /** Cosine similarity, computed as dot/(‖a‖·‖b‖). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized copy: v/‖v‖. Pre-normalizing once per row turns every
+    * pairwise cosine into a single dot product — at n² pairs this is the
+    * difference between one array fold and three per pair. */
+  def normalized(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => x / n)
+  }
 }

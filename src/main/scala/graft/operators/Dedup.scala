@@ -105,10 +105,14 @@ object Dedup {
     * two-stage hash aggregation (doc,bit) → doc. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
+      // identical tokens cast identical votes: pre-aggregate counts so the
+      // 64-way bit explode runs on distinct (doc, token) pairs only
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
       .withColumn("b", explode(sequence(lit(0), lit(63))))
       .withColumn("vote",
-        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        when(expr("(h >> b) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("vote")).as("s"))
       .groupBy(col("doc_id"))
@@ -143,11 +147,11 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(id).as("vid"),
-      VectorFunctions.toDouble(col(vec)).as("e"))
+      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e"))
     val a = v.select(col("vid").as("id_a"), col("e").as("ea"))
     val b = v.select(col("vid").as("id_b"), col("e").as("eb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", VectorFunctions.dot(col("ea"), col("eb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -19,12 +19,14 @@ object Similarity {
     * (cosine desc, id) ordering. */
   def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, probeId: String, probeVec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("e"))
-    val p = probes.select(col(probeId).as("q_id"), toDouble(col(probeVec)).as("qe"))
+    val c = corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e"))
+    val p = probes.select(col(probeId).as("q_id"),
+      normalized(toDouble(col(probeVec))).as("qe"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     c.join(broadcast(p), col("q_id") =!= col("vec_id"))
-      .withColumn("cos_raw", cosine(col("qe"), col("e")))
+      .withColumn("cos_raw", dot(col("qe"), col("e")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
@@ -58,12 +60,12 @@ object Similarity {
       .filter(col("cell_rank") <= nprobe)
       .select(col("q_id"), col("qe"), col("cell"))
     val c = corpus.select(col(id).as("vec_id"), col(cell).as("cell"),
-      toDouble(col(vec)).as("e"))
+      normalized(toDouble(col(vec))).as("e"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     c.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_raw", cosine(col("qe"), col("e")))
+      .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
