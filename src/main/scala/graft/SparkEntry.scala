@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PhotometryRel, Relational, TextOps, TimeSeries, VectorOps}
+import graft.queries.{Extras, PhotometryRel, Relational, TextOps, TimeSeries, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{PhotometryRel, Relational, TextOps, TimeSeries, VectorOps}
 object SparkEntry {
 
   private def catalog: Seq[NamedQuery] =
-    Relational.all ++ PhotometryRel.all ++ TimeSeries.all ++
+    Relational.all ++ PhotometryRel.all ++ Extras.all ++ TimeSeries.all ++
       TextOps.all ++ VectorOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

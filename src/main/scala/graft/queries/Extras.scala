@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.Compat._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining SURVEY.md §2 surface: grouping sets, multiset (ALL) set ops,
+  * map/header-merge semantics (§2.3 header merge, §2.8 map ops), the
+  * reference's exotic roundings (§2.8, §7 hard-part 6), WCS-style affine
+  * sky transform (core.py:525-526), the full image_mask predicate chain
+  * (core.py:309-336), scalar subqueries, and the generalized Lomb-Scargle
+  * periodogram with tau correction (walkthrough cells 13-14).
+  */
+object Extras {
+
+  /** GROUPING SETS — beyond rollup/cube (§2.5 required surface). */
+  private val q30 = NamedQuery(
+    "q30_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast(LongType).as("gid"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
+
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL (§2.7). */
+  private val q31 = NamedQuery(
+    "q31_set_ops_all",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_suppkey") % 2 === 0).select(col("l_linenumber"))
+      val b = li.filter(col("l_partkey") % 3 === 0).select(col("l_linenumber"))
+      a.intersectAll(b).exceptAll(
+        li.filter(col("l_quantity") > 45).select(col("l_linenumber")))
+    },
+    Some("""SELECT l_linenumber FROM lineitem WHERE l_suppkey % 2 = 0
+      INTERSECT ALL
+      SELECT l_linenumber FROM lineitem WHERE l_partkey % 3 = 0
+      EXCEPT ALL
+      SELECT l_linenumber FROM lineitem WHERE l_quantity > 45"""))
+
+  /** Header-map semantics (p_io.py:40-42 + psf_phot.py:94): build header
+    * maps, filter HISTORY/COMMENT keys, merge with WCS-side precedence
+    * (map_zip_with coalesce — the map-level left-outer merge), keyed lookup.
+    * The oracle checks the observable lookups, not map internals. */
+  private val q32 = NamedQuery(
+    "q32_map_header_merge",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val hdr = map(
+        lit("brand"), col("p_brand"), lit("type"), col("p_type"),
+        lit("HISTORY"), lit("junk"), lit("COMMENT"), lit("noise"))
+      val wcs = map(lit("type"), upper(col("p_type")),
+        lit("size"), col("p_size").cast(StringType))
+      val filtered = map_filter(hdr, (k, _) => !k.isin("HISTORY", "COMMENT"))
+      val merged = map_zip_with(filtered, wcs, (_, v1, v2) => coalesce(v2, v1))
+      p.select(col("p_partkey"),
+        element_at(merged, "type").as("h_type"),
+        element_at(merged, "brand").as("h_brand"),
+        element_at(merged, "size").as("h_size"),
+        map_contains_key(merged, "HISTORY").as("has_history"),
+        size(map_keys(merged)).cast(LongType).as("n_keys"))
+    },
+    Some("""SELECT p_partkey, UPPER(p_type) AS h_type, p_brand AS h_brand,
+      CAST(p_size AS VARCHAR) AS h_size, FALSE AS has_history,
+      CAST(3 AS BIGINT) AS n_keys FROM part"""))
+
+  /** The reference's rounding zoo (§7 hard-part 6): banker's rounding
+    * (np.rint, core.py:207-208), round-to-odd fitshape
+    * (ceil(f)//2*2+1, core.py:443-444), truncation, half-up rounding. */
+  private val q33 = NamedQuery(
+    "q33_rounding_zoo",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val x = col("l_quantity") / 2.0 // exact .0/.5 halves
+      val f = col("l_quantity") / 3.0
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        expr("rint(l_quantity / 2.0)").as("banker"),
+        expr("CAST(ceil(l_quantity / 3.0) AS BIGINT) div 2 * 2 + 1").as("fitshape_odd"),
+        x.cast(LongType).as("truncated"),
+        round(f, 0).as("half_up"),
+        signum(col("l_quantity") - 25).as("sign"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_quantity / 2.0 = FLOOR(l_quantity / 2.0) + 0.5
+           THEN FLOOR(l_quantity / 2.0) + (CAST(FLOOR(l_quantity / 2.0) AS BIGINT) % 2)
+           ELSE ROUND(l_quantity / 2.0) END AS banker,
+      CAST(CEIL(l_quantity / 3.0) AS BIGINT) // 2 * 2 + 1 AS fitshape_odd,
+      CAST(TRUNC(l_quantity / 2.0) AS BIGINT) AS truncated,
+      ROUND(l_quantity / 3.0, 0) AS half_up,
+      SIGN(l_quantity - 25) AS sign
+      FROM lineitem"""))
+
+  /** WCS-style linear pixel→sky transform (core.py:525-526): affine CD
+    * matrix on broadcast solution coefficients — a pure expression tree. */
+  private val q34 = NamedQuery(
+    "q34_wcs_transform",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val x = (col("p_partkey") * 37 % 1000) / 10.0
+      val y = (col("p_partkey") * 91 % 1000) / 10.0
+      val (ra0, dec0, cx, cy) = (150.125, -32.5, 50.0, 50.0)
+      val (cd11, cd12, cd21, cd22) = (1.1e-4, 3.0e-6, -2.5e-6, 1.05e-4)
+      p.select(col("p_partkey"),
+        (lit(ra0) + lit(cd11) * (x - cx) + lit(cd12) * (y - cy)).as("ra"),
+        (lit(dec0) + lit(cd21) * (x - cx) + lit(cd22) * (y - cy)).as("dec"))
+    },
+    Some("""SELECT p_partkey,
+      150.125 + 1.1e-4 * ((p_partkey*37%1000)/10.0 - 50.0) + 3.0e-6 * ((p_partkey*91%1000)/10.0 - 50.0) AS ra,
+      -32.5 + -2.5e-6 * ((p_partkey*37%1000)/10.0 - 50.0) + 1.05e-4 * ((p_partkey*91%1000)/10.0 - 50.0) AS dec
+      FROM part"""))
+
+  /** The full image_mask predicate chain (core.py:309-336): border window,
+    * saturation cut, peak above per-group bkg + k·σ (threshold from a
+    * windowed aggregate — the scalar-subquery-per-group shape). */
+  private val q35 = NamedQuery(
+    "q35_image_mask_filters",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val w = Window.partitionBy(col("p_brand"))
+      val x = (col("p_partkey") * 37 % 1000) / 10.0
+      val y = (col("p_partkey") * 91 % 1000) / 10.0
+      p.select(col("p_partkey"), col("p_brand"),
+          x.as("x"), y.as("y"), col("p_retailprice").as("peak"))
+        .withColumn("thresh",
+          avg(col("peak")).over(w) + lit(0.5) * stddev_pop(col("peak")).over(w))
+        .filter(col("x") > 5.0 && col("x") < 95.0 &&
+          col("y") > 5.0 && col("y") < 95.0 &&
+          col("peak") < 1900.0 && col("peak") > col("thresh"))
+        .select(col("p_partkey"), col("p_brand"), col("x"), col("y"), col("peak"),
+          r6(col("thresh")).as("thresh"))
+    },
+    Some("""SELECT p_partkey, p_brand, x, y, peak, ROUND(thresh, 6) AS thresh
+      FROM (
+        SELECT p_partkey, p_brand,
+          (p_partkey*37%1000)/10.0 AS x, (p_partkey*91%1000)/10.0 AS y,
+          p_retailprice AS peak,
+          AVG(p_retailprice) OVER w + 0.5 * STDDEV_POP(p_retailprice) OVER w AS thresh
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand)) t
+      WHERE x > 5.0 AND x < 95.0 AND y > 5.0 AND y < 95.0
+        AND peak < 1900.0 AND peak > thresh"""))
+
+  /** Scalar-subquery filter: orders above the exact global mean price. */
+  private val q36 = NamedQuery(
+    "q36_scalar_subquery",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.agg(davg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(stats))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice)
+        FROM orders)"""))
+
+  /** Generalized Lomb-Scargle with tau correction and mean-centered flux
+    * (walkthrough cells 13-14) — two aggregation passes per frequency:
+    * pass 1 computes τ(ω) from Σsin2ωt/Σcos2ωt, pass 2 the projected
+    * power. Frequency grid broadcast both times; cost is linear in
+    * rows × frequencies. */
+  private val q37 = NamedQuery(
+    "q37_lomb_scargle_tau",
+    (s, d) => {
+      val T0_US = 1704067200000000L
+      val freqs = s.range(1, 21).select(col("id").as("k"),
+        (col("id") * lit(2.0 * math.Pi / 2592000.0)).as("omega"))
+      val e = Tables.events(s, d).select(
+        ((unix_micros(col("ts")) - lit(T0_US)).cast(DoubleType) / lit(1e6)).as("t"),
+        col("value"))
+      val ybar = e.agg(avg(col("value")).as("ybar"))
+      val ec = e.crossJoin(broadcast(ybar))
+        .select(col("t"), (col("value") - col("ybar")).as("yc"))
+      val tau = ec.crossJoin(broadcast(freqs))
+        .groupBy(col("k"), col("omega"))
+        .agg(sum(sin(lit(2.0) * col("omega") * col("t"))).as("s2"),
+          sum(cos(lit(2.0) * col("omega") * col("t"))).as("c2"))
+        .select(col("k"), col("omega"),
+          (atan2(col("s2"), col("c2")) / (lit(2.0) * col("omega"))).as("tau"))
+      ec.crossJoin(broadcast(tau))
+        .withColumn("arg", col("omega") * (col("t") - col("tau")))
+        .groupBy(col("k"))
+        .agg(sum(col("yc") * cos(col("arg"))).as("yc_cos"),
+          sum(col("yc") * sin(col("arg"))).as("yc_sin"),
+          sum(cos(col("arg")) * cos(col("arg"))).as("cc"),
+          sum(sin(col("arg")) * sin(col("arg"))).as("ss"))
+        .select(col("k"),
+          round(lit(0.5) * (col("yc_cos") * col("yc_cos") / col("cc") +
+            col("yc_sin") * col("yc_sin") / col("ss")), 4).as("power"))
+    },
+    Some("""WITH f AS (SELECT k, k * (2 * pi() / 2592000.0) AS omega
+               FROM generate_series(1, 20) AS t(k)),
+      e AS (SELECT CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS t, value FROM events),
+      ec AS (SELECT t, value - (SELECT AVG(value) FROM e) AS yc FROM e),
+      tau AS (SELECT k, omega, ATAN2(SUM(SIN(2.0 * omega * t)), SUM(COS(2.0 * omega * t))) / (2.0 * omega) AS tau
+              FROM ec CROSS JOIN f GROUP BY k, omega),
+      p AS (SELECT tau.k,
+              SUM(yc * COS(omega * (t - tau.tau))) AS yc_cos,
+              SUM(yc * SIN(omega * (t - tau.tau))) AS yc_sin,
+              SUM(COS(omega * (t - tau.tau)) * COS(omega * (t - tau.tau))) AS cc,
+              SUM(SIN(omega * (t - tau.tau)) * SIN(omega * (t - tau.tau))) AS ss
+            FROM ec CROSS JOIN tau GROUP BY tau.k)
+      SELECT k, ROUND(0.5 * (yc_cos * yc_cos / cc + yc_sin * yc_sin / ss), 4) AS power
+      FROM p"""))
+
+  val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+}
