@@ -96,6 +96,46 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+/** foreachBatch incremental-epoch variant (SURVEY.md §2.9): each micro-batch
+  * runs the per-epoch batch pipeline and upserts into an idempotent sink —
+  * the rerun-after-crash semantics of README.md:22-27. */
+class ForeachBatchSpec extends SparkSpec {
+  import graft.streaming.EventStreams.Event
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("per-batch pipeline upserts idempotently into the results store") {
+    implicit val sc = spark.sqlContext
+    val store = scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+    val stream = MemoryStream[Event]
+    val q = stream.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the "epoch pipeline": aggregate the batch, then idempotent upsert
+        batch.groupBy($"user_id")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum($"value").as("s"))
+          .as[(Long, Long, Double)].collect()
+          .foreach { case (u, n, s) =>
+            val (pn, ps) = store.getOrElse(u, (0L, 0.0))
+            store(u) = (pn + n, ps + s)
+          }
+        ()
+      }
+      .start()
+    stream.addData(Event(1, new java.sql.Timestamp(0), 1, "click", 1.0),
+      Event(2, new java.sql.Timestamp(1000), 1, "click", 2.0))
+    q.processAllAvailable()
+    stream.addData(Event(3, new java.sql.Timestamp(2000), 1, "click", 4.0),
+      Event(4, new java.sql.Timestamp(3000), 2, "view", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(store(1L) === ((3L, 7.0)))
+    assert(store(2L) === ((1L, 8.0)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.Multimodal
   import spark.implicits._
