@@ -111,6 +111,32 @@ object Photometry {
       .select(col("y"), col("x"), col("s.median").as("v"), col("s.n").as("n_stack"))
   }
 
+  /** Per-star annulus background (bkg_sub, core.py:352-381): sigma-clipped
+    * median of the pixels in the ring rIn ≤ d < rOut around each star —
+    * spatial ring predicate on long-form pixels + grouped clipped median,
+    * keyed by star id (SURVEY.md §2.5). The box join explodes stars (few)
+    * against exact pixel keys, so pixel data never fans out. */
+  def annulusBackground(pixels: DataFrame, stars: DataFrame,
+      rIn: Double, rOut: Double): DataFrame = {
+    val r = math.ceil(rOut).toInt
+    val boxOffs = array((-r to r).map(lit): _*)
+    val ring = stars
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"))
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        (round(col("ycentroid")).cast(LongType) + col("dy")).as("y"),
+        (round(col("xcentroid")).cast(LongType) + col("dx")).as("x"))
+    val d2 = (col("x") - col("xcentroid")) * (col("x") - col("xcentroid")) +
+      (col("y") - col("ycentroid")) * (col("y") - col("ycentroid"))
+    val scs = sigmaClippedStats(2.0, 5)
+    ring.join(pixels, Seq("img_id", "y", "x"))
+      .filter(d2 >= lit(rIn * rIn) && d2 < lit(rOut * rOut))
+      .groupBy(col("img_id"), col("star_id"))
+      .agg(scs(col("v")).as("s"))
+      .select(col("img_id"), col("star_id"), col("s.median").as("annulus_bkg"),
+        col("s.n").as("n_annulus"))
+  }
+
   /** EPSF-style oversampled mean stack of flux-normalized star cutouts
     * (core.py:384-414; oversampling=2, core.py:411). Each star's cutout is
     * mapped onto an oversampled grid centered on its centroid and the stack

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.Barycenter
+import org.apache.spark.sql.functions._
+
+/** Serializable state for the executor-side solver closure. */
+object WcsTestState extends Serializable {
+  val truth: Array[Double] = Array(150.0, 1e-4, 2e-6, -30.0, -3e-6, 1.1e-4)
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  def skyOf(x: Double, y: Double): (Double, Double) =
+    (truth(0) + truth(1) * x + truth(2) * y, truth(3) + truth(4) * x + truth(5) * y)
+}
+
+class WcsEnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skyOf(x: Double, y: Double) = WcsTestState.skyOf(x, y)
+
+  test("affine solve recovers a planted solution from matches") {
+    val rnd = new scala.util.Random(5)
+    val matches = (1 to 20).map { _ =>
+      val (x, y) = (rnd.nextDouble() * 1000, rnd.nextDouble() * 1000)
+      ((x, y), skyOf(x, y))
+    }
+    val c = WcsEnrichment.affineFromMatches(matches).get
+    WcsTestState.truth.indices.foreach(i =>
+      assert(math.abs(c(i) - WcsTestState.truth(i)) < 1e-9))
+  }
+
+  test("enrich attaches sky coords via per-image solver with retries; failures keep nulls") {
+    val stars = (1 to 40).map { i =>
+      val img = if (i <= 20) 1L else 2L
+      (img, i, (i * 13 % 100).toDouble, (i * 29 % 100).toDouble, 1000.0 - i)
+    }.toDF("img_id", "star_id", "xcentroid", "ycentroid", "flux")
+    // solver: solves img 1 from its own star grid (on 2nd attempt to
+    // exercise retry), always fails for img 2
+    val solver: WcsEnrichment.Solver = pts => {
+      if (pts.size >= 15) { // both images submit 20 stars
+        val isImg1 = pts.exists { case (_, _, f) => f > 990 }
+        if (!isImg1) None
+        else if (WcsTestState.attempts.incrementAndGet() < 2) None // force one retry
+        else WcsEnrichment.affineFromMatches(
+          pts.map { case (x, y, _) => ((x, y), WcsTestState.skyOf(x, y)) })
+      } else None
+    }
+    val out = WcsEnrichment.enrich(spark, stars, solver, topK = 30, maxRetries = 3)
+    val img1 = out.filter($"img_id" === 1L && $"star_id" === 1)
+      .select("ra", "dec").as[(Double, Double)].head()
+    val expect = skyOf(13.0, 29.0)
+    assert(math.abs(img1._1 - expect._1) < 1e-6)
+    assert(math.abs(img1._2 - expect._2) < 1e-6)
+    val img2Nulls = out.filter($"img_id" === 2L && $"ra".isNull).count()
+    assert(img2Nulls === 20L)
+  }
+}
+
+class BarycenterSpec extends SparkSpec {
+
+  test("correction bounded by one light-au and roughly annual-periodic") {
+    val jd0 = 2460310.5 // 2024-01-01
+    val cfg = ObjConfig.canonical
+    val corrections = (0 until 365 by 5).map(d =>
+      Barycenter.bjdCorrectionSeconds(jd0 + d, cfg.ra, cfg.dec))
+    // bound: aphelion 1.0167 au → ≤ ~507.4 light-seconds
+    assert(corrections.forall(c => math.abs(c) <= 508.0))
+    // ecliptic-plane target: correction must swing both signs over a year
+    assert(corrections.max > 100 && corrections.min < -100)
+    // ~annual periodicity
+    val wrap = Barycenter.bjdCorrectionSeconds(jd0 + 365.25, cfg.ra, cfg.dec)
+    assert(math.abs(wrap - corrections.head) < 10.0)
+  }
+
+  test("bjd shifts jd by the correction in days") {
+    val jd = 2460310.5
+    val c = Barycenter.bjdCorrectionSeconds(jd, 73.6, 17.2)
+    assert(math.abs(Barycenter.bjd(jd, 73.6, 17.2) - (jd + c / 86400.0)) < 1e-12)
+  }
+}
+
+class AnnulusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("annulus median ignores the star core, recovers local background") {
+    val rows = for (y <- 0 until 41; x <- 0 until 41) yield {
+      val d2 = (x - 20) * (x - 20) + (y - 20) * (y - 20)
+      val star = 500.0 * math.exp(-d2 / (2.0 * 4.0))
+      (1L, y.toLong, x.toLong, 100.0 + star)
+    }
+    val pixels = rows.toDF("img_id", "y", "x", "v")
+    val stars = Seq((1L, 1, 20.0, 20.0)).toDF("img_id", "star_id", "xcentroid", "ycentroid")
+    val out = Photometry.annulusBackground(pixels, stars, 10.0, 18.0).head()
+    assert(math.abs(out.getAs[Double]("annulus_bkg") - 100.0) < 0.5)
+    assert(out.getAs[Long]("n_annulus") > 300)
+  }
+}
