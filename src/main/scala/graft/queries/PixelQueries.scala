@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.pipeline.{GaussianFit, Photometry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-visible pixel-pipeline queries: a deterministic star field is
+  * rendered from fixture rows (supplier-seeded positions/amplitudes over a
+  * spark.range grid), then the image-domain operators run on it. The
+  * detection/photometry chains are not ANSI-SQL-expressible (local-max
+  * generator + iterative fit), so these are rows-only checks; numeric
+  * correctness is covered by the planted-truth ScalaTests in
+  * graft.pipeline.
+  */
+object PixelQueries {
+
+  private val SIZE = 64
+
+  /** Render: flat background 100 + one Gaussian per selected supplier, on a
+    * SIZE² grid. Deterministic in the fixture keys; no RNG. */
+  private def renderField(s: SparkSession, d: String): DataFrame = {
+    val stars = Tables.supplier(s, d)
+      .filter(col("s_suppkey") < 6)
+      .select(
+        ((col("s_suppkey") * 13 % 48) + 8).cast(DoubleType).as("sx"),
+        ((col("s_suppkey") * 29 % 48) + 8).cast(DoubleType).as("sy"),
+        (col("s_acctbal") % 500 + 500).as("amp"))
+    val grid = s.range(SIZE.toLong * SIZE).select(
+      (col("id") / SIZE).cast(LongType).as("y"),
+      (col("id") % SIZE).as("x"))
+    grid.crossJoin(broadcast(stars))
+      .withColumn("contrib", col("amp") * exp(
+        (negate((col("x") - col("sx")) * (col("x") - col("sx")) +
+          (col("y") - col("sy")) * (col("y") - col("sy")))) / lit(2.0 * 1.8 * 1.8)))
+      .groupBy(col("y"), col("x"))
+      .agg((sum(col("contrib")) + lit(100.0)).as("v"))
+      .select(lit(1L).as("img_id"), col("y"), col("x"), col("v"))
+  }
+
+  /** Detection generator on the rendered field (find_stars semantics,
+    * core.py:116-146): one output row per detected star. */
+  private val q80 = NamedQuery(
+    "q80_star_detection",
+    (s, d) => Photometry.detectStars(
+      Photometry.subtractBackground(renderField(s, d)), 10.0, 4),
+    None)
+
+  /** Iteratively-subtracted PSF photometry on the rendered field
+    * (do_photometry, core.py:416-452). */
+  private val q81 = NamedQuery(
+    "q81_psf_photometry",
+    (s, d) => Photometry.iterativePhotometry(s,
+      Photometry.subtractBackground(renderField(s, d)),
+      fwhm = 1.8 * GaussianFit.SigmaToFwhm, nIters = 2, nSigma = 10.0),
+    None)
+
+  /** Per-star annulus background on the rendered field (bkg_sub,
+    * core.py:352-381). */
+  private val q82 = NamedQuery(
+    "q82_annulus_background",
+    (s, d) => {
+      val px = renderField(s, d)
+      val stars = Photometry.detectStars(
+        Photometry.subtractBackground(px), 10.0, 4)
+      Photometry.annulusBackground(px, stars, 6.0, 10.0)
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q80, q81, q82)
+}
