@@ -161,6 +161,56 @@ object Photometry {
       .agg(avg(col("nv")).as("epsf"), count(lit(1)).as("n_samples"))
   }
 
+  /** 3×3 quadratic-kernel smoothing of the oversampled EPSF grid
+    * (EPSFBuilder's smoothing step, core.py:411) — a contribution join on
+    * grid keys, same pattern as detection's neighborhood max. */
+  def smoothEpsf(epsf: DataFrame): DataFrame = {
+    val kernel = Seq((-1, 0.0625), (0, 0.125), (1, 0.0625)) // separable quad-ish
+    val taps = kernel.flatMap { case (dy, wy) =>
+      kernel.map { case (dx, wx) => (dy, dx, wy * wx / 0.0625) }
+    }
+    val tapDf = taps.map { case (dy, dx, wt) =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx"), lit(wt).as("wt"))
+    }
+    epsf
+      .withColumn("tap", explode(array(tapDf: _*)))
+      .select((col("w") + col("tap.dy")).as("w"), (col("u") + col("tap.dx")).as("u"),
+        (col("epsf") * col("tap.wt")).as("contrib"), col("tap.wt").as("wt"))
+      .groupBy(col("w"), col("u"))
+      .agg((sum(col("contrib")) / sum(col("wt"))).as("epsf"))
+  }
+
+  /** Iterative EPSF build (core.py:384-414: oversampling=2, maxiters≤10):
+    * stack → smooth → recenter the star positions by the model's centroid
+    * offset → re-extract, until the centroid converges. The grid is a tiny
+    * model object (abstraction #5) so the per-iteration centroid readback
+    * is a driver-side scalar, not a data collect. */
+  def buildEpsfIterative(pixels: DataFrame, stars: DataFrame, cutoutRadius: Int,
+      oversample: Int, maxIters: Int = 10, tol: Double = 1e-3): DataFrame = {
+    var cur = stars
+    var epsf: DataFrame = null
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      epsf = smoothEpsf(
+        buildEpsf(pixels, cur, cutoutRadius, oversample).drop("n_samples"))
+        .localCheckpoint()
+      val c = epsf.agg(
+        (sum(col("u") * col("epsf")) / sum(col("epsf"))).as("cu"),
+        (sum(col("w") * col("epsf")) / sum(col("epsf"))).as("cw")).head()
+      val (cu, cw) = (c.getDouble(0), c.getDouble(1))
+      if (math.abs(cu) < tol * oversample && math.abs(cw) < tol * oversample) {
+        converged = true
+      } else {
+        cur = cur
+          .withColumn("xcentroid", col("xcentroid") + lit(cu / oversample))
+          .withColumn("ycentroid", col("ycentroid") + lit(cw / oversample))
+      }
+      it += 1
+    }
+    epsf
+  }
+
   private val starSchema = StructType(Seq(
     StructField("img_id", LongType), StructField("star_id", IntegerType),
     StructField("group_id", IntegerType), StructField("x_fit", DoubleType),

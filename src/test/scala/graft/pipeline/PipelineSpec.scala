@@ -110,6 +110,19 @@ class PhotometrySpec extends SparkSpec {
     assert(epsf.forall(_._3 <= center + 1e-9))
   }
 
+  test("iterative EPSF build converges to a centered model") {
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val stars = Photometry.detectStars(px, 10.0, 4)
+      // perturb centroids so recentering has work to do
+      .withColumn("xcentroid", col("xcentroid") + 0.3)
+      .withColumn("ycentroid", col("ycentroid") - 0.2)
+    val epsf = Photometry.buildEpsfIterative(px, stars, 5, 2, maxIters = 8)
+    val c = epsf.agg(
+      (sum(col("u") * col("epsf")) / sum(col("epsf"))).as("cu"),
+      (sum(col("w") * col("epsf")) / sum(col("epsf"))).as("cw")).head()
+    assert(math.abs(c.getDouble(0)) < 0.1 && math.abs(c.getDouble(1)) < 0.1)
+  }
+
   test("iterative photometry recovers planted fluxes within 15%") {
     val sig = 1.8
     val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
