@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.9): the reference's
   * epoch-incremental structure as streaming transforms. Every function here
@@ -40,6 +40,56 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+
+  final case class OpenSession(start: Timestamp, last: Timestamp, n: Long,
+      sum: Double)
+
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n: Long, sum_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState (§2.11): sessions
+    * close when the event-time watermark passes start-of-gap — the
+    * hand-rolled analog of session_window, emitting only CLOSED sessions
+    * (append semantics). State per user is one open session: O(1). */
+  def closedUserSessions(events: Dataset[Event], gapMs: Long = 600000L,
+      watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          if (sorted.isEmpty && state.hasTimedOut) {
+            open.foreach { s =>
+              closed += ClosedSession(user, s.start,
+                new Timestamp(s.last.getTime + gapMs), s.n, s.sum)
+            }
+            state.remove()
+          } else {
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.last.getTime < gapMs =>
+                  open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start,
+                    new Timestamp(s.last.getTime + gapMs), s.n, s.sum)
+                  open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+          }
+          closed.iterator
+      }
+  }
 
   /** Running per-star ensemble statistics across epochs (SURVEY.md §7
     * hard-part 7): Welford mean/variance carried in keyed state via

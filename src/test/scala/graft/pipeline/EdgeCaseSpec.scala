@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reference's production failure modes (SURVEY.md §5: README.md:20-36
+  * changelog) as regression tests: single-image sets, zero-detection
+  * epochs, solver non-convergence — each must degrade, not crash. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flatField(imgId: Long, size: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(imgId)
+    (for (y <- 0 until size; x <- 0 until size)
+      yield (imgId, y.toLong, x.toLong, 100.0 + rnd.nextGaussian()))
+      .toDF("img_id", "y", "x", "v")
+  }
+
+  private def oneStarField(imgId: Long, size: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(imgId)
+    (for (y <- 0 until size; x <- 0 until size) yield {
+      val d2 = (x - 16) * (x - 16) + (y - 16) * (y - 16)
+      (imgId, y.toLong, x.toLong,
+        100.0 + rnd.nextGaussian() + 600.0 * math.exp(-d2 / (2.0 * 1.8 * 1.8)))
+    }).toDF("img_id", "y", "x", "v")
+  }
+
+  test("starless image: detection yields zero rows, no crash (psf_phot.py:53-55 guard)") {
+    val px = Photometry.subtractBackground(flatField(1L, 48))
+    assert(Photometry.detectStars(px, 10.0, 3).count() === 0)
+  }
+
+  test("starless image: iterative photometry returns empty results") {
+    val px = Photometry.subtractBackground(flatField(1L, 48))
+    val out = Photometry.iterativePhotometry(spark, px, 4.2, 2, 10.0)
+    assert(out.count() === 0)
+  }
+
+  test("single-image set combines without shift matching (README.md:36 bug class)") {
+    val px = oneStarField(1L, 48)
+    val combined = Photometry.alignAndCombine(px, 48, 48)
+    assert(combined.count() === 48L * 48)
+    val peak = combined.filter($"y" === 16 && $"x" === 16).select("v").as[Double].head()
+    assert(peak > 400.0)
+  }
+
+  test("empty star table: grouping and annulus return empty, not error") {
+    val empty = Seq.empty[(Long, Int, Double, Double, Double, Double)]
+      .toDF("img_id", "star_id", "xcentroid", "ycentroid", "peak", "flux")
+    assert(Photometry.groupStars(spark, empty, 5.0).count() === 0)
+    assert(Photometry.annulusBackground(flatField(1L, 16), empty, 3.0, 6.0).count() === 0)
+  }
+}
+
+/** Plan-shape regression guards: the optimizations SURVEY.md §4 relies on
+  * must stay visible in the physical plan. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_orderkey")) // pruned column never read
+  }
+
+  test("q04: dimension joins broadcast, no shuffle join") {
+    val p = plan("q04_join_revenue_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q22: the three windows share one exchange") {
+    val p = plan("q22_catalog_trim")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$p")
+  }
+
+  test("q25: udaf aggregate runs partial+final (two ObjectHashAggregate)") {
+    val p = plan("q25_sigma_clipped_stats")
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2)
+  }
+
+  test("q70: codegen dot product present in plan, no HOF fold") {
+    val p = plan("q70_cosine_topk")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"))
+  }
+}

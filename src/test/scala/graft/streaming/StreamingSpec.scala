@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
+  import graft.streaming.EventStreams.closedUserSessions
   import spark.implicits._
 
   private def ts(minutes: Long) = new Timestamp(minutes * 60000)
@@ -73,6 +74,32 @@ class StreamingSpec extends SparkSpec {
     val out = spark.sql("SELECT user_id, n FROM sessions ORDER BY user_id, n")
       .as[(Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("flatMapGroupsWithState emits sessions closed by gap or watermark timeout") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = closedUserSessions(stream.toDS(), gapMs = 600000L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("closed_sessions").start()
+    // session A: two events, then a later event that closes it by gap.
+    // (timeline starts at t=10min: an event at exactly the initial
+    // watermark epoch-0 would be discarded as late)
+    stream.addData(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(15), 1, "click", 2.0))
+    q.processAllAvailable()
+    stream.addData(Event(3, ts(60), 1, "click", 4.0)) // 55-min gap → closes A
+    q.processAllAvailable()
+    // advance watermark far ahead so B times out and closes
+    stream.addData(Event(4, ts(600), 2, "view", 8.0))
+    q.processAllAvailable()
+    stream.addData(Event(5, ts(1200), 2, "view", 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT user_id, n, sum_value FROM closed_sessions ORDER BY user_id, n")
+      .as[(Long, Long, Double)].collect()
+    assert(out.contains((1L, 2L, 3.0))) // session A: events 1+2
+    assert(out.exists(r => r._1 == 1L && r._2 == 1L)) // session with event 3 closed by timeout
   }
 
   test("stateful running user stats fold incrementally across batches") {
