@@ -46,18 +46,30 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, J ≥ threshold).
-    * The inverted-index self-join on shingle replaces the O(n²) all-pairs
-    * comparison: only documents sharing a shingle ever meet. Hot shingles
-    * (stop-phrases) are the skew risk at 100 TB — AQE skew-join handles
-    * moderate skew; aggressive pipelines drop shingles above a document-
-    * frequency cap first. */
+    * Inverted-index pair generation replaces the O(n²) all-pairs
+    * comparison: group by shingle (one shuffle), emit each posting list's
+    * ordered pairs, count per pair (second shuffle). Equivalent to the
+    * sh⋈sh self-join but without the join's second full shuffle of the
+    * shingle table. Hot shingles (stop-phrases) are the skew risk at
+    * 100 TB — their posting lists emit k²/2 pairs; aggressive pipelines
+    * drop shingles above a document-frequency cap first. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = shingleSet(df, id, text, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairShingles = sh.as("a").join(sh.as("b"),
-      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val pairShingles = sh.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
+        val ds = it.map(_._1).toArray
+        java.util.Arrays.sort(ds)
+        for {
+          i <- ds.indices.iterator
+          j <- ((i + 1) until ds.length).iterator
+        } yield (ds(i), ds(j))
+      }
+      .toDF("id_a", "id_b")
     jaccardFromPairs(pairShingles, counts, threshold)
   }
 

@@ -211,6 +211,60 @@ object Photometry {
     epsf
   }
 
+  /** PSF basis used by the group fits and model subtraction: evaluated in
+    * executor code, broadcast by closure (model object, abstraction #5). */
+  sealed trait PsfModel extends Serializable {
+    def eval(dx: Double, dy: Double): Double
+    /** ∫∫psf — converts the fitted peak coefficient to total flux. */
+    def volume: Double
+  }
+
+  /** Analytic circular Gaussian of width sigma. */
+  final case class GaussianPsf(sigma: Double) extends PsfModel {
+    def eval(dx: Double, dy: Double): Double =
+      math.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+    def volume: Double = 2 * math.Pi * sigma * sigma
+  }
+
+  /** Empirical oversampled EPSF grid (from buildEpsfIterative), evaluated
+    * with bilinear interpolation; zero outside the grid support. */
+  final case class GridPsf(grid: Array[Array[Double]], radius: Int,
+      oversample: Int) extends PsfModel {
+    private val size = grid.length
+    private val c = radius * oversample
+    def eval(dx: Double, dy: Double): Double = {
+      val gu = dx * oversample + c
+      val gw = dy * oversample + c
+      val u0 = math.floor(gu).toInt; val w0 = math.floor(gw).toInt
+      if (u0 < 0 || w0 < 0 || u0 + 1 >= size || w0 + 1 >= size) 0.0
+      else {
+        val fu = gu - u0; val fw = gw - w0
+        grid(w0)(u0) * (1 - fu) * (1 - fw) + grid(w0)(u0 + 1) * fu * (1 - fw) +
+          grid(w0 + 1)(u0) * (1 - fu) * fw + grid(w0 + 1)(u0 + 1) * fu * fw
+      }
+    }
+    def volume: Double = {
+      var s = 0.0
+      grid.foreach(row => row.foreach(s += _))
+      s / (oversample.toDouble * oversample)
+    }
+  }
+
+  /** Materialize an EPSF DataFrame (w, u, epsf) into a dense GridPsf,
+    * peak-normalized. The grid is tiny — this is a model readback. */
+  def collectGridPsf(epsf: DataFrame, radius: Int, oversample: Int): GridPsf = {
+    val size = 2 * radius * oversample + 1
+    val grid = Array.ofDim[Double](size, size)
+    val c = radius * oversample
+    epsf.select(col("w"), col("u"), col("epsf")).collect().foreach { r =>
+      val w = r.getLong(0).toInt + c; val u = r.getLong(1).toInt + c
+      if (w >= 0 && w < size && u >= 0 && u < size) grid(w)(u) = r.getDouble(2)
+    }
+    val peak = grid.map(_.max).max
+    val norm = if (peak > 0) grid.map(_.map(_ / peak)) else grid
+    GridPsf(norm, radius, oversample)
+  }
+
   private val starSchema = StructType(Seq(
     StructField("img_id", LongType), StructField("star_id", IntegerType),
     StructField("group_id", IntegerType), StructField("x_fit", DoubleType),
@@ -227,10 +281,27 @@ object Photometry {
     * scale. Positions-fixed linear fluxes replace the reference's full
     * nonlinear LevMar fit; GaussianFit covers the nonlinear path. */
   def iterativePhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
-      nIters: Int, nSigma: Double): DataFrame = {
-    import spark.implicits._
-    val sigma = fwhm / GaussianFit.SigmaToFwhm
+      nIters: Int, nSigma: Double): DataFrame =
+    iterativePhotometryWithPsf(spark, pixels,
+      GaussianPsf(fwhm / GaussianFit.SigmaToFwhm),
+      math.max(math.ceil(2 * fwhm).toInt, 2), nIters, nSigma)
+
+  /** EPSF-closed-loop photometry: build the empirical PSF from the field's
+    * own bright stars (build_psf, psf_phot.py:76), then measure with it
+    * (do_photometry, psf_phot.py:84) — the reference's actual sequence. */
+  def epsfPhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
+      nIters: Int, nSigma: Double, oversample: Int = 2): DataFrame = {
     val boxR = math.max(math.ceil(2 * fwhm).toInt, 2)
+    val stars = detectStars(pixels, nSigma, boxR)
+    val epsf = buildEpsfIterative(pixels, stars, boxR, oversample)
+    val psf = collectGridPsf(epsf, boxR, oversample)
+    iterativePhotometryWithPsf(spark, pixels, psf, boxR, nIters, nSigma)
+  }
+
+  /** The detect → group → fit → subtract loop over an arbitrary PSF model. */
+  def iterativePhotometryWithPsf(spark: SparkSession, pixels: DataFrame,
+      psf: PsfModel, boxR: Int, nIters: Int, nSigma: Double): DataFrame = {
+    import spark.implicits._
     var residual = pixels.localCheckpoint()
     var results = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], starSchema)
@@ -239,14 +310,14 @@ object Photometry {
     var continue = true
     while (iter <= nIters && continue) {
       val stars = detectStars(residual, nSigma, boxR)
-      val grouped = groupStars(spark, stars, 2 * fwhm)
+      val grouped = groupStars(spark, stars, boxR.toDouble)
       if (grouped.isEmpty) { continue = false }
       else {
-        val fitted = fitGroups(spark, grouped, residual, sigma, boxR)
+        val fitted = fitGroups(spark, grouped, residual, psf, boxR)
           .withColumn("iter_detected", lit(iter))
           .localCheckpoint()
         results = results.unionByName(fitted.select(starSchema.map(f => col(f.name)): _*))
-        residual = subtractModel(residual, fitted, sigma, boxR).localCheckpoint()
+        residual = subtractModel(residual, fitted, psf, boxR).localCheckpoint()
       }
       iter += 1
     }
@@ -293,7 +364,7 @@ object Photometry {
     * basis φ_j centered on fixed centroids. Pixel evidence is gathered by a
     * box join keyed on (img, group); each group solves a k×k system. */
   private def fitGroups(spark: SparkSession, grouped: DataFrame,
-      residual: DataFrame, sigma: Double, boxR: Int): DataFrame = {
+      residual: DataFrame, psf: PsfModel, boxR: Int): DataFrame = {
     import spark.implicits._
     val boxOffs = array((-boxR to boxR).map(lit): _*)
     val box = grouped
@@ -319,7 +390,7 @@ object Photometry {
         for (pi <- pix.indices; mi <- 0 until k) {
           val dx = pix(pi)._1 - members(mi)._2
           val dy = pix(pi)._2 - members(mi)._3
-          phi(pi)(mi) = math.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+          phi(pi)(mi) = psf.eval(dx, dy)
         }
         val ata = Array.ofDim[Double](k, k)
         val atb = new Array[Double](k)
@@ -332,19 +403,24 @@ object Photometry {
         // ridge for stability of blended groups
         for (a <- 0 until k) ata(a)(a) += 1e-9
         val fluxesRaw = LinAlg.solve(ata, atb).getOrElse(new Array[Double](k))
-        val norm = 2 * math.Pi * sigma * sigma
+        val vol = psf.volume
         members.indices.iterator.map { mi =>
           (img, members(mi)._1, gid, members(mi)._2, members(mi)._3,
-            fluxesRaw(mi) * norm, 0)
+            fluxesRaw(mi) * vol, 0)
         }
       }
       .toDF("img_id", "star_id", "group_id", "x_fit", "y_fit", "flux_fit",
         "iter_detected")
   }
 
-  /** Subtract the fitted Gaussian models from the residual image. */
+  /** Subtract the fitted PSF models from the residual image. The model
+    * evaluation is a UDF over the broadcast PsfModel closure — model
+    * pixels number stars × box², never the full image. */
   private def subtractModel(residual: DataFrame, fitted: DataFrame,
-      sigma: Double, boxR: Int): DataFrame = {
+      psf: PsfModel, boxR: Int): DataFrame = {
+    val vol = psf.volume
+    val evalUdf = udf((dx: Double, dy: Double, flux: Double) =>
+      flux / vol * psf.eval(dx, dy))
     val boxOffs = array((-boxR to boxR).map(lit): _*)
     val model = fitted
       .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
@@ -352,11 +428,8 @@ object Photometry {
         (round(col("y_fit")).cast(LongType) + col("dy")).as("y"),
         (round(col("x_fit")).cast(LongType) + col("dx")).as("x"),
         col("x_fit"), col("y_fit"), col("flux_fit"))
-      .withColumn("contrib",
-        col("flux_fit") / lit(2 * math.Pi * sigma * sigma) *
-          exp((negate((col("x") - col("x_fit")) * (col("x") - col("x_fit")) +
-            (col("y") - col("y_fit")) * (col("y") - col("y_fit")))) /
-            lit(2 * sigma * sigma)))
+      .withColumn("contrib", evalUdf(col("x") - col("x_fit"),
+        col("y") - col("y_fit"), col("flux_fit")))
       .groupBy(col("img_id"), col("y"), col("x"))
       .agg(sum(col("contrib")).as("model_v"))
     residual.join(model, Seq("img_id", "y", "x"), "left_outer")

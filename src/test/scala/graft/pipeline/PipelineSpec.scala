@@ -139,6 +139,22 @@ class PhotometrySpec extends SparkSpec {
     }
   }
 
+  test("EPSF-based photometry (build_psf → do_photometry loop) recovers fluxes") {
+    val sig = 1.8
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val fwhm = sig * GaussianFit.SigmaToFwhm
+    val out = Photometry.epsfPhotometry(spark, px, fwhm, 2, 10.0)
+      .select("x_fit", "y_fit", "flux_fit").as[(Double, Double, Double)].collect()
+    planted.foreach { case (sx, sy, amp, s) =>
+      val trueFlux = amp * 2 * math.Pi * s * s
+      val got = out.filter(o => math.abs(o._1 - sx) < 1.5 && math.abs(o._2 - sy) < 1.5)
+      assert(got.nonEmpty, s"star at ($sx,$sy) not measured by EPSF photometry")
+      val flux = got.map(_._3).sum
+      assert(math.abs(flux - trueFlux) / trueFlux < 0.25,
+        s"EPSF flux $flux vs true $trueFlux")
+    }
+  }
+
   test("star grouping: connected components within link radius") {
     val stars = Seq(
       (1L, 1, 10.0, 10.0, 1.0, 1.0), (1L, 2, 12.0, 10.0, 1.0, 1.0),

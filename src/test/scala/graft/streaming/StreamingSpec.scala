@@ -123,6 +123,43 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+/** Stream-stream interval join: purchases joined to the same user's clicks
+  * within a bounded look-back window, both sides watermarked — the
+  * streaming form of the q47 range join. */
+class StreamStreamJoinSpec extends SparkSpec {
+  import graft.streaming.EventStreams.Event
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def ts(minutes: Long) = new java.sql.Timestamp(minutes * 60000)
+
+  test("purchases join prior clicks within 15 minutes, per user") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().select($"event_id".as("click_id"),
+      $"user_id".as("c_user"), $"ts".as("c_ts")).withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().select($"event_id".as("purchase_id"),
+      $"user_id".as("p_user"), $"ts".as("p_ts")).withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      $"c_user" === $"p_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    clicks.addData(Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 1.0), Event(3, ts(12), 2, "click", 1.0))
+    purchases.addData(Event(10, ts(25), 1, "purchase", 5.0),
+      Event(11, ts(60), 2, "purchase", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT purchase_id, click_id FROM ssj")
+      .as[(Long, Long)].collect().toSet
+    // purchase 10 (t=25) matches clicks at 10 and 20 (within 15 min, same user)
+    assert(out === Set((10L, 1L), (10L, 2L)))
+  }
+}
+
 /** foreachBatch incremental-epoch variant (SURVEY.md §2.9): each micro-batch
   * runs the per-epoch batch pipeline and upserts into an idempotent sink —
   * the rerun-after-crash semantics of README.md:22-27. */
