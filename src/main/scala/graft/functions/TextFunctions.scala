@@ -18,11 +18,12 @@ object TextFunctions {
     split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")
 
   /** Word n-gram shingles (space-joined), as an array; distinct-ified by
-    * callers that need set semantics. */
+    * callers that need set semantics. element_at composition instead of
+    * slice+concat_ws: no per-shingle array allocation in the lambda. */
   def shingles(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
 
   /** Occurrence count of function-word tokens — the language-ID /
     * quality-score building block. */

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import graft.operators.{RankTrim, SpatialJoins}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's full per-epoch pipeline (psf_phot.py:9-98) composed from
+  * the engine's operators — entry point 1 of SURVEY.md §3.1:
+  *
+  *   combine → background → FWHM → detect → mask (crowd + trim) →
+  *   annulus → EPSF → photometry → WCS → catalog
+  *
+  * with the reference's guard branches: epoch aborted when the FWHM solve
+  * fails (psf_phot.py:53-55), diagnostics-only when too few stars or the
+  * FWHM is implausible (psf_phot.py:78-82), and null sky coordinates when
+  * the WCS solve fails (psf_phot.py:95-98).
+  *
+  * Everything except the tiny FWHM cutout fit runs distributed; epochs are
+  * independent (no cross-epoch state), so a 100 TB run maps epochs across
+  * the cluster and this class orchestrates one of them.
+  */
+object EpochPipeline {
+
+  final case class Result(status: String, fwhm: Double, catalog: DataFrame)
+
+  /** FWHM estimation (find_fwhm, core.py:52-114): pick the brightest
+    * unsaturated star — iterative argmax with suppression (core.py:72-105:
+    * saturated peaks ≥ satLimit are skipped, stars dimmer than minPeak
+    * abandon the search, bounded tries) — then LSQ-fit a 2-D Gaussian to
+    * its cutout. Greedy selection runs on the (small) star list; the pixel
+    * cutout is gathered by an exact-key box join. */
+  def findFwhm(spark: SparkSession, pixels: DataFrame, stars: DataFrame,
+      satLimit: Double = 50000.0, minPeak: Double = 1000.0,
+      minSeparation: Double = 8.0, maxTries: Int = 100,
+      cutoutRadius: Int = 8): Double = {
+    import spark.implicits._
+    val cands = stars
+      .orderBy(col("peak").desc, col("star_id"))
+      .select(col("img_id"), col("star_id"), col("xcentroid"),
+        col("ycentroid"), col("peak"))
+      .limit(maxTries)
+      .as[(Long, Int, Double, Double, Double)]
+      .collect() // ≤ maxTries rows — the reference's bounded search
+    // greedy walk in peak order: saturated stars are suppressed (their
+    // neighborhood is excluded, like the reference's zeroed search box);
+    // the walk abandons once peaks drop below minPeak (core.py:110).
+    val suppressed = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var pick: Option[(Long, Int, Double, Double, Double)] = None
+    val it = cands.iterator
+    var abandoned = false
+    while (pick.isEmpty && !abandoned && it.hasNext) {
+      val c = it.next()
+      if (c._5 < minPeak) abandoned = true
+      else if (c._5 >= satLimit) suppressed += ((c._3, c._4))
+      else {
+        val clear = suppressed.forall { case (tx, ty) =>
+          val dx = c._3 - tx; val dy = c._4 - ty
+          dx * dx + dy * dy >= minSeparation * minSeparation
+        }
+        if (clear) pick = Some(c)
+      }
+    }
+    pick match {
+      case None => 0.0 // sentinel: no usable star (core.py:107-113)
+      case Some((img, _, xc, yc, _)) =>
+        val cut = pixels
+          .filter(col("img_id") === img &&
+            col("y").between(math.round(yc) - cutoutRadius, math.round(yc) + cutoutRadius) &&
+            col("x").between(math.round(xc) - cutoutRadius, math.round(xc) + cutoutRadius))
+          .select(col("x").cast("double"), col("y").cast("double"), col("v"))
+          .as[(Double, Double, Double)]
+          .collect()
+        val fit = GaussianFit.fit(cut.map(_._1), cut.map(_._2), cut.map(_._3))
+        if (fit.fwhm > 2.0) fit.fwhm else 0.0 // plausibility guard, core.py:96
+    }
+  }
+
+  /** Run one epoch end to end over long-form pixels (one or more images of
+    * the same field). Returns the status branch taken and the output
+    * catalog (empty for aborted epochs). */
+  def run(spark: SparkSession, pixels: DataFrame, height: Int, width: Int,
+      nSigma: Double = 10.0, maxStarsFwhm: Double = 30.0,
+      minStars: Int = 3, wcsSolver: Option[WcsEnrichment.Solver] = None): Result = {
+    import spark.implicits._
+
+    // 1. align + median-combine the epoch's images (image_combiner)
+    val nImages = pixels.select(col("img_id")).distinct().count()
+    val combined =
+      if (nImages > 1)
+        Photometry.alignAndCombine(pixels, height, width, nSigma)
+          .select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
+      else pixels.select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
+
+    // 2. global background subtraction
+    val sub = Photometry.subtractBackground(combined).localCheckpoint()
+
+    // 3. FWHM from the brightest clean star; abort epoch on failure
+    val bright = Photometry.detectStars(sub, nSigma, 4)
+    val fwhm = findFwhm(spark, sub, bright)
+    if (fwhm == 0.0) return Result("aborted_no_fwhm", 0.0, emptyCatalog(spark))
+
+    // 4. detection + image_mask: crowding exclusion + two-sided rank trim
+    val detected = Photometry.detectStars(sub, nSigma, math.max(math.ceil(fwhm).toInt, 3))
+    val uncrowded = SpatialJoins.crowdingAnti(
+      detected.withColumn("sid", col("star_id")),
+      "sid", "xcentroid", "ycentroid", 5 * fwhm)
+    val masked = RankTrim.trim(uncrowded, Seq(col("img_id")), col("flux"),
+      Seq(col("star_id")), 5, 10)
+
+    // guard: diagnostics-only epoch (psf_phot.py:78-82)
+    if (masked.count() < minStars || fwhm > maxStarsFwhm)
+      return Result("diagnostics_only", fwhm, emptyCatalog(spark))
+
+    // 5. annulus background per star
+    val annulus = Photometry.annulusBackground(combined, masked,
+      2 * fwhm, 3 * fwhm)
+
+    // 6+7. EPSF build + iterative PSF photometry
+    val results = Photometry.epsfPhotometry(spark, sub, fwhm, 2, nSigma)
+
+    // 8. WCS enrichment (or null sky coordinates when no solver)
+    val withStarIds = results
+      .withColumn("star_id", col("star_id"))
+      .withColumnRenamed("x_fit", "xcentroid")
+      .withColumnRenamed("y_fit", "ycentroid")
+      .withColumnRenamed("flux_fit", "flux")
+    val enriched = wcsSolver match {
+      case Some(sv) => WcsEnrichment.enrich(spark, withStarIds, sv)
+      case None => withStarIds
+        .withColumn("ra", lit(null).cast("double"))
+        .withColumn("dec", lit(null).cast("double"))
+    }
+
+    // 9. catalog: positive-flux magnitudes, flux-desc order (write_csv)
+    val catalog = enriched
+      .join(annulus.select(col("star_id").as("ann_star"), col("annulus_bkg")),
+        col("star_id") === col("ann_star"), "left_outer")
+      .filter(col("flux") > 0)
+      .withColumn("mag", lit(-2.5) * log10(col("flux")))
+      .select(col("img_id"), col("star_id"), col("group_id"),
+        col("xcentroid"), col("ycentroid"), col("flux"), col("mag"),
+        col("iter_detected"), col("annulus_bkg"), col("ra"), col("dec"))
+      .orderBy(col("flux").desc)
+    Result("ok", fwhm, catalog)
+  }
+
+  private def emptyCatalog(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("img_id", LongType), StructField("star_id", IntegerType),
+        StructField("group_id", IntegerType), StructField("xcentroid", DoubleType),
+        StructField("ycentroid", DoubleType), StructField("flux", DoubleType),
+        StructField("mag", DoubleType), StructField("iter_detected", IntegerType),
+        StructField("annulus_bkg", DoubleType), StructField("ra", DoubleType),
+        StructField("dec", DoubleType))))
+  }
+}

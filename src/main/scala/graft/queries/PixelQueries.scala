@@ -26,7 +26,7 @@ object PixelQueries {
       .select(
         ((col("s_suppkey") * 13 % 48) + 8).cast(DoubleType).as("sx"),
         ((col("s_suppkey") * 29 % 48) + 8).cast(DoubleType).as("sy"),
-        (col("s_acctbal") % 500 + 500).as("amp"))
+        (col("s_acctbal") % 2000 + 1200).as("amp"))
     val grid = s.range(SIZE.toLong * SIZE).select(
       (col("id") / SIZE).cast(LongType).as("y"),
       (col("id") % SIZE).as("x"))
@@ -68,5 +68,15 @@ object PixelQueries {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q80, q81, q82)
+  /** The reference's complete per-epoch pipeline (psf_phot.py:9-98) on the
+    * rendered field: combine → background → FWHM → mask → EPSF →
+    * photometry → catalog, guards included. */
+  private val q83 = NamedQuery(
+    "q83_epoch_pipeline",
+    (s, d) => graft.pipeline.EpochPipeline
+      .run(s, renderField(s, d), SIZE, SIZE, minStars = 2)
+      .catalog,
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q80, q81, q82, q83)
 }

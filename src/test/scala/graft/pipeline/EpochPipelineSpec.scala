@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class EpochPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // amplitudes above the reference's minPeak=1000 search floor (core.py:110)
+  private val planted = Seq(
+    (12.0, 14.0, 2400.0), (44.0, 22.0, 1700.0), (30.0, 47.0, 2000.0),
+    (50.0, 50.0, 1500.0))
+
+  private def field(imgId: Long, shift: (Int, Int)): DataFrame = {
+    val rnd = new scala.util.Random(imgId)
+    (for (y <- 0 until 64; x <- 0 until 64) yield {
+      var v = 100.0 + rnd.nextGaussian()
+      planted.foreach { case (sx, sy, amp) =>
+        val dx = x - (sx + shift._1); val dy = y - (sy + shift._2)
+        v += amp * math.exp(-(dx * dx + dy * dy) / (2 * 1.8 * 1.8))
+      }
+      (imgId, y.toLong, x.toLong, v)
+    }).toDF("img_id", "y", "x", "v")
+  }
+
+  test("full epoch: 3-image set to measured catalog with magnitudes") {
+    val px = field(0, (0, 0)).union(field(1, (1, -1))).union(field(2, (-1, 1)))
+    val res = EpochPipeline.run(spark, px, 64, 64, minStars = 2)
+    assert(res.status === "ok")
+    assert(math.abs(res.fwhm - 1.8 * GaussianFit.SigmaToFwhm) < 0.5)
+    val cat = res.catalog.collect()
+    assert(cat.length >= planted.length)
+    // brightest planted star measured with a sane magnitude
+    val rows = res.catalog.select("xcentroid", "ycentroid", "flux", "mag")
+      .as[(Double, Double, Double, Double)].collect()
+    planted.foreach { case (sx, sy, _) =>
+      assert(rows.exists(r => math.abs(r._1 - sx) < 1.5 && math.abs(r._2 - sy) < 1.5),
+        s"planted star ($sx,$sy) missing from catalog")
+    }
+    assert(rows.forall(r => r._4 == -2.5 * math.log10(r._3)))
+  }
+
+  test("epoch aborts with no-FWHM status on a starless field") {
+    val rnd = new scala.util.Random(9)
+    val flat = (for (y <- 0 until 48; x <- 0 until 48)
+      yield (1L, y.toLong, x.toLong, 100.0 + rnd.nextGaussian()))
+      .toDF("img_id", "y", "x", "v")
+    val res = EpochPipeline.run(spark, flat, 48, 48)
+    assert(res.status === "aborted_no_fwhm")
+    assert(res.catalog.count() === 0)
+  }
+
+  test("WCS solver failure leaves null sky coordinates (psf_phot.py:95-98)") {
+    val px = field(0, (0, 0))
+    val failing: WcsEnrichment.Solver = _ => None
+    val res = EpochPipeline.run(spark, px, 64, 64, minStars = 2,
+      wcsSolver = Some(failing))
+    assert(res.status === "ok")
+    assert(res.catalog.filter(col("ra").isNotNull).count() === 0)
+  }
+}
