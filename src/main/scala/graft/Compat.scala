@@ -33,6 +33,13 @@ object Compat {
     * SQL mirror: `CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** Round to 6 decimals — for transcendental-function outputs. */
+  /** Round to 6 decimals — for transcendental-function outputs.
+    *
+    * Magnitude caveat: ROUND(x, 6) is only cross-engine stable when
+    * |x|·1e6 stays well below 2^40 or so. DuckDB rounds via x·1e6 whose
+    * ulp reaches ~5e-4 at x≈2.4e6, so ~1/2048 of such values quantize to
+    * an exact half-integer and round differently from Spark's
+    * decimal-string rounding. Round a small-magnitude offset (e.g.
+    * jd − 2460000) instead of the raw value. */
   def r6(c: Column): Column = round(c, 6)
 }

@@ -215,5 +215,35 @@ object Extras {
       SELECT k, ROUND(0.5 * (yc_cos * yc_cos / cc + yc_sin * yc_sin / ss), 4) AS power
       FROM p"""))
 
-  val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** PIVOT: long→wide restructuring with explicit value columns. */
+  private val q38 = NamedQuery(
+    "q38_pivot",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+    },
+    Some("""PIVOT (SELECT o_orderpriority, o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s
+        FROM orders GROUP BY 1, 2)
+      ON o_orderstatus IN ('F', 'O', 'P') USING SUM(s)
+      GROUP BY o_orderpriority"""))
+
+  /** UNPIVOT/melt: wide→long restructuring. */
+  private val q39 = NamedQuery(
+    "q39_unpivot",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast(DoubleType).as("p_size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")),
+          "metric", "val")
+    },
+    Some("""SELECT p_partkey, metric, val FROM (
+        SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d FROM part)
+      UNPIVOT (val FOR metric IN (p_retailprice, p_size_d))"""))
+
+  val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
