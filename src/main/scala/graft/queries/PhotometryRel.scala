@@ -229,5 +229,30 @@ object PhotometryRel {
         SELECT 1 FROM a q WHERE q.id <> p.id
           AND SQRT((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)) < 4.0)"""))
 
-  val all: Seq[NamedQuery] = Seq(q22, q23, q24, q25, q26, q27, q28, q29)
+  /** zscale/sqrt-stretch display normalization (p_io.py:68): per-group
+    * percentile contrast bounds + clipped sqrt stretch — exact percentile
+    * interpolation and IEEE arithmetic are bit-identical cross-engine, so
+    * even this "display-only" op verifies. */
+  private val q84 = NamedQuery(
+    "q84_zscale_stretch",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      val lo = expr("percentile(l_extendedprice, 0.02)").over(w)
+      val hi = expr("percentile(l_extendedprice, 0.98)").over(w)
+      val unit = (col("l_extendedprice") - col("lo")) / (col("hi") - col("lo"))
+      Tables.lineitem(s, d)
+        .withColumn("lo", lo).withColumn("hi", hi)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("lo"), col("hi"),
+          sqrt(least(greatest(unit, lit(0.0)), lit(1.0))).as("stretched"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, lo, hi,
+        SQRT(LEAST(GREATEST((l_extendedprice - lo) / (hi - lo), 0.0), 1.0)) AS stretched
+      FROM (
+        SELECT *, quantile_cont(l_extendedprice, 0.02) OVER w AS lo,
+          quantile_cont(l_extendedprice, 0.98) OVER w AS hi
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag)) t"""))
+
+  val all: Seq[NamedQuery] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q84)
 }

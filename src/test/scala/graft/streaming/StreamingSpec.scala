@@ -102,6 +102,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 1L)) // session with event 3 closed by timeout
   }
 
+  test("streaming dropDuplicates with watermark dedupes re-delivered events") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    stream.addData(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(11), 1, "click", 2.0))
+    q.processAllAvailable()
+    // exactly-once upstream retry: same event ids re-delivered
+    stream.addData(Event(1, ts(10), 1, "click", 1.0), Event(3, ts(12), 1, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_stream").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("stateful running user stats fold incrementally across batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[Event]
