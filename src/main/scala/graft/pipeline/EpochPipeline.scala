@@ -145,6 +145,33 @@ object EpochPipeline {
     Result("ok", fwhm, catalog)
   }
 
+  /** The outer per-epoch loop (psf_phot.py:44): epochs are independent, so
+    * they run as concurrent Spark jobs from the driver — on a cluster each
+    * epoch's stages schedule in parallel across executors. Returns the
+    * union of per-epoch catalogs tagged with epoch_id, plus statuses. */
+  def runEpochs(spark: SparkSession, pixels: DataFrame, epochCol: String,
+      height: Int, width: Int, nSigma: Double = 10.0,
+      minStars: Int = 3): (Map[Long, String], DataFrame) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val epochs = pixels.select(col(epochCol)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val jobs = epochs.map { ep =>
+      ep -> Future {
+        run(spark,
+          pixels.filter(col(epochCol) === ep).drop(epochCol),
+          height, width, nSigma, minStars = minStars)
+      }
+    }
+    val results = jobs.map { case (ep, f) => ep -> Await.result(f, Duration.Inf) }
+    val statuses = results.map { case (ep, r) => ep -> r.status }.toMap
+    val catalogs = results.map { case (ep, r) =>
+      r.catalog.withColumn("epoch_id", lit(ep))
+    }
+    (statuses, catalogs.reduce(_.unionByName(_)))
+  }
+
   private def emptyCatalog(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

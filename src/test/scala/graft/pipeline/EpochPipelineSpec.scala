@@ -41,6 +41,22 @@ class EpochPipelineSpec extends SparkSpec {
     assert(rows.forall(r => r._4 == -2.5 * math.log10(r._3)))
   }
 
+  test("multi-epoch loop: concurrent epochs, statuses per branch, tagged union") {
+    val rnd = new scala.util.Random(9)
+    val flat = (for (y <- 0 until 64; x <- 0 until 64)
+      yield (7L, y.toLong, x.toLong, 100.0 + rnd.nextGaussian()))
+      .toDF("img_id", "y", "x", "v")
+    val px = field(0, (0, 0)).withColumn("epoch_id", lit(1L))
+      .union(field(1, (1, 0)).withColumn("epoch_id", lit(2L)))
+      .union(flat.withColumn("epoch_id", lit(3L))) // starless epoch
+    val (statuses, catalog) = EpochPipeline.runEpochs(spark, px, "epoch_id", 64, 64,
+      minStars = 2)
+    assert(statuses(1L) === "ok" && statuses(2L) === "ok")
+    assert(statuses(3L) === "aborted_no_fwhm")
+    assert(catalog.filter(col("epoch_id") === 1L).count() >= planted.length)
+    assert(catalog.filter(col("epoch_id") === 3L).count() === 0)
+  }
+
   test("epoch aborts with no-FWHM status on a starless field") {
     val rnd = new scala.util.Random(9)
     val flat = (for (y <- 0 until 48; x <- 0 until 48)
