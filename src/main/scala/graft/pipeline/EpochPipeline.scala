@@ -112,16 +112,23 @@ object EpochPipeline {
     if (masked.count() < minStars || fwhm > maxStarsFwhm)
       return Result("diagnostics_only", fwhm, emptyCatalog(spark))
 
-    // 5. annulus background per star
-    val annulus = Photometry.annulusBackground(combined, masked,
-      2 * fwhm, 3 * fwhm)
-
-    // 6+7. EPSF build + iterative PSF photometry
+    // 5+6. EPSF build + iterative PSF photometry. star_id restarts per
+    // photometry iteration, so give every measured star a unique key
+    // before anything joins on it.
     val results = Photometry.epsfPhotometry(spark, sub, fwhm, 2, nSigma)
+      .withColumn("uid", row_number().over(
+        Window.partitionBy(col("img_id"))
+          .orderBy(col("iter_detected"), col("star_id"))))
+
+    // 7. annulus background at the MEASURED positions (not the earlier
+    // detection pass — its star_ids are a different numbering)
+    val photStars = results.select(col("img_id"), col("uid").as("star_id"),
+      col("x_fit").as("xcentroid"), col("y_fit").as("ycentroid"))
+    val annulus = Photometry.annulusBackground(combined, photStars,
+      2 * fwhm, 3 * fwhm)
 
     // 8. WCS enrichment (or null sky coordinates when no solver)
     val withStarIds = results
-      .withColumn("star_id", col("star_id"))
       .withColumnRenamed("x_fit", "xcentroid")
       .withColumnRenamed("y_fit", "ycentroid")
       .withColumnRenamed("flux_fit", "flux")
@@ -135,7 +142,7 @@ object EpochPipeline {
     // 9. catalog: positive-flux magnitudes, flux-desc order (write_csv)
     val catalog = enriched
       .join(annulus.select(col("star_id").as("ann_star"), col("annulus_bkg")),
-        col("star_id") === col("ann_star"), "left_outer")
+        col("uid") === col("ann_star"), "left_outer")
       .filter(col("flux") > 0)
       .withColumn("mag", lit(-2.5) * log10(col("flux")))
       .select(col("img_id"), col("star_id"), col("group_id"),
@@ -157,6 +164,9 @@ object EpochPipeline {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val epochs = pixels.select(col(epochCol)).distinct()
       .collect().map(_.getLong(0)).sorted
+    if (epochs.isEmpty)
+      return (Map.empty[Long, String],
+        emptyCatalog(spark).withColumn("epoch_id", lit(null).cast("long")))
     val jobs = epochs.map { ep =>
       ep -> Future {
         run(spark,

@@ -45,15 +45,21 @@ object Photometry {
   def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame = {
     val stats = broadcast(backgroundStats(pixels))
     val offs = array((-1 to 1).map(lit): _*)
+    // plateau tie-break: the neighborhood "winner" orders by (value desc,
+    // y asc, x asc), so exactly one pixel of an equal-valued plateau
+    // (e.g. clipped saturation) survives as the peak
     val contrib = pixels
       .withColumn("dy", explode(offs)).withColumn("dx", explode(offs))
       .select(col("img_id"), (col("y") + col("dy")).as("y"),
-        (col("x") + col("dx")).as("x"), col("v").as("nv"))
+        (col("x") + col("dx")).as("x"),
+        struct(col("v").as("bv"), (-col("y")).as("bny"), (-col("x")).as("bnx"))
+          .as("cand"))
     val nbrMax = contrib.groupBy(col("img_id"), col("y"), col("x"))
-      .agg(max(col("nv")).as("nbr_max"))
+      .agg(max(col("cand")).as("winner"))
     val peaks = pixels.join(nbrMax, Seq("img_id", "y", "x"))
       .join(stats, Seq("img_id"))
-      .filter(col("v") >= col("nbr_max") &&
+      .filter(col("v") === col("winner.bv") &&
+        (-col("y")) === col("winner.bny") && (-col("x")) === col("winner.bnx") &&
         col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
         col("v").as("peak"), col("bkg_median"))
@@ -83,7 +89,17 @@ object Photometry {
   def alignAndCombine(pixels: DataFrame, height: Int, width: Int,
       nSigma: Double = 10.0, matchRadius: Double = 20.0): DataFrame = {
     val stars = detectStars(pixels, nSigma, 3).cache()
-    val refImg = stars.agg(min(col("img_id"))).head().getLong(0)
+    // no stars anywhere (cloudy epoch): no shift estimation possible —
+    // fall through to an unshifted clipped-median combine, don't crash
+    val refImgOpt = Option(stars.agg(min(col("img_id"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+    if (refImgOpt.isEmpty) {
+      val scs0 = sigmaClippedStats(2.0, 5)
+      return pixels.groupBy(col("y"), col("x"))
+        .agg(scs0(col("v")).as("s"))
+        .select(col("y"), col("x"), col("s.median").as("v"), col("s.n").as("n_stack"))
+    }
+    val refImg = refImgOpt.get
     val ref = stars.filter(col("img_id") === refImg)
       .select(col("star_id").as("ref_id"), col("xcentroid").as("rx"),
         col("ycentroid").as("ry"))
@@ -198,6 +214,9 @@ object Photometry {
       val c = epsf.agg(
         (sum(col("u") * col("epsf")) / sum(col("epsf"))).as("cu"),
         (sum(col("w") * col("epsf")) / sum(col("epsf"))).as("cw")).head()
+      // empty stack (no stars / no cutout pixels) or all-zero model:
+      // nothing to recenter — stop with whatever grid we have
+      if (c.isNullAt(0) || c.isNullAt(1)) return epsf
       val (cu, cw) = (c.getDouble(0), c.getDouble(1))
       if (math.abs(cu) < tol * oversample && math.abs(cw) < tol * oversample) {
         converged = true
@@ -235,9 +254,12 @@ object Photometry {
     def eval(dx: Double, dy: Double): Double = {
       val gu = dx * oversample + c
       val gw = dy * oversample + c
-      val u0 = math.floor(gu).toInt; val w0 = math.floor(gw).toInt
-      if (u0 < 0 || w0 < 0 || u0 + 1 >= size || w0 + 1 >= size) 0.0
+      if (gu < 0 || gw < 0 || gu > size - 1 || gw > size - 1) 0.0
       else {
+        // clamp the base cell so samples exactly on the far edge read the
+        // stored boundary value instead of being zeroed
+        val u0 = math.min(math.floor(gu).toInt, size - 2)
+        val w0 = math.min(math.floor(gw).toInt, size - 2)
         val fu = gu - u0; val fw = gw - w0
         grid(w0)(u0) * (1 - fu) * (1 - fw) + grid(w0)(u0 + 1) * fu * (1 - fw) +
           grid(w0 + 1)(u0) * (1 - fu) * fw + grid(w0 + 1)(u0 + 1) * fu * fw
@@ -295,7 +317,11 @@ object Photometry {
     val stars = detectStars(pixels, nSigma, boxR)
     val epsf = buildEpsfIterative(pixels, stars, boxR, oversample)
     val psf = collectGridPsf(epsf, boxR, oversample)
-    iterativePhotometryWithPsf(spark, pixels, psf, boxR, nIters, nSigma)
+    // degenerate EPSF (starless field / empty stack): fall back to the
+    // analytic Gaussian rather than fitting against a zero model
+    val usable: PsfModel =
+      if (psf.volume > 0) psf else GaussianPsf(fwhm / GaussianFit.SigmaToFwhm)
+    iterativePhotometryWithPsf(spark, pixels, usable, boxR, nIters, nSigma)
   }
 
   /** The detect → group → fit → subtract loop over an arbitrary PSF model. */

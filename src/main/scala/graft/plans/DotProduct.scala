@@ -1,58 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftexpr.DotProductExpr
 
-/** Native Catalyst dot product over two array<double> columns, with
-  * whole-stage codegen emitting a tight primitive loop.
-  *
-  * The builtin composition `aggregate(zip_with(a, b, *), 0d, +)` allocates
-  * an intermediate array and evaluates interpreted lambda expressions per
-  * element — measured ~3× slower on the n² near-dup pair scan. This is the
-  * SURVEY.md §4 "custom Expression as perf upgrade" path: identical
-  * semantics (sequential left-to-right summation, so oracle parity is
-  * unchanged), hot loop in generated Java.
-  */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
-        }
-        ${ev.value} = $s;
-      """
-    })
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
-}
-
+/** Column-API entry point for the codegen dot product
+  * (org.apache.spark.sql.graftexpr.DotProductExpr — see its scaladoc). */
 object DotProduct {
   def apply(a: Column, b: Column): Column =
-    GraftExpressionBridge.column(DotProduct(
+    GraftExpressionBridge.column(DotProductExpr(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }

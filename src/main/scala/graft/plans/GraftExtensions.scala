@@ -18,8 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graftexpr.DotProductExpr].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+        org.apache.spark.sql.graftexpr.DotProductExpr(children(0), children(1))))
   }
 }

@@ -73,7 +73,12 @@ object EventStreams {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.last.getTime < gapMs =>
-                  open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+                  // out-of-order arrivals within the watermark may precede
+                  // the open session: extend bounds monotonically so a late
+                  // event can never rewind the session end or split it
+                  val start = if (e.ts.before(s.start)) e.ts else s.start
+                  val last = if (e.ts.after(s.last)) e.ts else s.last
+                  open = Some(OpenSession(start, last, s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start,
                     new Timestamp(s.last.getTime + gapMs), s.n, s.sum)

@@ -44,6 +44,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(peak > 400.0)
   }
 
+  test("multi-image starless epoch: combine degrades to unshifted median, pipeline aborts cleanly") {
+    val px = flatField(1L, 48).union(flatField(2L, 48)).union(flatField(3L, 48))
+    val combined = Photometry.alignAndCombine(px, 48, 48)
+    assert(combined.count() === 48L * 48)
+    val res = EpochPipeline.run(spark, px, 48, 48)
+    assert(res.status === "aborted_no_fwhm")
+  }
+
+  test("EPSF photometry on a starless field returns empty, not NPE") {
+    val px = Photometry.subtractBackground(flatField(1L, 48))
+    assert(Photometry.epsfPhotometry(spark, px, 4.2, 2, 10.0).count() === 0)
+  }
+
+  test("plateau peaks (equal adjacent maxima) detect as a single star") {
+    val rows = for (y <- 0 until 32; x <- 0 until 32) yield {
+      // flat-topped star: a 2×2 saturated plateau at exactly 5000
+      val plateau = (x == 15 || x == 16) && (y == 15 || y == 16)
+      val d2 = (x - 15.5) * (x - 15.5) + (y - 15.5) * (y - 15.5)
+      val v = if (plateau) 5000.0 else 100.0 + 4000.0 * math.exp(-d2 / (2 * 2.0 * 2.0))
+      (1L, y.toLong, x.toLong, v)
+    }
+    val px = Photometry.subtractBackground(rows.toDF("img_id", "y", "x", "v"))
+    assert(Photometry.detectStars(px, 10.0, 3).count() === 1)
+  }
+
   test("empty star table: grouping and annulus return empty, not error") {
     val empty = Seq.empty[(Long, Int, Double, Double, Double, Double)]
       .toDF("img_id", "star_id", "xcentroid", "ycentroid", "peak", "flux")

@@ -18,7 +18,7 @@ class DotProductSpec extends SparkSpec {
 
   test("registered for SQL via the extensions' injection shape") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => org.apache.spark.sql.graftexpr.DotProductExpr(exprs(0), exprs(1)), "built-in")
     val v = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].head()
@@ -27,5 +27,15 @@ class DotProductSpec extends SparkSpec {
 
   test("extensions entry point applies cleanly") {
     new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("SQL call on array<float> gets implicit elementwise cast, not a garbage read") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => org.apache.spark.sql.graftexpr.DotProductExpr(exprs(0), exprs(1)), "built-in")
+    val v = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(v === 9.0)
   }
 }
