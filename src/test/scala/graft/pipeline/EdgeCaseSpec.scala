@@ -69,6 +69,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Photometry.detectStars(px, 10.0, 3).count() === 1)
   }
 
+  test("scale smoke: 3×256² frames align, combine and detect correctly") {
+    def bigField(imgId: Long, shift: (Int, Int)) = {
+      val rnd = new scala.util.Random(imgId)
+      val stars = (0 until 12).map(i => ((i * 67 % 230 + 12).toDouble,
+        (i * 131 % 230 + 12).toDouble, 1500.0 + i * 100))
+      (for (y <- 0 until 256; x <- 0 until 256) yield {
+        var v = 100.0 + rnd.nextGaussian()
+        stars.foreach { case (sx, sy, amp) =>
+          val dx = x - (sx + shift._1); val dy = y - (sy + shift._2)
+          val d2 = dx * dx + dy * dy
+          if (d2 < 64) v += amp * math.exp(-d2 / (2 * 1.8 * 1.8))
+        }
+        (imgId, y.toLong, x.toLong, v)
+      }).toDF("img_id", "y", "x", "v")
+    }
+    val px = bigField(0, (0, 0)).union(bigField(1, (2, -1))).union(bigField(2, (-2, 2)))
+    val combined = Photometry.alignAndCombine(px, 256, 256)
+    assert(combined.count() === 256L * 256)
+    val detected = Photometry.detectStars(
+      Photometry.subtractBackground(
+        combined.select(lit(1L).as("img_id"), col("y"), col("x"), col("v"))),
+      10.0, 4)
+    assert(detected.count() === 12)
+  }
+
   test("empty star table: grouping and annulus return empty, not error") {
     val empty = Seq.empty[(Long, Int, Double, Double, Double, Double)]
       .toDF("img_id", "star_id", "xcentroid", "ycentroid", "peak", "flux")
