@@ -245,5 +245,84 @@ object Extras {
         SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d FROM part)
       UNPIVOT (val FOR metric IN (p_retailprice, p_size_d))"""))
 
-  val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+  /** Second string battery: regex extraction/splitting, translate,
+    * repeat, null-handling scalars. */
+  private val q40b = NamedQuery(
+    "q40b_string_funcs2",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      p.select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([a-z]+)", 1).as("first_word"),
+        substring_index(col("p_type"), " ", 1).as("head_word"),
+        substring_index(col("p_type"), " ", -1).as("tail_word"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        repeat(lit("*"), col("p_size") % 5 + 1).as("stars"),
+        coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("other")).as("brand_or_other"),
+        greatest(col("p_size"), lit(25)).cast(LongType).as("size_floor25"),
+        least(col("p_size"), lit(25)).cast(LongType).as("size_cap25"))
+    },
+    Some("""SELECT p_partkey,
+      regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+      split_part(p_type, ' ', 1) AS head_word,
+      split_part(p_type, ' ', -1) AS tail_word,
+      translate(p_brand, '#', '-') AS brand_dash,
+      repeat('*', p_size % 5 + 1) AS stars,
+      COALESCE(NULLIF(p_brand, 'Brand#1'), 'other') AS brand_or_other,
+      CAST(GREATEST(p_size, 25) AS BIGINT) AS size_floor25,
+      CAST(LEAST(p_size, 25) AS BIGINT) AS size_cap25
+      FROM part"""))
+
+  /** Array-function battery on the embedding column (§2.8 array ops). */
+  private val q41b = NamedQuery(
+    "q41b_array_funcs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast(DoubleType)))
+      e.select(col("vec_id"),
+        size(col("v")).cast(LongType).as("dim"),
+        r6(array_max(col("v"))).as("vmax"),
+        r6(array_min(col("v"))).as("vmin"),
+        r6(element_at(col("v"), 1)).as("v_first"),
+        r6(element_at(col("v"), -1)).as("v_last"),
+        r6(element_at(array_sort(col("v")), 32)).as("v_med_lo"),
+        size(filter(col("v"), x => x > 0)).cast(LongType).as("n_positive"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      SELECT vec_id,
+        CAST(len(v) AS BIGINT) AS dim,
+        ROUND(list_max(v), 6) AS vmax,
+        ROUND(list_min(v), 6) AS vmin,
+        ROUND(v[1], 6) AS v_first,
+        ROUND(v[-1], 6) AS v_last,
+        ROUND(list_sort(v)[32], 6) AS v_med_lo,
+        CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
+      FROM e"""))
+
+  /** Conditional and boolean aggregates: count_if, filtered sums, any/every. */
+  private val q42b = NamedQuery(
+    "q42b_conditional_aggs",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", dec2(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(12, 2))))
+            .cast(DoubleType).as("open_value"),
+          bool_or(col("o_totalprice") > 400000.0).as("has_jumbo"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), negate(col("o_orderkey"))))
+            .as("priciest_order"))
+    },
+    Some("""SELECT o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS open_value,
+      bool_or(o_totalprice > 400000.0) AS has_jumbo,
+      bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      (SELECT t.o_orderkey FROM orders t WHERE t.o_orderpriority = o.o_orderpriority
+        ORDER BY t.o_totalprice DESC, t.o_orderkey LIMIT 1) AS priciest_order
+      FROM orders o GROUP BY o_orderpriority"""))
+
+  val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q39, q40b, q41b, q42b)
 }
