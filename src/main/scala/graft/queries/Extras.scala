@@ -98,7 +98,7 @@ object Extras {
       CAST(CEIL(l_quantity / 3.0) AS BIGINT) // 2 * 2 + 1 AS fitshape_odd,
       CAST(TRUNC(l_quantity / 2.0) AS BIGINT) AS truncated,
       ROUND(l_quantity / 3.0, 0) AS half_up,
-      SIGN(l_quantity - 25) AS sign
+      CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sign
       FROM lineitem"""))
 
   /** WCS-style linear pixel→sky transform (core.py:525-526): affine CD

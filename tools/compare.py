@@ -46,6 +46,16 @@ def compare(name, spark_df, duck_df):
     if len(a) != len(b):
         return f"FAIL {name}: rows {len(a)} vs {len(b)}"
     bad = []
+    # The driver hashes stringified values, so an int-vs-float type skew
+    # (e.g. DuckDB SIGN -> TINYINT vs Spark signum -> DOUBLE) fails there
+    # even when lenient == passes here. Flag dtype-kind mismatches.
+    for c in a.columns:
+        ka = "f" if pd.api.types.is_float_dtype(a[c]) else \
+             "i" if pd.api.types.is_integer_dtype(a[c]) else "o"
+        kb = "f" if pd.api.types.is_float_dtype(b[c]) else \
+             "i" if pd.api.types.is_integer_dtype(b[c]) else "o"
+        if ka != kb:
+            bad.append(f"col {c}: dtype kind spark={a[c].dtype} duck={b[c].dtype}")
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
