@@ -125,27 +125,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: each token's xxhash64 votes ±1 on every
-    * bit position; the sign of the per-bit vote sum sets the bit. Pure
-    * two-stage hash aggregation (doc,bit) → doc. */
+    * bit position; the sign of the per-bit vote sum sets the bit. One
+    * hash aggregation: 64 conditional sums (one per bit) fold map-side, so
+    * nothing ever materializes occurrence×64 rows — the shuffle carries one
+    * 65-column partial row per (partition, doc). Bit b's vote sum is
+    * s = 2·Σ cnt·bit_b − Σ cnt, so the bit is set iff 2·w_b > tot. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    // identical tokens cast identical votes: count per (doc, token), and
-    // expand bit votes once per DISTINCT token, then join — the bit table
-    // is |vocab|×64 and shuffles by token, never by occurrence.
+    // identical tokens cast identical votes: count per (doc, token) first
     val docTok = df
       .select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    val tokVotes = docTok.select(col("tok")).distinct()
       .withColumn("h", xxhash64(col("tok")))
-      .withColumn("b", explode(sequence(lit(0), lit(63))))
-      .select(col("tok"), col("b"),
-        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)).as("sgn"))
-    docTok.join(tokVotes, Seq("tok"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("cnt") * col("sgn")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(lit(0L)))
-        .as("simhash"))
+    val bitSums = (0 until 64).map(b =>
+      sum(col("cnt") * expr(s"(h >> $b) & 1")).as(s"w$b"))
+    docTok.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("tot"), bitSums: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+            when(lit(2) * col(s"w$b") > col("tot"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for

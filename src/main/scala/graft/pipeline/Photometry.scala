@@ -37,29 +37,31 @@ object Photometry {
 
   /** Star detection (DAOStarFinder semantics simplified, core.py:116-146):
     * local maxima above `bkg + nSigma·std` (core.py:143's 10σ default),
-    * then flux-weighted centroid over a (2R+1)² box. The neighborhood
-    * maximum comes from a 9-cell contribution join — one shuffle by pixel
-    * key; the centroid box join explodes only the (few) peaks, not the
-    * pixel table. Emits one star row per image peak: the Generator shape
+    * then flux-weighted centroid over a (2R+1)² box. The 3×3 neighborhood
+    * maximum is computed separably — a range-frame max over x within each
+    * row, then over y within each column — so the pixel table shuffles
+    * twice at 1× volume instead of once at 9× (explode) plus a join back.
+    * The centroid box join explodes only the (few) peaks, not the pixel
+    * table. Emits one star row per image peak: the Generator shape
     * (§2.11). */
   def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame = {
     val stats = broadcast(backgroundStats(pixels))
-    val offs = array((-1 to 1).map(lit): _*)
     // plateau tie-break: the neighborhood "winner" orders by (value desc,
     // y asc, x asc), so exactly one pixel of an equal-valued plateau
-    // (e.g. clipped saturation) survives as the peak
-    val contrib = pixels
-      .withColumn("dy", explode(offs)).withColumn("dx", explode(offs))
-      .select(col("img_id"), (col("y") + col("dy")).as("y"),
-        (col("x") + col("dx")).as("x"),
-        struct(col("v").as("bv"), (-col("y")).as("bny"), (-col("x")).as("bnx"))
-          .as("cand"))
-    val nbrMax = contrib.groupBy(col("img_id"), col("y"), col("x"))
-      .agg(max(col("cand")).as("winner"))
-    val peaks = pixels.join(nbrMax, Seq("img_id", "y", "x"))
+    // (e.g. clipped saturation) survives as the peak; max of the struct
+    // over the separable frames equals the 3×3 block max of the struct
+    val wx = Window.partitionBy(col("img_id"), col("y"))
+      .orderBy(col("x")).rangeBetween(-1, 1)
+    val wy = Window.partitionBy(col("img_id"), col("x"))
+      .orderBy(col("y")).rangeBetween(-1, 1)
+    val cand = struct(col("v").as("bv"), (-col("y")).as("bny"),
+      (-col("x")).as("bnx"))
+    val peaks = pixels
+      .withColumn("self", cand)
+      .withColumn("m1", max(col("self")).over(wx))
+      .withColumn("m2", max(col("m1")).over(wy))
       .join(stats, Seq("img_id"))
-      .filter(col("v") === col("winner.bv") &&
-        (-col("y")) === col("winner.bny") && (-col("x")) === col("winner.bnx") &&
+      .filter(col("self") === col("m2") &&
         col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
         col("v").as("peak"), col("bkg_median"))

