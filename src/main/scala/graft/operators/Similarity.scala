@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,60 @@ object Similarity {
     c.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `nBits` planes
+    * of `dims` weights in [-0.5, 0.5), seeded — a tiny model object
+    * embedded as literals (broadcast by the plan). */
+  private def hyperplanes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dims)(rnd.nextDouble() - 0.5))
+  }
+
+  /** Sign-random-projection LSH ANN: signature bit i = sign(v·h_i); the
+    * signature splits into `nBands` band keys and a candidate is any corpus
+    * vector sharing ≥1 band with the probe. Candidates are exact-verified
+    * by cosine and ranked top-k — precision never degrades, only recall.
+    *
+    * The 100 TB shape: corpus signatures are computed in one scan (nBits
+    * codegen'd dot products against literal planes — no shuffle), the
+    * corpus is bucketed by band key, and each probe touches only its
+    * nBands buckets instead of the full corpus. */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int, dims: Int, nBits: Int = 16, nBands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0, "nBits must split evenly into bands")
+    val planes = hyperplanes(nBits, dims, seed)
+    val bitsPerBand = nBits / nBands
+    def bandKeys(v: Column): Column = {
+      val bits = planes.map(h => when(dot(v, lit(h)) > 0, 1L).otherwise(0L))
+      val bands = (0 until nBands).map { b =>
+        val key = (0 until bitsPerBand)
+          .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
+          .reduce(_ + _)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      array(bands: _*)
+    }
+    val c = corpus.select(col(id).as("vec_id"),
+        normalized(toDouble(col(vec))).as("e"))
+      .withColumn("bk", explode(bandKeys(col("e"))))
+    val p = probes.select(col(probeId).as("q_id"),
+        normalized(toDouble(col(probeVec))).as("qe"))
+      .withColumn("bk", explode(bandKeys(col("qe"))))
+    val cands = c.join(broadcast(p), Seq("bk"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    cands
+      .withColumn("cos_raw", dot(col("qe"), col("e")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),

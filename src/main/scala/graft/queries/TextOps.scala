@@ -187,5 +187,35 @@ object TextOps {
       substring(text, 1, 16) AS head
       FROM documents"""))
 
-  val all: Seq[NamedQuery] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+  /** TF-IDF scoring: term frequency per (doc, term) × ln(N/df). The idf
+    * log is transcendental → rounded (Compat.r6); tf·idf magnitudes stay
+    * well under the rounding stability bound. Scale shape: two hash
+    * aggregations (doc,term) → term plus a broadcast of the (small) corpus
+    * size — the same two-shuffle plan at any corpus scale. */
+  private val q75 = NamedQuery(
+    "q75_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("token")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          r6(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+            .as("tfidf"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, UNNEST($toksSql) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n"""))
+
+  val all: Seq[NamedQuery] =
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75)
 }

@@ -72,5 +72,15 @@ object VectorOps {
         ROUND(AVG(e[1]), 6) AS mean_e0
       FROM v GROUP BY label"""))
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73)
+  /** Sign-LSH banded ANN (the brief's "LSH-bucketed variant"): approximate
+    * by construction → rows-only check; recall vs the exact baseline is a
+    * ScalaTest (SimilaritySpec). */
+  private val q74 = NamedQuery(
+    "q74_ann_lsh_topk",
+    (s, d) => Similarity.lshTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      probes(s, d), "vec_id", "embedding", 5, dims = 64),
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74)
 }

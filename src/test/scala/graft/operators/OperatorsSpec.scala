@@ -186,4 +186,25 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf2.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("sign-LSH ANN: exact-verified candidates, decent recall, top-k shape") {
+    val probes = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 3, dims = 16, nBits = 16, nBands = 8)
+    val rows = lsh.as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall(r => r._1 != r._2))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    val recall = rows.map(r => (r._1, r._2)).toSet.intersect(brute).size.toDouble /
+      brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // determinism: same seed, same result
+    val again = Similarity.lshTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 3, dims = 16, nBits = 16, nBands = 8)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._4)).toSeq ===
+      rows.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }
