@@ -97,20 +97,26 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = shingleSet(df, id, text, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val seeds = array((0 until numHashes).map(lit): _*)
-    val sig = sh
-      .withColumn("k", explode(seeds))
-      .withColumn("h", xxhash64(col("k"), col("shingle")))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("h")).as("mh"))
-    // Band signature: order-independent XOR fold of the band's minhashes
-    // (no overflow under ANSI mode). Collisions would only add false
-    // candidates, which exact verification removes.
+    // k min-hashes as k aggregate columns in ONE groupBy(doc) — the
+    // shuffle carries one partial row per (partition, doc) instead of the
+    // k× row blowup an explode would cost. h_i(s) = xxhash64(i, s).
+    val minCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"mh$k"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // Band signature: order-independent XOR fold of the band's (re-hashed)
+    // minhashes — same values as the previous bit_xor aggregate, computed
+    // row-local. Collisions would only add false candidates, which exact
+    // verification removes.
+    val bandStructs = (0 until bands).map { b =>
+      val members = (0 until numHashes).filter(_ % bands == b)
+      val sigExpr = members.map(k => xxhash64(lit(k), col(s"mh$k")))
+        .reduce(_.bitwiseXOR(_))
+      struct(lit(b).as("band"), sigExpr.as("band_sig"))
+    }
     val bandSigs = sig
-      .withColumn("band", col("k") % lit(bands))
-      .withColumn("kh", xxhash64(col("k"), col("mh")))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("bit_xor(kh)").as("band_sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_sig").as("band_sig"))
     val candidates = bandSigs.as("a").join(bandSigs.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))

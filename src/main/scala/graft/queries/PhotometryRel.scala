@@ -35,10 +35,14 @@ object PhotometryRel {
           col("l_quantity").as("flux_err"))
         .withColumn("rnd", row_number().over(wDesc))
         .withColumn("cnt", count(lit(1)).over(wCnt))
-      val trimmed = base
+      // post-trim rank == rnd − 5 when the two-sided trim applied (rows
+      // 6..cnt−5 survive in the same order), rnd otherwise — saves the
+      // second window shuffle+sort the naive re-rank would cost
+      base
         .filter(col("cnt") <= 10 || (col("rnd") > 5 && col("rnd") <= col("cnt") - 5))
-      trimmed
-        .withColumn("rank", row_number().over(wDesc).cast(LongType))
+        .withColumn("rank",
+          when(col("cnt") <= 10, col("rnd")).otherwise(col("rnd") - 5)
+            .cast(LongType))
         .filter(col("rank") <= 30)
         .select(col("grp"), col("l_orderkey"), col("l_linenumber"), col("flux"),
           r6(lit(-2.5) * log10(col("flux"))).as("mag"),
@@ -52,7 +56,7 @@ object PhotometryRel {
                COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
         FROM lineitem WHERE l_extendedprice > 0),
       trimmed AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY flux DESC, l_orderkey, l_linenumber) AS rank
+        SELECT *, CASE WHEN cnt <= 10 THEN rnd ELSE rnd - 5 END AS rank
         FROM base WHERE cnt <= 10 OR (rnd > 5 AND rnd <= cnt - 5))
       SELECT grp, l_orderkey, l_linenumber, flux,
         ROUND(-2.5 * LOG10(flux), 6) AS mag,
