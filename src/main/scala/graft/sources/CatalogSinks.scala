@@ -54,4 +54,12 @@ object CatalogSinks {
   def readBinary(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("length"), col("content"))
+
+  /** Columnar ORC sink/source — the second columnar format the connector
+    * surface ships (alongside parquet); same partition-pruning story. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

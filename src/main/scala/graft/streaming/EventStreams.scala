@@ -32,6 +32,14 @@ object EventStreams {
       .select(col("window.start").as("wstart"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Stream-static enrichment: join the event stream against a (small)
+    * static dimension — the site/filter metadata lookup of the reference's
+    * per-epoch headers (p_io.py:54, psf_phot.py:94). The static side is
+    * broadcast, so the stream never shuffles and the join adds no state. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Session windows (10 min gap) per user — exposure-burst grouping. */
   def userSessions(events: DataFrame, gap: String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame =

@@ -55,6 +55,17 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq === Seq(2L, 4L))
   }
 
+  test("ORC round-trip preserves schema and values") {
+    val path = tmp("orc")
+    CatalogSinks.writeOrc(catalog, path)
+    val back = CatalogSinks.readOrc(spark, path)
+    // ORC reads back nullable=true; names and types must survive exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      catalog.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").as[(Int, Double, Double)].collect().toSeq ===
+      catalog.orderBy("id").as[(Int, Double, Double)].collect().toSeq)
+  }
+
   test("JSON round-trip preserves nested struct schema") {
     val path = tmp("json")
     val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "s", "v")

@@ -176,6 +176,24 @@ class StreamStreamJoinSpec extends SparkSpec {
     // purchase 10 (t=25) matches clicks at 10 and 20 (within 15 min, same user)
     assert(out === Set((10L, 1L), (10L, 2L)))
   }
+
+  test("stream-static broadcast enrichment joins without shuffling the stream") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "site-A"), (2L, "site-B")).toDF("user_id", "site")
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.EventStreams
+      .enrichWithDim(stream.toDF(), dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich").start()
+    stream.addData(Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 3, "click", 1.0)) // user 3 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_id, site FROM enrich")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("site-A"))
+    assert(out(2L) === None) // left-outer keeps unmatched stream rows
+  }
 }
 
 /** foreachBatch incremental-epoch variant (SURVEY.md §2.9): each micro-batch
