@@ -101,6 +101,39 @@ object Extras {
       CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sign
       FROM lineitem"""))
 
+  /** Full gnomonic (TAN) deprojection behind the WCS solve
+    * (core.py:525-526: `WCS(wcs_header)` implies CD matrix + TAN): the
+    * affine CD step of q34 produces intermediate world coords (ξ, η); this
+    * inverts the tangent-plane projection to (ra, dec). All trig → r6
+    * rounding; radian conversion parenthesized `x * (pi/180)` to keep both
+    * engines' grouping identical (Compat rules). */
+  private val q85 = NamedQuery(
+    "q85_tan_projection",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val xi = ((col("p_partkey") * 37 % 1000) - 500) / 1.0e6 // radians
+      val eta = ((col("p_partkey") * 91 % 1000) - 500) / 1.0e6
+      val dec0 = lit(-32.5) * (lit(math.Pi) / 180.0)
+      val ra0 = lit(150.125)
+      val denom = cos(dec0) - eta * sin(dec0)
+      val ra = ra0 + atan2(xi, denom) * (lit(180.0) / math.Pi)
+      val dec = atan(
+        (sin(dec0) + eta * cos(dec0)) / sqrt(xi * xi + denom * denom)) *
+        (lit(180.0) / math.Pi)
+      p.select(col("p_partkey"), r6(ra).as("ra"), r6(dec).as("dec"))
+    },
+    Some("""SELECT p_partkey,
+      ROUND(150.125 + atan2(((p_partkey*37%1000) - 500) / 1.0e6,
+        cos(-32.5 * (pi() / 180.0)) - ((p_partkey*91%1000) - 500) / 1.0e6 * sin(-32.5 * (pi() / 180.0)))
+        * (180.0 / pi()), 6) AS ra,
+      ROUND(atan(
+        (sin(-32.5 * (pi() / 180.0)) + ((p_partkey*91%1000) - 500) / 1.0e6 * cos(-32.5 * (pi() / 180.0)))
+        / sqrt((((p_partkey*37%1000) - 500) / 1.0e6) * (((p_partkey*37%1000) - 500) / 1.0e6)
+          + (cos(-32.5 * (pi() / 180.0)) - ((p_partkey*91%1000) - 500) / 1.0e6 * sin(-32.5 * (pi() / 180.0)))
+            * (cos(-32.5 * (pi() / 180.0)) - ((p_partkey*91%1000) - 500) / 1.0e6 * sin(-32.5 * (pi() / 180.0)))))
+        * (180.0 / pi()), 6) AS dec
+      FROM part"""))
+
   /** WCS-style linear pixel→sky transform (core.py:525-526): affine CD
     * matrix on broadcast solution coefficients — a pure expression tree. */
   private val q34 = NamedQuery(
@@ -324,5 +357,5 @@ object Extras {
       FROM orders o GROUP BY o_orderpriority"""))
 
   val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40b, q41b, q42b)
+    q38, q39, q40b, q41b, q42b, q85)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan guards over the fixture queries (SURVEY.md §4): the
+  * 100 TB story rests on Catalyst doing the right thing — filters reaching
+  * the parquet scan, projections pruning the read schema, small dims
+  * broadcast, top-k planned as TakeOrderedAndProject, aggregates running
+  * partial+final. These assert the shapes so a regression (e.g. a UDF
+  * blocking pushdown) fails loudly instead of silently costing a scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("selective scan pushes predicates and prunes columns (q02)") {
+    val plan = finalPlan(q("q02_revenue_filter"))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"empty pushdown:\n$plan")
+    // the revenue query touches 4 lineitem columns; the scan must not read
+    // the full 11-column schema
+    assert(!plan.contains("l_orderkey"), s"read schema not pruned:\n$plan")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort (q10)") {
+    val plan = finalPlan(q("q10_topk_orders"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("small dimension join broadcasts (q04)") {
+    val plan = finalPlan(q("q04_join_revenue_nation"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("hash aggregation runs partial+final (q01)") {
+    val plan = finalPlan(q("q01_pricing_summary"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("pure rank top-k gets WindowGroupLimit pushdown") {
+    // q11 itself computes percent_rank/ntile (full-partition functions), so
+    // group-limit pruning is rightly blocked there; the pure ranking shape
+    // must prune each group to k rows before the sort
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    val topk = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val plan = finalPlan(topk)
+    assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")
+  }
+}
