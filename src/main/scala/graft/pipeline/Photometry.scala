@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.SigmaClippedStats.sigmaClippedStats
 import graft.operators.SpatialJoins
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -441,10 +441,12 @@ object Photometry {
         "iter_detected")
   }
 
-  /** Subtract the fitted PSF models from the residual image. The model
-    * evaluation is a UDF over the broadcast PsfModel closure — model
-    * pixels number stars × box², never the full image. */
-  private def subtractModel(residual: DataFrame, fitted: DataFrame,
+  /** Subtract the fitted PSF models from the residual image (public: also
+    * the `photometry.get_residual_image()` surface feeding get_residuals,
+    * core.py:478). The model evaluation is a UDF over the broadcast
+    * PsfModel closure — model pixels number stars × box², never the full
+    * image. */
+  def subtractModel(residual: DataFrame, fitted: DataFrame,
       psf: PsfModel, boxR: Int): DataFrame = {
     val vol = psf.volume
     val evalUdf = udf((dx: Double, dy: Double, flux: Double) =>
@@ -463,6 +465,40 @@ object Photometry {
     residual.join(model, Seq("img_id", "y", "x"), "left_outer")
       .select(col("img_id"), col("y"), col("x"),
         (col("v") - coalesce(col("model_v"), lit(0.0))).as("v"))
+  }
+
+  /** get_residuals (core.py:454-484): per measured star, the (2R+1)² cutout
+    * from BOTH the original image and the photometry residual, flux-desc
+    * ordered — the diagnostic the reference renders into its PDF report.
+    * Cutouts are gathered by an exact-key box join (stars × box² rows, the
+    * pixel table never fans out) and packed row-major; off-image cells and
+    * in-image gaps are absent from the packed array, so `n_px` carries the
+    * true cutout cardinality. */
+  def residualCutouts(image: DataFrame, residual: DataFrame, stars: DataFrame,
+      radius: Int): DataFrame = {
+    val boxOffs = array((-radius to radius).map(lit): _*)
+    val box = stars
+      .select(col("img_id"), col("star_id"), col("x_fit"), col("y_fit"),
+        col("flux_fit"))
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("star_id"), col("x_fit"), col("y_fit"),
+        col("flux_fit"), col("dy"), col("dx"),
+        (round(col("y_fit")).cast(LongType) + col("dy")).as("y"),
+        (round(col("x_fit")).cast(LongType) + col("dx")).as("x"))
+    def packed(v: String): Column =
+      transform(
+        array_sort(collect_list(struct(col("dy"), col("dx"), col(v)))),
+        s => s.getField(v))
+    box
+      .join(image.withColumnRenamed("v", "v_img"), Seq("img_id", "y", "x"))
+      .join(residual.withColumnRenamed("v", "v_res"), Seq("img_id", "y", "x"))
+      .groupBy(col("img_id"), col("star_id"))
+      .agg(first(col("x_fit")).as("x"), first(col("y_fit")).as("y"),
+        first(col("flux_fit")).as("flux"),
+        count(lit(1)).cast(LongType).as("n_px"),
+        packed("v_img").as("image_cutout"),
+        packed("v_res").as("residual_cutout"))
+      .orderBy(col("flux").desc, col("star_id"))
   }
 }
 

@@ -139,6 +139,30 @@ class PhotometrySpec extends SparkSpec {
     }
   }
 
+  test("residual cutouts: image center bright, residual center near zero") {
+    val sig = 1.8
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+      .localCheckpoint()
+    val fwhm = sig * GaussianFit.SigmaToFwhm
+    val psf = Photometry.GaussianPsf(sig)
+    val boxR = math.max(math.ceil(2 * fwhm).toInt, 2)
+    val fitted = Photometry.iterativePhotometry(spark, px, fwhm, 1, 10.0)
+    val residual = Photometry.subtractModel(px, fitted, psf, boxR)
+    val cuts = Photometry.residualCutouts(px, residual, fitted, 2)
+      .select("flux", "n_px", "image_cutout", "residual_cutout")
+      .as[(Double, Long, Seq[Double], Seq[Double])].collect()
+    assert(cuts.length >= planted.length)
+    // flux-desc order (core.py:477's sort)
+    assert(cuts.map(_._1).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    cuts.take(planted.length).foreach { case (flux, nPx, img, res) =>
+      assert(nPx === 25 && img.length === 25 && res.length === 25)
+      val center = img(12) // row-major (dy,dx) sorted => center at index 12
+      assert(center > 0.5 * img.max, "image cutout should peak near center")
+      assert(math.abs(res(12)) < 0.2 * center,
+        s"residual center ${res(12)} not subtracted vs image $center")
+    }
+  }
+
   test("EPSF-based photometry (build_psf → do_photometry loop) recovers fluxes") {
     val sig = 1.8
     val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
