@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-trips synthetic FITS files built card-by-card from the public
+  * standard: primary HDU with no data + image extension in HDU 1, exactly
+  * the layout import_images consumes (core.py:45-46). */
+class FitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def card(k: String, v: String): Array[Byte] =
+    (k.padTo(8, ' ') + "= " + v).padTo(80, ' ').getBytes("US-ASCII")
+  private def commentCard(text: String): Array[Byte] =
+    text.padTo(80, ' ').getBytes("US-ASCII")
+
+  private def block(cards: Array[Byte]*): Array[Byte] = {
+    val joined = cards.flatten.toArray
+    joined ++ Array.fill[Byte]((2880 - joined.length % 2880) % 2880)(' '.toByte)
+  }
+
+  private def padData(data: Array[Byte]): Array[Byte] =
+    data ++ Array.fill[Byte]((2880 - data.length % 2880) % 2880)(0)
+
+  /** 3 rows × 4 cols float32 image, values v(y,x) = 10*y + x + 0.5. */
+  private def floatImageFits: Array[Byte] = {
+    val primary = block(
+      card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
+      commentCard("END"))
+    val data = ByteBuffer.allocate(12 * 4).order(ByteOrder.BIG_ENDIAN)
+    for (y <- 0 until 3; x <- 0 until 4) data.putFloat(10f * y + x + 0.5f)
+    val ext = block(
+      card("XTENSION", "'IMAGE   '"), card("BITPIX", "-32"),
+      card("NAXIS", "2"), card("NAXIS1", "4"), card("NAXIS2", "3"),
+      card("AIRMASS", "1.25 / air mass at start"),
+      card("EXPTIME", "30.0"),
+      card("DATE-OBS", "'2020-01-01T12:00:00.000'"),
+      card("SITEID", "'lsc     ' / site"),
+      card("FILTER", "'V       '"),
+      commentCard("END"))
+    primary ++ ext ++ padData(data.array())
+  }
+
+  /** Same grid as int16 with BSCALE=0.5, BZERO=100. */
+  private def scaledIntFits: Array[Byte] = {
+    val primary = block(
+      card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
+      commentCard("END"))
+    val data = ByteBuffer.allocate(6 * 2).order(ByteOrder.BIG_ENDIAN)
+    for (i <- 0 until 6) data.putShort((i * 2).toShort)
+    val ext = block(
+      card("XTENSION", "'IMAGE   '"), card("BITPIX", "16"),
+      card("NAXIS", "2"), card("NAXIS1", "3"), card("NAXIS2", "2"),
+      card("BSCALE", "0.5"), card("BZERO", "100.0"),
+      commentCard("END"))
+    primary ++ ext ++ padData(data.array())
+  }
+
+  test("float32 image extension decodes to long-form pixels with header") {
+    val dir = Files.createTempDirectory("graft-fits")
+    Files.write(dir.resolve("epoch1.fits"), floatImageFits)
+    val df = Fits.readFits(spark, dir.toString + "/*.fits", hduIndex = 1)
+    assert(df.count() === 12)
+    val v = df.filter($"y" === 2 && $"x" === 3).select("v").as[Double].head()
+    assert(math.abs(v - 23.5) < 1e-6)
+    val promoted = Fits.promoteHeader(df).select("airmass", "exptime",
+      "date_obs", "site_id", "filter").distinct().collect()
+    assert(promoted.length === 1)
+    val r = promoted.head
+    assert(r.getDouble(0) === 1.25 && r.getDouble(1) === 30.0)
+    assert(r.getString(2) === "2020-01-01T12:00:00.000")
+    assert(r.getString(3) === "lsc" && r.getString(4) === "V")
+  }
+
+  test("int16 data applies BSCALE/BZERO scaling") {
+    val dir = Files.createTempDirectory("graft-fits16")
+    Files.write(dir.resolve("cal.fits"), scaledIntFits)
+    val df = Fits.readFits(spark, dir.toString + "/*.fits", hduIndex = 1)
+    // raw = 0,2,4,... → physical = 100 + 0.5*raw
+    val vals = df.orderBy("y", "x").select("v").as[Double].collect().toSeq
+    assert(vals === (0 until 6).map(i => 100.0 + 0.5 * (i * 2)))
+  }
+
+  test("decoded pixels feed detection directly (ingest-to-operator splice)") {
+    // render a tiny star field into a FITS float image, then run the
+    // pipeline's detector on the decoded long form
+    val primary = block(
+      card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
+      commentCard("END"))
+    val w = 32; val h = 32
+    val data = ByteBuffer.allocate(w * h * 4).order(ByteOrder.BIG_ENDIAN)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dx = x - 16.0; val dy = y - 16.0
+      data.putFloat((100.0 + 2000.0 * math.exp(-(dx * dx + dy * dy) / (2 * 1.8 * 1.8))).toFloat)
+    }
+    val ext = block(
+      card("XTENSION", "'IMAGE   '"), card("BITPIX", "-32"),
+      card("NAXIS", "2"), card("NAXIS1", w.toString), card("NAXIS2", h.toString),
+      commentCard("END"))
+    val dir = Files.createTempDirectory("graft-fits-field")
+    Files.write(dir.resolve("field.fits"), primary ++ ext ++ padData(data.array()))
+    val px = Fits.readFits(spark, dir.toString + "/*.fits")
+      .select(lit(1L).as("img_id"), $"y", $"x", $"v")
+    val stars = graft.pipeline.Photometry.detectStars(
+      graft.pipeline.Photometry.subtractBackground(px), 10.0, 3)
+      .select("xcentroid", "ycentroid").as[(Double, Double)].collect()
+    assert(stars.length === 1)
+    assert(math.abs(stars.head._1 - 16.0) < 0.5 && math.abs(stars.head._2 - 16.0) < 0.5)
+  }
+}
