@@ -143,4 +143,74 @@ object Fits {
       element_at(col("header"), "DATE-OBS").as("date_obs"),
       element_at(col("header"), "SITEID").as("site_id"),
       element_at(col("header"), "FILTER").as("filter"))
+
+  private def fitsCard(k: String, v: String): Array[Byte] = {
+    val key = k.take(8).padTo(8, ' ')
+    (key + "= " + v).padTo(Card, ' ').take(Card).getBytes("US-ASCII")
+  }
+
+  /** write_fits (p_io.py:19-62): merge the WCS header over the first image
+    * header (HISTORY/COMMENT filtered, p_io.py:40-42), set AIRMASS to the
+    * across-images mean and BJD from the mean mid-exposure JD
+    * (p_io.py:43-56, via the engine's Barycenter model), then serialize
+    * the composite image as a primary-HDU FITS file (BITPIX=-64).
+    *
+    * The composite is one frame (a model-object-sized result of the
+    * median combine), so the byte assembly is a driver-side readback —
+    * the same boundary the reference crosses when astropy materializes
+    * `data`. Returns (avgAirmass, bjd, mergedHeader) like the reference. */
+  def writeFits(pixels: DataFrame, width: Int, height: Int,
+      imHeaders: Seq[Map[String, String]], wcsHeader: Map[String, String],
+      raDeg: Double, decDeg: Double, path: String): (Double, Double, Map[String, String]) = {
+    require(imHeaders.nonEmpty, "write_fits needs at least one image header")
+    val merged0 = imHeaders.head ++
+      wcsHeader.view.filterKeys(k => k != "HISTORY" && k != "COMMENT").toMap
+    val airmass = imHeaders.map(_("AIRMASS").toDouble)
+    val avgAirmass = airmass.sum / airmass.length
+    // mean mid-exposure JD: jd(DATE-OBS) + (EXPTIME/2)/3600/24 (p_io.py:48-53)
+    val jdMid = imHeaders.map { h =>
+      val isot = java.time.LocalDateTime.parse(h("DATE-OBS"))
+      val epochSec = isot.toEpochSecond(java.time.ZoneOffset.UTC).toDouble +
+        isot.getNano / 1e9
+      val jd = epochSec / 86400.0 + 2440587.5
+      jd + (h("EXPTIME").toDouble / 2.0) / 3600.0 / 24.0
+    }
+    val meanJd = jdMid.sum / jdMid.length
+    val bjd = graft.functions.Barycenter.bjd(meanJd, raDeg, decDeg)
+    val merged = merged0 +
+      ("AIRMASS" -> avgAirmass.toString) + ("BJD" -> bjd.toString)
+
+    val v = new Array[Double](width * height)
+    pixels.select(col("y"), col("x"), col("v")).collect().foreach { r =>
+      val y = r.getLong(0).toInt; val x = r.getLong(1).toInt
+      if (y >= 0 && y < height && x >= 0 && x < width)
+        v(y * width + x) = r.getDouble(2)
+    }
+    val cards = Seq.newBuilder[Array[Byte]]
+    cards += fitsCard("SIMPLE", "T")
+    cards += fitsCard("BITPIX", "-64")
+    cards += fitsCard("NAXIS", "2")
+    cards += fitsCard("NAXIS1", width.toString)
+    cards += fitsCard("NAXIS2", height.toString)
+    merged.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) =>
+        Set("SIMPLE", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "XTENSION")(k) }
+      .foreach { case (k, value) =>
+        val quoted = if (value.matches("[-+0-9.eE]+|T|F")) value
+          else s"'${value.take(67)}'"
+        cards += fitsCard(k, quoted)
+      }
+    cards += "END".padTo(Card, ' ').getBytes("US-ASCII")
+    val headerBytes = cards.result().flatten.toArray
+    val headerPadded = headerBytes ++
+      Array.fill[Byte]((Block - headerBytes.length % Block) % Block)(' '.toByte)
+    val dataBuf = ByteBuffer.allocate(v.length * 8).order(ByteOrder.BIG_ENDIAN)
+    v.foreach(dataBuf.putDouble)
+    val data = dataBuf.array()
+    val dataPadded = data ++
+      Array.fill[Byte]((Block - data.length % Block) % Block)(0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      headerPadded ++ dataPadded)
+    (avgAirmass, bjd, merged)
+  }
 }

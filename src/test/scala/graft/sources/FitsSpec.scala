@@ -84,6 +84,33 @@ class FitsSpec extends SparkSpec {
     assert(vals === (0 until 6).map(i => 100.0 + 0.5 * (i * 2)))
   }
 
+  test("write_fits: WCS-merged header, mean airmass, BJD, primary-HDU round-trip") {
+    val dir = Files.createTempDirectory("graft-fits-w")
+    val px = (for (y <- 0L until 2L; x <- 0L until 3L)
+      yield (y, x, (y * 3 + x).toDouble)).toDF("y", "x", "v")
+    val h1 = Map("AIRMASS" -> "1.2", "EXPTIME" -> "30.0",
+      "DATE-OBS" -> "2020-01-01T12:00:00.000", "SITEID" -> "lsc",
+      "CRVAL1" -> "0.0")
+    val h2 = Map("AIRMASS" -> "1.4", "EXPTIME" -> "30.0",
+      "DATE-OBS" -> "2020-01-01T12:10:00.000", "SITEID" -> "lsc")
+    val wcs = Map("CRVAL1" -> "150.125", "HISTORY" -> "solved", "COMMENT" -> "x")
+    val out = dir.resolve("composite.fits").toString
+    val (airmass, bjd, merged) = Fits.writeFits(px, 3, 2, Seq(h1, h2), wcs,
+      raDeg = 150.125, decDeg = -32.5, path = out)
+    assert(math.abs(airmass - 1.3) < 1e-12)
+    assert(merged("CRVAL1") === "150.125") // WCS overwrites (p_io.py:40-42)
+    assert(!merged.contains("HISTORY") && !merged.contains("COMMENT"))
+    // mid-exposure mean: 12:05:15 UTC on 2020-01-01 → JD, then BJD offset
+    val expectedJd = (1577880315.0 / 86400.0) + 2440587.5
+    assert(math.abs(bjd - expectedJd) < 0.01, s"bjd $bjd vs ~$expectedJd")
+    // round-trip through the reader: primary HDU carries the data
+    val back = Fits.readFits(spark, out, hduIndex = 0)
+    assert(back.count() === 6)
+    assert(back.filter($"y" === 1 && $"x" === 2).select("v").as[Double].head() === 5.0)
+    val hdr = back.select("header").head().getMap[String, String](0)
+    assert(math.abs(hdr("AIRMASS").toDouble - 1.3) < 1e-12)
+  }
+
   test("decoded pixels feed detection directly (ingest-to-operator splice)") {
     // render a tiny star field into a FITS float image, then run the
     // pipeline's detector on the decoded long form
