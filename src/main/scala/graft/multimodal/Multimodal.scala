@@ -66,6 +66,58 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Double])
+
+  /** STUB pixel decode: cycles payload bytes into a width×height luminance
+    * grid in [0,1] — stands in for a real image decode. */
+  private def decodeGridStub(payload: Array[Byte], w: Int, h: Int): Array[Double] = {
+    val n = w * h
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (payload(i % math.max(payload.length, 1)) & 0xff) / 255.0
+      i += 1
+    }
+    out
+  }
+
+  /** Resize: area-average (box) resampling of the stub-decoded grid to
+    * targetW × targetH. The resampling arithmetic is the real operator —
+    * swap decodeGridStub for a codec and nothing else changes. Runs per
+    * partition batch like extractFeatures. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val src = decodeGridStub(m.payload, m.width, m.height)
+        val out = new Array[Double](targetW * targetH)
+        var ty = 0
+        while (ty < targetH) {
+          val y0 = ty * m.height / targetH
+          val y1 = math.max((ty + 1) * m.height / targetH, y0 + 1)
+          var tx = 0
+          while (tx < targetW) {
+            val x0 = tx * m.width / targetW
+            val x1 = math.max((tx + 1) * m.width / targetW, x0 + 1)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += src(y * m.width + x); n += 1; x += 1 }
+              y += 1
+            }
+            out(ty * targetW + tx) = s / n
+            tx += 1
+          }
+          ty += 1
+        }
+        ResizedMedia(m.doc_id, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte block
     * fingerprinted — the frame-sample operator's plumbing with the decode
     * stubbed to a rolling hash. */

@@ -271,4 +271,20 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.frameSample(m, 2).as[(Long, Int, Long)].collect()
     assert(frames.sortBy(f => (f._1, f._2)).toSeq === again.sortBy(f => (f._1, f._2)).toSeq)
   }
+
+  test("resize: area-average resampling preserves the global mean") {
+    val resized = Multimodal.resize(Multimodal.fromDocuments(docs), 4, 4)
+      .collect()
+    assert(resized.length === 3)
+    resized.foreach { r =>
+      assert(r.pixels.length === 16)
+      assert(r.pixels.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    // downscale of a constant-payload grid is exactly that constant
+    val const = Seq((9L, "AAAA", 4L))
+      .toDF("doc_id", "text", "n_chars")
+    val cr = Multimodal.resize(Multimodal.fromDocuments(const), 2, 2)
+      .head()
+    assert(cr.pixels.forall(p => math.abs(p - 0x41 / 255.0) < 1e-12))
+  }
 }
