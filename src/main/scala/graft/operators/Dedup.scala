@@ -66,12 +66,30 @@ object Dedup {
     * 100 TB — their posting lists emit k²/2 pairs; aggressive pipelines
     * drop shingles above a document-frequency cap first. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramJaccardPairs(df, id, text, n, threshold, dfCap = 0)
+
+  /** As above with the 100 TB skew mitigation: shingles whose document
+    * frequency exceeds `dfCap` (stop-phrases — the k²/2 posting-list
+    * explosion) are dropped from pair GENERATION only. Membership counts
+    * still use the full shingle sets, so reported Jaccard values are
+    * exact; pairs whose every common shingle is hot are missed (recall
+    * trade), never mis-scored. dfCap ≤ 0 disables the cap. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, dfCap: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSet(df, id, text, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairShingles = sh.as[(Long, String)]
+    val genSide =
+      if (dfCap <= 0) sh
+      else {
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select(col("shingle"))
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle")) // join key reorders columns
+      }
+    val genPairs = genSide.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
         val ds = it.map(_._1).toArray
@@ -82,6 +100,13 @@ object Dedup {
         } yield (ds(i), ds(j))
       }
       .toDF("id_a", "id_b")
+    val pairShingles =
+      if (dfCap <= 0) genPairs // exact path: common = per-pair emission count
+      else genPairs.distinct() // capped path: recount from the FULL sets
+        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .select(col("id_a"), col("id_b"))
     jaccardFromPairs(pairShingles, counts, threshold)
   }
 

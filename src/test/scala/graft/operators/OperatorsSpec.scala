@@ -140,6 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("df-capped pair generation keeps exact Jaccard for surviving pairs") {
+    // every doc shares the hot phrase; only 1-2 are true near-dups
+    val hotDocs = Seq(
+      (1L, "common stop phrase here plus alpha beta gamma delta epsilon zeta"),
+      (2L, "common stop phrase here plus alpha beta gamma delta epsilon eta"),
+      (3L, "common stop phrase here plus totally different tail words now one"),
+      (4L, "common stop phrase here plus yet another unrelated ending clause x")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // cap df at 3: the 4-doc hot shingles stop generating pairs, but the
+    // (1,2) pair still surfaces through its non-hot common shingles, with
+    // the SAME exact Jaccard value
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.3, dfCap = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.contains((1L, 2L)))
+    assert(capped((1L, 2L)) === exact((1L, 2L)))
+    assert(capped.keySet.subsetOf(exact.keySet))
+  }
+
   test("simhash: identical docs at hamming 0; pairs symmetric-free (a<b)") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
