@@ -56,30 +56,55 @@ object Photometry {
       .orderBy(col("y")).rangeBetween(-1, 1)
     val cand = struct(col("v").as("bv"), (-col("y")).as("bny"),
       (-col("x")).as("bnx"))
+    // the same separable passes also give the 3×3 block sum/count, from
+    // which DAOFIND-style sharpness falls out: (peak − mean of the 8
+    // neighbors) / peak (photutils sharpness, simplified to the image
+    // domain — the reference consumes it only as a shape diagnostic)
     val peaks = pixels
       .withColumn("self", cand)
       .withColumn("m1", max(col("self")).over(wx))
+      .withColumn("s1", sum(col("v")).over(wx))
+      .withColumn("c1", count(lit(1)).over(wx))
       .withColumn("m2", max(col("m1")).over(wy))
+      .withColumn("s2", sum(col("s1")).over(wy))
+      .withColumn("c2", sum(col("c1")).over(wy))
       .join(stats, Seq("img_id"))
       .filter(col("self") === col("m2") &&
         col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
-        col("v").as("peak"), col("bkg_median"))
+        col("v").as("peak"), col("bkg_median"),
+        when(col("c2") > 1 && col("v") =!= 0.0,
+          (col("v") - (col("s2") - col("v")) / (col("c2") - 1)) / col("v"))
+          .otherwise(lit(null)).as("sharpness"))
     val boxOffs = array((-boxRadius to boxRadius).map(lit): _*)
     val box = peaks
       .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
       .select(col("img_id"), col("py"), col("px"), col("peak"), col("bkg_median"),
+        col("sharpness"),
         (col("py") + col("dy")).as("y"), (col("px") + col("dx")).as("x"))
+    // roundness from the flux-weighted second moments about the centroid
+    // (marginal-width asymmetry, DAOFIND roundness2 analog): computed from
+    // raw moments so it folds in the same aggregation as the centroid
+    val sw = sum(col("w")); val swx = sum(col("w") * col("x"))
+    val swy = sum(col("w") * col("y"))
+    val sxx = sum(col("w") * col("x") * col("x")) / sw - (swx / sw) * (swx / sw)
+    val syy = sum(col("w") * col("y") * col("y")) / sw - (swy / sw) * (swy / sw)
     box.join(pixels, Seq("img_id", "y", "x"))
       .withColumn("w", greatest(col("v") - col("bkg_median"), lit(0.0)))
       .groupBy(col("img_id"), col("py"), col("px"))
       .agg(first(col("peak")).as("peak"), sum(col("w")).as("flux"),
-        (sum(col("w") * col("x")) / sum(col("w"))).as("xcentroid"),
-        (sum(col("w") * col("y")) / sum(col("w"))).as("ycentroid"))
+        (swx / sw).as("xcentroid"), (swy / sw).as("ycentroid"),
+        first(col("sharpness")).as("sharpness"),
+        when(sxx + syy =!= 0.0, (sxx - syy) / (sxx + syy))
+          .otherwise(lit(null)).as("roundness"),
+        count(lit(1)).cast(LongType).as("npix"),
+        first(col("bkg_median")).as("sky"))
       .withColumn("star_id", row_number().over(
         Window.partitionBy(col("img_id")).orderBy(col("py"), col("px"))))
+      .withColumn("mag", lit(-2.5) * log10(col("flux")))
       .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
-        col("peak"), col("flux"))
+        col("sharpness"), col("roundness"), col("npix"), col("sky"),
+        col("peak"), col("flux"), col("mag"))
   }
 
   /** image_combiner (core.py:245-279): detect stars per image, estimate each

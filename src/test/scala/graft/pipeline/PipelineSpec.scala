@@ -87,6 +87,23 @@ class PhotometrySpec extends SparkSpec {
     }
   }
 
+  test("detection emits DAOFIND-style shape stats (find_stars catalog columns)") {
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
+    val rows = Photometry.detectStars(px, 10.0, 4)
+      .select("sharpness", "roundness", "npix", "sky", "flux", "mag")
+      .as[(Double, Double, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sharp, round, npix, sky, flux, mag) =>
+      // a Gaussian peak stands above its 8 neighbors but not infinitely
+      assert(sharp > 0.0 && sharp < 1.0, s"sharpness $sharp")
+      // planted stars are circular: marginal widths nearly equal
+      assert(math.abs(round) < 0.2, s"roundness $round")
+      assert(npix === 81L) // full (2*4+1)^2 box away from borders
+      assert(math.abs(sky) < 2.0) // background already subtracted
+      assert(math.abs(mag - (-2.5 * math.log10(flux))) < 1e-9)
+    }
+  }
+
   test("align + sigma-clipped median combine removes a hot pixel and aligns shifts") {
     val base = starField(0L, 64, 100.0, planted)
     val shifted = starField(1L, 64, 100.0, planted, shift = (2, -1))
