@@ -44,7 +44,17 @@ object Photometry {
     * The centroid box join explodes only the (few) peaks, not the pixel
     * table. Emits one star row per image peak: the Generator shape
     * (§2.11). */
-  def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame = {
+  def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame =
+    detectStars(pixels, nSigma, boxRadius, Double.MaxValue, 0, 0L, 0L)
+
+  /** As above with the reference's remaining DAOStarFinder knobs:
+    * `peakMax` rejects saturated peaks (find_stars `peak=100000`,
+    * core.py:130-131), and `excludeBorder > 0` with the image extent drops
+    * peaks within that many pixels of the edge (`exclude_border=True`,
+    * core.py:144) — both are predicates on the peak rows, pushed before
+    * the centroid box join. */
+  def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int,
+      peakMax: Double, excludeBorder: Int, width: Long, height: Long): DataFrame = {
     val stats = broadcast(backgroundStats(pixels))
     // plateau tie-break: the neighborhood "winner" orders by (value desc,
     // y asc, x asc), so exactly one pixel of an equal-valued plateau
@@ -70,7 +80,12 @@ object Photometry {
       .withColumn("c2", sum(col("c1")).over(wy))
       .join(stats, Seq("img_id"))
       .filter(col("self") === col("m2") &&
-        col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
+        col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std") &&
+        col("v") < lit(peakMax) &&
+        (if (excludeBorder > 0)
+          col("x") >= excludeBorder && col("x") < lit(width - excludeBorder) &&
+          col("y") >= excludeBorder && col("y") < lit(height - excludeBorder)
+         else lit(true)))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
         col("v").as("peak"), col("bkg_median"),
         when(col("c2") > 1 && col("v") =!= 0.0,

@@ -87,6 +87,23 @@ class PhotometrySpec extends SparkSpec {
     }
   }
 
+  test("peakMax rejects saturated peaks; excludeBorder drops edge detections") {
+    // planted interior stars plus a bright source hugging the edge
+    val edge = planted :+ (1.0, 30.0, 3000.0, 1.8)
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, edge))
+    val all = Photometry.detectStars(px, 10.0, 4)
+    assert(all.count() === edge.length)
+    val unsat = Photometry.detectStars(px, 10.0, 4,
+      peakMax = 1500.0, excludeBorder = 0, width = 64, height = 64)
+      .select("peak").as[Double].collect()
+    assert(unsat.nonEmpty && unsat.forall(_ < 1500.0))
+    val interior = Photometry.detectStars(px, 10.0, 4,
+      peakMax = Double.MaxValue, excludeBorder = 4, width = 64, height = 64)
+      .select("xcentroid").as[Double].collect()
+    assert(interior.length === planted.length) // edge star gone
+    assert(interior.forall(_ > 3.0))
+  }
+
   test("detection emits DAOFIND-style shape stats (find_stars catalog columns)") {
     val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
     val rows = Photometry.detectStars(px, 10.0, 4)
