@@ -111,6 +111,35 @@ class FitsSpec extends SparkSpec {
     assert(math.abs(hdr("AIRMASS").toDouble - 1.3) < 1e-12)
   }
 
+  test("DataSource V2 connector: glob scan, pruning, parity with flatMap reader") {
+    val dir = Files.createTempDirectory("graft-fits-dsv2")
+    Files.write(dir.resolve("a.fits"), floatImageFits)
+    Files.write(dir.resolve("b.fits"), scaledIntFits)
+    val df = spark.read.format("graft.sources.FitsTableProvider")
+      .option("hdu", "1").load(dir.toString + "/*.fits")
+    // cardinality: 12 px (3x4 float) + 6 px (2x3 int16) over 2 partitions
+    assert(df.count() === 18)
+    assert(df.rdd.getNumPartitions === 2)
+    // values match the flatMap-based reader exactly
+    val v1 = df.filter(col("img_id").contains("a.fits"))
+      .select("y", "x", "v").as[(Long, Long, Double)].collect().toSet
+    val v2 = Fits.readFits(spark, dir.toString + "/a.fits")
+      .select("y", "x", "v").as[(Long, Long, Double)].collect().toSet
+    assert(v1 === v2)
+    // header map rides along; BSCALE applied in file b
+    val hdr = df.filter(col("img_id").contains("b.fits"))
+      .select(element_at(col("header"), "BZERO")).distinct().as[String].head()
+    assert(hdr === "100.0")
+    assert(df.filter(col("img_id").contains("b.fits"))
+      .agg(min("v")).as[Double].head() === 100.0)
+    // column pruning reaches the scan (ReadSchema shrinks)
+    val pruned = df.select("img_id")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("img_id") && !plan.contains("header"),
+      s"prune not pushed:\n$plan")
+  }
+
   test("decoded pixels feed detection directly (ingest-to-operator splice)") {
     // render a tiny star field into a FITS float image, then run the
     // pipeline's detector on the decoded long form
