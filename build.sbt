@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 70+-query session compiles hundreds of generated classes; the JDK
+  // default 240m code cache fills late in the run and flips the JIT into
+  // interpreted/flush-churn mode, inflating late queries 3-5x
+  "-XX:ReservedCodeCacheSize=512m",
 )
