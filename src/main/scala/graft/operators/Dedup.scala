@@ -200,6 +200,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Cluster resolution over the near-dup pair graph — the dedup endgame:
+    * connected components with the component's MIN doc id as the cluster
+    * id (canonical survivor), isolated docs forming their own cluster.
+    * Iterative min-label propagation with a driver-side fixpoint loop —
+    * each round is one join + one min-aggregate, and near-dup clusters
+    * have tiny diameter, so rounds stay in the single digits. At web
+    * scale the same loop runs with large-star/small-star contraction;
+    * localCheckpoint cuts the growing lineage every round. */
+  def nearDupClusters(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(df, id, text, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = df.select(col(id).as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(
+          labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, id_a < id_b).
     * All-pairs with a broadcast side here; at corpus scale the same verify
     * runs behind LSH/IVF candidate generation (see Similarity). */

@@ -216,6 +216,25 @@ object TextOps {
         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
       FROM tf JOIN df USING (token) CROSS JOIN n"""))
 
+  /** Near-dup cluster resolution (connected components over the J ≥ 0.6
+    * pair graph, min-id canonical): Spark side is iterative min-label
+    * propagation; the oracle walks the same graph with a recursive CTE.
+    * Both converge to the component minimum, so the outputs agree
+    * exactly. */
+  private val q76 = NamedQuery(
+    "q76_dedup_clusters",
+    (s, d) => Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
+      3, 0.6),
+    Some(s"""WITH RECURSIVE p AS (${jaccardSql(0.6)}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM walk GROUP BY node"""))
+
   val all: Seq[NamedQuery] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76)
 }

@@ -140,6 +140,13 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("near-dup clusters: components get min-id labels, isolated docs stand alone") {
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(clusters(4L) === 4L && clusters(5L) === 5L)
+  }
+
   test("df-capped pair generation keeps exact Jaccard for surviving pairs") {
     // every doc shares the hot phrase; only 1-2 are true near-dups
     val hotDocs = Seq(
