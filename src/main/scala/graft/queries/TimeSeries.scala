@@ -300,5 +300,32 @@ object TimeSeries {
         ROUND(jd - 2460000.0 + (tx * ex + ty * ey + tz * ez) * 499.004784 / 86400.0, 6) AS bjd_minus_ref
       FROM e, t"""))
 
-  val all: Seq[NamedQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+  /** Forward as-of with tolerance: for each purchase, the NEXT click by
+    * the same user within 30 minutes (asof_ columns null when the nearest
+    * forward match is beyond tolerance). The oracle's QUALIFY mirrors the
+    * operator's deterministic tie-break (equal timestamps → smallest id). */
+  private val q77 = NamedQuery(
+    "q77_asof_forward_tolerance",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("ts", "event_id"), "forward", Some(1.8e9)) // 30 min µs
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, p.value,
+        CASE WHEN c.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(p.ts) <= 1800000000
+             THEN c.ts END AS asof_ts,
+        CASE WHEN c.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(p.ts) <= 1800000000
+             THEN c.event_id END AS asof_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        ORDER BY c.ts ASC NULLS LAST, c.event_id ASC) = 1"""))
+
+  val all: Seq[NamedQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q49, q50, q51, q77)
 }

@@ -80,6 +80,45 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("event_id")).select("asof_event_id").as[Long].head()
     assert(out === 11L)
   }
+
+  test("forward direction takes the next at-or-after row") {
+    val left = Seq((100L, 1L, ts(50)), (101L, 1L, ts(70)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(10)), (11L, 1L, ts(60)))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), "forward", None)
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(11L)) // next at-or-after 50 is 60
+    assert(out(101L) === None)      // nothing after 70
+  }
+
+  test("nearest picks the closer side, backward on exact ties") {
+    val left = Seq((100L, 1L, ts(50)), (101L, 1L, ts(58)), (102L, 1L, ts(45)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(40)), (11L, 1L, ts(60)))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), "nearest", None)
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(10L)) // |50-40| == |50-60| → backward wins
+    assert(out(101L) === Some(11L)) // 60 closer than 40
+    assert(out(102L) === Some(10L)) // 40 closer than 60
+  }
+
+  test("tolerance nulls matches beyond the bound but keeps left rows") {
+    val left = Seq((100L, 1L, ts(50)), (101L, 1L, ts(500)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(40))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), "backward", Some(20e6)) // 20 s in µs
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(10L)) // 10 s back, inside tolerance
+    assert(out(101L) === None)      // 460 s back, outside
+  }
 }
 
 class RankTrimSpec extends SparkSpec {
