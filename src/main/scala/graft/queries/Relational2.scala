@@ -175,5 +175,73 @@ object Relational2 {
             FROM lineitem) t
       GROUP BY l_linestatus"""))
 
-  val all: Seq[NamedQuery] = Seq(q52, q53, q54, q55, q56, q57)
+  /** Ordered string aggregation (listagg WITHIN GROUP — the catalog-row
+    * formatting shape of write_csv's string assembly, p_io.py:117-118). */
+  private val q78 = NamedQuery(
+    "q78_string_agg",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 997 === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderkey)")
+          .as("statuses"),
+        concat_ws("|", array_sort(collect_set(col("o_orderstatus"))))
+          .as("distinct_statuses"),
+        count(lit(1)).as("n")),
+    Some("""SELECT o_orderpriority,
+      string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+      array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|')
+        AS distinct_statuses,
+      COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 997 = 0
+      GROUP BY o_orderpriority"""))
+
+  /** Bitwise scalar family + bitwise aggregates (the mask-arithmetic
+    * surface behind boolean pixel masks, core.py:309-316). */
+  private val q79 = NamedQuery(
+    "q79_bitwise",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 31 === 0)
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          expr("bit_and(l_partkey)").as("band"),
+          expr("bit_or(l_partkey)").as("bor"),
+          expr("bit_xor(l_partkey)").as("bxor"),
+          count(lit(1)).as("n"))
+        .withColumn("masked", col("band").bitwiseAND(lit(255L)))
+        .withColumn("combined", col("bor").bitwiseOR(col("bxor")))
+        .withColumn("flipped", col("bxor").bitwiseXOR(lit(0xFFL)))
+        .withColumn("shifted", expr("shiftleft(band, 2)"))
+    },
+    Some("""SELECT l_linestatus,
+      bit_and(l_partkey) AS band, bit_or(l_partkey) AS bor,
+      bit_xor(l_partkey) AS bxor, COUNT(*) AS n,
+      bit_and(l_partkey) & 255 AS masked,
+      bit_or(l_partkey) | bit_xor(l_partkey) AS combined,
+      xor(bit_xor(l_partkey), 255) AS flipped,
+      bit_and(l_partkey) << 2 AS shifted
+      FROM lineitem WHERE l_orderkey % 31 = 0
+      GROUP BY l_linestatus"""))
+
+  /** Error-safe scalar family: try_divide/try_cast null out instead of
+    * raising under ANSI — the NaN-sentinel discipline of SURVEY.md §1
+    * mapped to real nulls. */
+  private val q80b = NamedQuery(
+    "q80b_try_arithmetic",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 101 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - 25)
+          .as("per_unit_risky"),
+        try_divide(lit(1.0), lit(0.0)).as("div_zero"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").as("qty_roundtrip")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      l_extendedprice / NULLIF(l_quantity - 25, 0) AS per_unit_risky,
+      CAST(1.0 AS DOUBLE) / NULLIF(CAST(0.0 AS DOUBLE), 0.0) AS div_zero,
+      TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+      TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+      FROM lineitem WHERE l_orderkey % 101 = 0"""))
+
+  val all: Seq[NamedQuery] = Seq(q52, q53, q54, q55, q56, q57, q78, q79, q80b)
 }
