@@ -53,6 +53,49 @@ class WcsEnrichmentSpec extends SparkSpec {
     val img2Nulls = out.filter($"img_id" === 2L && $"ra".isNull).count()
     assert(img2Nulls === 20L)
   }
+
+  test("async protocol: timeout leaves a pending submission; resume polls, not resubmits") {
+    val stars = (1 to 20).map { i =>
+      (1L, i, (i * 13 % 100).toDouble, (i * 29 % 100).toDouble, 1000.0 - i)
+    }.toDF("img_id", "star_id", "xcentroid", "ycentroid", "flux")
+    val solver = new WcsEnrichment.AsyncSolver {
+      def submit(pts: Seq[(Double, Double, Double)]): Long = {
+        AsyncWcsTestState.submits.incrementAndGet()
+        AsyncWcsTestState.pts.set(pts.toIndexedSeq)
+        77L
+      }
+      def poll(subId: Long): WcsEnrichment.SolveStatus = {
+        require(subId == 77L, "resume must reuse the submission id")
+        // stays pending for the first 3 polls (the 600 s timeout window)
+        if (AsyncWcsTestState.polls.incrementAndGet() <= 3)
+          WcsEnrichment.SolvePending()
+        else WcsEnrichment.SolveDone(WcsEnrichment.affineFromMatches(
+          AsyncWcsTestState.pts.get.map { case (x, y, _) =>
+            ((x, y), WcsTestState.skyOf(x, y)) }).get)
+      }
+    }
+    // run 1: poll budget lapses → no sky coords, submission id surfaced
+    val r1 = WcsEnrichment.enrichAsync(spark, stars, solver, pollBudget = 2)
+    assert(r1.pending === Map(1L -> 77L))
+    assert(r1.enriched.filter($"ra".isNotNull).count() === 0)
+    // run 2: resume with the stored id → solved without a second submit
+    val r2 = WcsEnrichment.enrichAsync(spark, stars, solver,
+      pollBudget = 5, resumeIds = r1.pending)
+    assert(r2.pending.isEmpty)
+    assert(AsyncWcsTestState.submits.get() === 1, "resume re-submitted")
+    val row = r2.enriched.filter($"star_id" === 1)
+      .select("ra", "dec").as[(Double, Double)].head()
+    val expect = WcsTestState.skyOf(13.0, 29.0)
+    assert(math.abs(row._1 - expect._1) < 1e-6)
+    assert(math.abs(row._2 - expect._2) < 1e-6)
+  }
+}
+
+/** Shared state for the async-solver mock (single JVM in local mode). */
+object AsyncWcsTestState extends Serializable {
+  val submits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val pts = new java.util.concurrent.atomic.AtomicReference[IndexedSeq[(Double, Double, Double)]]()
 }
 
 class BarycenterSpec extends SparkSpec {
