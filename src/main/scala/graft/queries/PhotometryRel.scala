@@ -258,5 +258,37 @@ object PhotometryRel {
         FROM lineitem
         WINDOW w AS (PARTITION BY l_returnflag)) t"""))
 
-  val all: Seq[NamedQuery] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q84)
+  /** Color analysis (walkthrough cells 0+9: 3 filter bands per target):
+    * per star, the magnitude difference between two filter catalogs —
+    * pivot on the filter label, mag each side from exact decimal flux
+    * sums, subtract. The color index is the astronomer's temperature
+    * proxy; relationally it's a grouped two-way pivot + derived column. */
+  private val q86 = NamedQuery(
+    "q86_color_index",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val byFilter = li.groupBy(col("l_suppkey"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(dec2(col("l_extendedprice"))).cast(DoubleType))
+      byFilter
+        .filter(col("O").isNotNull && col("F").isNotNull)
+        .select(col("l_suppkey"),
+          r6(lit(-2.5) * log10(col("O"))).as("mag_o"),
+          r6(lit(-2.5) * log10(col("F"))).as("mag_f"),
+          r6(lit(-2.5) * (log10(col("O")) - log10(col("F")))).as("color_of"))
+    },
+    Some("""WITH f AS (
+        SELECT l_suppkey,
+          CAST(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS flux_o,
+          CAST(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS flux_f
+        FROM lineitem GROUP BY l_suppkey)
+      SELECT l_suppkey,
+        ROUND(-2.5 * LOG10(flux_o), 6) AS mag_o,
+        ROUND(-2.5 * LOG10(flux_f), 6) AS mag_f,
+        ROUND(-2.5 * (LOG10(flux_o) - LOG10(flux_f)), 6) AS color_of
+      FROM f WHERE flux_o IS NOT NULL AND flux_f IS NOT NULL"""))
+
+  val all: Seq[NamedQuery] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q84, q86)
 }
