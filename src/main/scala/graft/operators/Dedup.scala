@@ -215,23 +215,32 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = df.select(col(id).as("node")).distinct()
+    // only edge-connected nodes can change labels — isolated docs keep
+    // their own id and stay out of the loop entirely
+    var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
+    // labels only decrease, so the label sum is a strictly decreasing
+    // convergence witness: one cheap scalar agg per round instead of a
+    // join + count comparison against the previous state
+    def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = if (labels.isEmpty) 0L else labelSum()
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (curSum < prevSum && it < maxIters) {
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).union(prop)
+      labels = labels.select(col("node"), col("label")).union(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.join(
-          labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      prevSum = curSum
+      curSum = labelSum()
       it += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    df.select(col(id).as("doc_id")).distinct()
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, id_a < id_b).
