@@ -39,22 +39,8 @@ class SigmaClippedStats(sigma: Double, maxIters: Int)
     b1 ++= b2; b1
   }
 
-  override def finish(b: ArrayBuffer[Double]): ClipStats = {
-    if (b.isEmpty) return ClipStats(0L, Double.NaN, Double.NaN, Double.NaN)
-    var vals = b.toArray
-    var it = 0
-    var changed = true
-    while (it < maxIters && changed) {
-      val med = SigmaClippedStats.median(vals)
-      val sd = SigmaClippedStats.stdPop(vals)
-      val kept = vals.filter(v => math.abs(v - med) <= sigma * sd)
-      changed = kept.length != vals.length
-      if (kept.nonEmpty) vals = kept else changed = false
-      it += 1
-    }
-    ClipStats(vals.length.toLong, SigmaClippedStats.mean(vals),
-      SigmaClippedStats.median(vals), SigmaClippedStats.stdPop(vals))
-  }
+  override def finish(b: ArrayBuffer[Double]): ClipStats =
+    SigmaClippedStats.clip(b.toArray, sigma, maxIters)
 
   override def bufferEncoder: Encoder[ArrayBuffer[Double]] =
     Encoders.kryo[ArrayBuffer[Double]]
@@ -62,6 +48,25 @@ class SigmaClippedStats(sigma: Double, maxIters: Int)
 }
 
 object SigmaClippedStats {
+
+  /** The iterative clip itself, shared by the Aggregator and the
+    * TypedImperativeAggregate fast path so both are bit-identical. */
+  def clip(values: Array[Double], sigma: Double, maxIters: Int): ClipStats = {
+    if (values.isEmpty) return ClipStats(0L, Double.NaN, Double.NaN, Double.NaN)
+    var vals = values
+    var it = 0
+    var changed = true
+    while (it < maxIters && changed) {
+      val med = median(vals)
+      val sd = stdPop(vals)
+      val kept = vals.filter(v => math.abs(v - med) <= sigma * sd)
+      changed = kept.length != vals.length
+      if (kept.nonEmpty) vals = kept else changed = false
+      it += 1
+    }
+    ClipStats(vals.length.toLong, mean(vals), median(vals), stdPop(vals))
+  }
+
   /** Kahan-compensated sum — merge-order independent to ~2·eps. */
   private[functions] def kahanSum(vals: Array[Double]): Double = {
     var s = 0.0; var c = 0.0
@@ -94,8 +99,18 @@ object SigmaClippedStats {
   }
 
   /** Column function: sigma-clipped stats as a struct(n, mean, median, std).
-    * Usage: `df.groupBy(...).agg(sigmaClippedStats(2.0, 3)(col("v")))`. */
-  def sigmaClippedStats(sigma: Double, maxIters: Int): Column => Column = {
+    * Usage: `df.groupBy(...).agg(sigmaClippedStats(2.0, 3)(col("v")))`.
+    * Backed by the TypedImperativeAggregate fast path (primitive buffers,
+    * flat serialization) — bit-identical to the Aggregator form, which
+    * [[sigmaClippedStatsUdaf]] keeps available as the reference. */
+  def sigmaClippedStats(sigma: Double, maxIters: Int): Column => Column =
+    (c: Column) => org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graftexpr.SigmaClipAggExpr(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c),
+        sigma, maxIters).toAggregateExpression())
+
+  /** The original Aggregator/udaf form (reference implementation). */
+  def sigmaClippedStatsUdaf(sigma: Double, maxIters: Int): Column => Column = {
     val fn = udaf(new SigmaClippedStats(sigma, maxIters), Encoders.scalaDouble)
     (c: Column) => fn(c)
   }

@@ -84,24 +84,36 @@ object EpochPipeline {
       minStars: Int = 3, wcsSolver: Option[WcsEnrichment.Solver] = None): Result = {
     import spark.implicits._
 
+    // every stage makes multiple passes over the epoch's pixels (detection
+    // scans, box joins, the combine) — materialize the input once so those
+    // passes read stored blocks instead of recomputing the source lineage
+    val pinned = pixels.localCheckpoint()
+
     // 1. align + median-combine the epoch's images (image_combiner)
-    val nImages = pixels.select(col("img_id")).distinct().count()
+    val nImages = pinned.select(col("img_id")).distinct().count()
     val combined =
       if (nImages > 1)
-        Photometry.alignAndCombine(pixels, height, width, nSigma)
+        Photometry.alignAndCombine(pinned, height, width, nSigma)
           .select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
-      else pixels.select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
+      else pinned.select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
 
     // 2. global background subtraction
     val sub = Photometry.subtractBackground(combined).localCheckpoint()
 
+    // the subtracted image's background stats feed every later detection
+    // pass — estimated once, like the reference's fixed finder threshold
+    val subStats = Photometry.backgroundStats(sub)
+
     // 3. FWHM from the brightest clean star; abort epoch on failure
-    val bright = Photometry.detectStars(sub, nSigma, 4)
+    val bright = Photometry.detectStars(sub, nSigma, 4, Double.MaxValue,
+      0, 0L, 0L, Some(subStats))
     val fwhm = findFwhm(spark, sub, bright)
     if (fwhm == 0.0) return Result("aborted_no_fwhm", 0.0, emptyCatalog(spark))
 
     // 4. detection + image_mask: crowding exclusion + two-sided rank trim
-    val detected = Photometry.detectStars(sub, nSigma, math.max(math.ceil(fwhm).toInt, 3))
+    val detected = Photometry.detectStars(sub, nSigma,
+      math.max(math.ceil(fwhm).toInt, 3), Double.MaxValue, 0, 0L, 0L,
+      Some(subStats))
     val uncrowded = SpatialJoins.crowdingAnti(
       detected.withColumn("sid", col("star_id")),
       "sid", "xcentroid", "ycentroid", 5 * fwhm)
@@ -115,7 +127,8 @@ object EpochPipeline {
     // 5+6. EPSF build + iterative PSF photometry. star_id restarts per
     // photometry iteration, so give every measured star a unique key
     // before anything joins on it.
-    val results = Photometry.epsfPhotometry(spark, sub, fwhm, 2, nSigma)
+    val results = Photometry.epsfPhotometry(spark, sub, fwhm, 2, nSigma,
+        statsOpt = Some(subStats))
       .withColumn("uid", row_number().over(
         Window.partitionBy(col("img_id"))
           .orderBy(col("iter_detected"), col("star_id"))))

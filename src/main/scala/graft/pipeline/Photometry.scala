@@ -20,13 +20,50 @@ import org.apache.spark.sql.types._
 object Photometry {
 
   /** Per-image sigma-clipped background (sigma_clipped_stats, psf_phot.py:68;
-    * sigma=2.0 per core.py:70). */
-  def backgroundStats(pixels: DataFrame): DataFrame = {
-    val scs = sigmaClippedStats(2.0, 5)
-    pixels.groupBy(col("img_id"))
-      .agg(scs(col("v")).as("s"))
-      .select(col("img_id"), col("s.mean").as("bkg_mean"),
-        col("s.median").as("bkg_median"), col("s.std").as("bkg_std"))
+    * sigma=2.0 per core.py:70).
+    *
+    * This is the few-groups/huge-cardinality shape (one group per image,
+    * 16.7 M pixels each at full frame), where a buffering aggregate would
+    * hold whole frames in aggregation buffers — so it runs as the
+    * fixed-point DataFrame loop instead (SURVEY.md §2.5's two-pass
+    * alternative): per round one exact-percentile + stddev_pop aggregate,
+    * then a broadcast-threshold filter; stop when no image's survivor
+    * count changed, or after the reference's 5 rounds. Same fixpoint as
+    * SigmaClippedStats.clip; per-pixel state never leaves the scan. The
+    * buffering aggregate remains the right tool for the many-small-groups
+    * call sites (median combine, annulus). */
+  def backgroundStats(pixels: DataFrame, sigma: Double = 2.0,
+      maxIters: Int = 5): DataFrame = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    // pin the 2-column projection for the loop's repeated scans; released
+    // before returning (the result itself is a collected model object)
+    val base = pixels.select(col("img_id"), col("v")).persist()
+    def agg(df: DataFrame): Array[(Long, Long, Double, Double, Double)] =
+      df.groupBy(col("img_id"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("mean"),
+          expr("percentile(v, 0.5)").as("med"),
+          stddev_pop(col("v")).as("sd"))
+        .as[(Long, Long, Double, Double, Double)].collect()
+    var cur = base
+    var res = agg(cur)
+    var it = 0
+    var changed = true
+    while (it < maxIters && changed) {
+      val bounds = res.map { case (img, _, _, med, sd) =>
+        (img, med, sigma * sd) }.toSeq.toDF("img_id", "_med", "_bound")
+      cur = cur.join(broadcast(bounds), Seq("img_id"))
+        .filter(abs(col("v") - col("_med")) <= col("_bound"))
+        .select(col("img_id"), col("v"))
+      val nxt = agg(cur)
+      val prevN = res.map(r => r._1 -> r._2).toMap
+      changed = nxt.exists(r => prevN.get(r._1).forall(_ != r._2))
+      res = nxt
+      it += 1
+    }
+    base.unpersist(blocking = false)
+    res.toSeq.toDF("img_id", "n", "bkg_mean", "bkg_median", "bkg_std")
+      .select(col("img_id"), col("bkg_mean"), col("bkg_median"), col("bkg_std"))
   }
 
   /** Global background subtraction (psf_phot.py:69: image −= median). */
@@ -37,55 +74,66 @@ object Photometry {
 
   /** Star detection (DAOStarFinder semantics simplified, core.py:116-146):
     * local maxima above `bkg + nSigma·std` (core.py:143's 10σ default),
-    * then flux-weighted centroid over a (2R+1)² box. The 3×3 neighborhood
-    * maximum is computed separably — a range-frame max over x within each
-    * row, then over y within each column — so the pixel table shuffles
-    * twice at 1× volume instead of once at 9× (explode) plus a join back.
-    * The centroid box join explodes only the (few) peaks, not the pixel
-    * table. Emits one star row per image peak: the Generator shape
+    * then flux-weighted centroid over a (2R+1)² box.
+    *
+    * Scale shape: the threshold predicate keeps only candidate pixels (a
+    * ~1e-5 fraction at 10σ), and every later step — neighborhood max,
+    * shape stats, centroid box — is a join of the BIG pixel table against
+    * a candidate-derived small side, which AQE broadcasts. The pixel
+    * table is scanned three times and never shuffled or sorted; at 4096²
+    * frames this collapsed detection from two full-table sorts to pure
+    * scans. Emits one star row per image peak: the Generator shape
     * (§2.11). */
   def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame =
-    detectStars(pixels, nSigma, boxRadius, Double.MaxValue, 0, 0L, 0L)
+    detectStars(pixels, nSigma, boxRadius, Double.MaxValue, 0, 0L, 0L, None)
 
   /** As above with the reference's remaining DAOStarFinder knobs:
     * `peakMax` rejects saturated peaks (find_stars `peak=100000`,
     * core.py:130-131), and `excludeBorder > 0` with the image extent drops
     * peaks within that many pixels of the edge (`exclude_border=True`,
     * core.py:144) — both are predicates on the peak rows, pushed before
-    * the centroid box join. */
+    * the centroid box join. `precomputedStats` passes in a
+    * backgroundStats frame computed once by the caller — the reference
+    * builds its finder with a FIXED threshold (core.py:439), so repeated
+    * detections over the same image must not re-estimate the
+    * background. */
   def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int,
-      peakMax: Double, excludeBorder: Int, width: Long, height: Long): DataFrame = {
-    val stats = broadcast(backgroundStats(pixels))
-    // plateau tie-break: the neighborhood "winner" orders by (value desc,
-    // y asc, x asc), so exactly one pixel of an equal-valued plateau
-    // (e.g. clipped saturation) survives as the peak; max of the struct
-    // over the separable frames equals the 3×3 block max of the struct
-    val wx = Window.partitionBy(col("img_id"), col("y"))
-      .orderBy(col("x")).rangeBetween(-1, 1)
-    val wy = Window.partitionBy(col("img_id"), col("x"))
-      .orderBy(col("y")).rangeBetween(-1, 1)
-    val cand = struct(col("v").as("bv"), (-col("y")).as("bny"),
-      (-col("x")).as("bnx"))
-    // the same separable passes also give the 3×3 block sum/count, from
-    // which DAOFIND-style sharpness falls out: (peak − mean of the 8
-    // neighbors) / peak (photutils sharpness, simplified to the image
-    // domain — the reference consumes it only as a shape diagnostic)
-    val peaks = pixels
-      .withColumn("self", cand)
-      .withColumn("m1", max(col("self")).over(wx))
-      .withColumn("s1", sum(col("v")).over(wx))
-      .withColumn("c1", count(lit(1)).over(wx))
-      .withColumn("m2", max(col("m1")).over(wy))
-      .withColumn("s2", sum(col("s1")).over(wy))
-      .withColumn("c2", sum(col("c1")).over(wy))
-      .join(stats, Seq("img_id"))
-      .filter(col("self") === col("m2") &&
-        col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std") &&
+      peakMax: Double, excludeBorder: Int, width: Long, height: Long,
+      precomputedStats: Option[DataFrame] = None): DataFrame = {
+    val stats = broadcast(precomputedStats.getOrElse(backgroundStats(pixels)))
+    // candidate pixels: above threshold, below saturation, inside the
+    // border — the only pixels that can be peaks. Tiny at any real nSigma;
+    // localCheckpoint'd because three later joins reuse it.
+    val cands = pixels.join(stats, Seq("img_id"))
+      .filter(col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std") &&
         col("v") < lit(peakMax) &&
         (if (excludeBorder > 0)
           col("x") >= excludeBorder && col("x") < lit(width - excludeBorder) &&
           col("y") >= excludeBorder && col("y") < lit(height - excludeBorder)
          else lit(true)))
+      .select(col("img_id"), col("y"), col("x"), col("v"), col("bkg_median"))
+      .localCheckpoint()
+    // gather each candidate's existing 3×3 neighborhood from the pixel
+    // table (big side streamed, candidate keys broadcast): block max for
+    // the plateau-tie-broken peak test — winner orders by (value desc,
+    // y asc, x asc) — plus block sum/count for DAOFIND-style sharpness:
+    // (peak − mean of the 8 neighbors) / peak
+    val offs = array((-1 to 1).map(lit): _*)
+    val nbrKeys = cands
+      .withColumn("dy", explode(offs)).withColumn("dx", explode(offs))
+      .select(col("img_id"), (col("y") + col("dy")).as("y"),
+        (col("x") + col("dx")).as("x"), col("y").as("cy"), col("x").as("cx"))
+    val nbr = pixels.join(nbrKeys, Seq("img_id", "y", "x"))
+      .groupBy(col("img_id"), col("cy"), col("cx"))
+      .agg(
+        max(struct(col("v").as("bv"), (-col("y")).as("bny"),
+          (-col("x")).as("bnx"))).as("winner"),
+        sum(col("v")).as("s2"), count(lit(1)).as("c2"))
+      .select(col("img_id"), col("cy").as("y"), col("cx").as("x"),
+        col("winner"), col("s2"), col("c2"))
+    val peaks = cands.join(nbr, Seq("img_id", "y", "x"))
+      .filter(struct(col("v").as("bv"), (-col("y")).as("bny"),
+        (-col("x")).as("bnx")) === col("winner"))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
         col("v").as("peak"), col("bkg_median"),
         when(col("c2") > 1 && col("v") =!= 0.0,
@@ -240,19 +288,45 @@ object Photometry {
 
   /** Iterative EPSF build (core.py:384-414: oversampling=2, maxiters≤10):
     * stack → smooth → recenter the star positions by the model's centroid
-    * offset → re-extract, until the centroid converges. The grid is a tiny
+    * offset → re-map, until the centroid converges. Star cutouts are
+    * gathered from the pixel table ONCE with a margin (the reference's
+    * extract_stars also runs once; EPSFBuilder iterates on the cutouts) —
+    * every iteration then works on the small cached cutout table, so a
+    * 10-round build costs one full-frame scan, not ten. The grid is a tiny
     * model object (abstraction #5) so the per-iteration centroid readback
     * is a driver-side scalar, not a data collect. */
   def buildEpsfIterative(pixels: DataFrame, stars: DataFrame, cutoutRadius: Int,
       oversample: Int, maxIters: Int = 10, tol: Double = 1e-3): DataFrame = {
-    var cur = stars
+    val margin = 2 // covers recenter drift (tol-convergent shifts ≪ 1 px)
+    val boxOffs = array((-(cutoutRadius + margin) to (cutoutRadius + margin))
+      .map(lit): _*)
+    val cut = stars
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        col("flux"))
+      .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
+      .select(col("img_id"), col("star_id"), col("xcentroid"), col("ycentroid"),
+        col("flux"),
+        (round(col("ycentroid")).cast(LongType) + col("dy")).as("y"),
+        (round(col("xcentroid")).cast(LongType) + col("dx")).as("x"))
+      .join(pixels, Seq("img_id", "y", "x"))
+      .localCheckpoint()
+    var sx = 0.0
+    var sy = 0.0
     var epsf: DataFrame = null
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      epsf = smoothEpsf(
-        buildEpsf(pixels, cur, cutoutRadius, oversample).drop("n_samples"))
-        .localCheckpoint()
+      val xc = col("xcentroid") + lit(sx)
+      val yc = col("ycentroid") + lit(sy)
+      val stacked = cut
+        .filter(abs(col("y") - round(yc).cast(LongType)) <= cutoutRadius &&
+          abs(col("x") - round(xc).cast(LongType)) <= cutoutRadius)
+        .withColumn("u", round((col("x") - xc) * oversample).cast(LongType))
+        .withColumn("w", round((col("y") - yc) * oversample).cast(LongType))
+        .withColumn("nv", col("v") / col("flux"))
+        .groupBy(col("w"), col("u"))
+        .agg(avg(col("nv")).as("epsf"))
+      epsf = smoothEpsf(stacked).localCheckpoint()
       val c = epsf.agg(
         (sum(col("u") * col("epsf")) / sum(col("epsf"))).as("cu"),
         (sum(col("w") * col("epsf")) / sum(col("epsf"))).as("cw")).head()
@@ -263,9 +337,8 @@ object Photometry {
       if (math.abs(cu) < tol * oversample && math.abs(cw) < tol * oversample) {
         converged = true
       } else {
-        cur = cur
-          .withColumn("xcentroid", col("xcentroid") + lit(cu / oversample))
-          .withColumn("ycentroid", col("ycentroid") + lit(cw / oversample))
+        sx += cu / oversample
+        sy += cw / oversample
       }
       it += 1
     }
@@ -345,39 +418,49 @@ object Photometry {
     * scale. Positions-fixed linear fluxes replace the reference's full
     * nonlinear LevMar fit; GaussianFit covers the nonlinear path. */
   def iterativePhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
-      nIters: Int, nSigma: Double): DataFrame =
+      nIters: Int, nSigma: Double, stats: Option[DataFrame] = None): DataFrame =
     iterativePhotometryWithPsf(spark, pixels,
       GaussianPsf(fwhm / GaussianFit.SigmaToFwhm),
-      math.max(math.ceil(2 * fwhm).toInt, 2), nIters, nSigma)
+      math.max(math.ceil(2 * fwhm).toInt, 2), nIters, nSigma, stats)
 
   /** EPSF-closed-loop photometry: build the empirical PSF from the field's
     * own bright stars (build_psf, psf_phot.py:76), then measure with it
     * (do_photometry, psf_phot.py:84) — the reference's actual sequence. */
   def epsfPhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
-      nIters: Int, nSigma: Double, oversample: Int = 2): DataFrame = {
+      nIters: Int, nSigma: Double, oversample: Int = 2,
+      statsOpt: Option[DataFrame] = None): DataFrame = {
     val boxR = math.max(math.ceil(2 * fwhm).toInt, 2)
-    val stars = detectStars(pixels, nSigma, boxR)
+    val stats = statsOpt.getOrElse(backgroundStats(pixels))
+    val stars = detectStars(pixels, nSigma, boxR, Double.MaxValue, 0, 0L, 0L,
+      Some(stats))
     val epsf = buildEpsfIterative(pixels, stars, boxR, oversample)
     val psf = collectGridPsf(epsf, boxR, oversample)
     // degenerate EPSF (starless field / empty stack): fall back to the
     // analytic Gaussian rather than fitting against a zero model
     val usable: PsfModel =
       if (psf.volume > 0) psf else GaussianPsf(fwhm / GaussianFit.SigmaToFwhm)
-    iterativePhotometryWithPsf(spark, pixels, usable, boxR, nIters, nSigma)
+    iterativePhotometryWithPsf(spark, pixels, usable, boxR, nIters, nSigma,
+      Some(stats))
   }
 
-  /** The detect → group → fit → subtract loop over an arbitrary PSF model. */
+  /** The detect → group → fit → subtract loop over an arbitrary PSF model.
+    * The detection threshold is estimated ONCE from the input image and
+    * held fixed across iterations — the reference constructs its finder
+    * with a fixed threshold before the loop (core.py:439). */
   def iterativePhotometryWithPsf(spark: SparkSession, pixels: DataFrame,
-      psf: PsfModel, boxR: Int, nIters: Int, nSigma: Double): DataFrame = {
+      psf: PsfModel, boxR: Int, nIters: Int, nSigma: Double,
+      statsOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     var residual = pixels.localCheckpoint()
+    val fixedStats = statsOpt.getOrElse(backgroundStats(residual))
     var results = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], starSchema)
 
     var iter = 1
     var continue = true
     while (iter <= nIters && continue) {
-      val stars = detectStars(residual, nSigma, boxR)
+      val stars = detectStars(residual, nSigma, boxR, Double.MaxValue,
+        0, 0L, 0L, Some(fixedStats))
       val grouped = groupStars(spark, stars, boxR.toDouble)
       if (grouped.isEmpty) { continue = false }
       else {

@@ -71,3 +71,45 @@ class SigmaClippedStatsSpec extends SparkSpec {
     assert(m12.median === m21.median)
   }
 }
+
+/** The TypedImperativeAggregate fast path must be indistinguishable from
+  * the Aggregator reference — same clip function, same outputs. */
+class SigmaClipFastPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fast aggregate equals the udaf reference across many groups") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map { i =>
+      (i % 500, rnd.nextGaussian() * 10 + (if (i % 97 == 0) 300.0 else 0.0))
+    }.toDF("k", "v")
+    val fast = df.groupBy($"k")
+      .agg(SigmaClippedStats.sigmaClippedStats(2.0, 5)($"v").as("s"))
+      .select($"k", $"s.n", $"s.mean", $"s.median", $"s.std")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val ref = df.groupBy($"k")
+      .agg(SigmaClippedStats.sigmaClippedStatsUdaf(2.0, 5)($"v").as("s"))
+      .select($"k", $"s.n", $"s.mean", $"s.median", $"s.std")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(fast.keySet === ref.keySet)
+    fast.foreach { case (k, (n, mean, med, std)) =>
+      val (rn, rmean, rmed, rstd) = ref(k)
+      assert(n === rn, s"group $k n")
+      assert(math.abs(mean - rmean) < 1e-12, s"group $k mean")
+      assert(med === rmed, s"group $k median")
+      assert(math.abs(std - rstd) < 1e-12, s"group $k std")
+    }
+  }
+
+  test("empty-input and null handling match (NaN sentinel stats)") {
+    val df = Seq((1, Some(1.0)), (1, None), (2, None))
+      .toDF("k", "v")
+    val byK = df.groupBy($"k")
+      .agg(SigmaClippedStats.sigmaClippedStats(2.0, 5)($"v").as("s"))
+      .select($"k", $"s.n", $"s.mean").as[(Int, Long, Double)].collect()
+    val m = byK.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1)._1 === 1L && m(1)._2 === 1.0)
+    assert(m(2)._1 === 0L && m(2)._2.isNaN)
+  }
+}
