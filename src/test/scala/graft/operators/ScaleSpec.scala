@@ -59,3 +59,38 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 }
+
+/** AQE's runtime skew mitigation — the complement to manual salting: a
+  * hot join key whose shuffle partition dwarfs the advisory size gets
+  * split at runtime into multiple tasks (SURVEY.md §4's AQE skew-join). */
+class AqeSkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a hot key's sort-merge join partition is split at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows on one hot key vs a uniform dimension
+      val left = spark.range(200000)
+        .select(when($"id" % 100 === 0, $"id" % 7).otherwise(0L).as("key"),
+          $"id".as("payload"))
+      val right = (0L until 7L).map(k => (k, s"dim_$k")).toDF("key", "dim")
+      val joined = left.join(right, "key")
+      // execute THIS plan (count() would build and run a different one)
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
