@@ -95,12 +95,30 @@ object ScaleBench {
         Photometry.epsfPhotometry(spark, sub, 1.8 * graft.pipeline.GaussianFit.SigmaToFwhm,
           2, 10.0, statsOpt = Some(subStats)).count())
     }
-    val t0 = System.nanoTime()
-    val res = EpochPipeline.run(spark, px, size, size, minStars = 5)
-    val n = res.catalog.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"SCALE size=${size}x$size images=$nImages pixels=${size.toLong * size * nImages}%,d " +
-      f"status=${res.status} fwhm=${res.fwhm}%.2f stars=$n wall=$dt%.1f s")
+    val nEpochs = if (args.length > 2) args(2).toInt else 1
+    if (nEpochs <= 1) {
+      val t0 = System.nanoTime()
+      val res = EpochPipeline.run(spark, px, size, size, minStars = 5)
+      val n = res.catalog.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE size=${size}x$size images=$nImages pixels=${size.toLong * size * nImages}%,d " +
+        f"status=${res.status} fwhm=${res.fwhm}%.2f stars=$n wall=$dt%.1f s")
+    } else {
+      // epoch-level concurrency (runEpochs): independent epochs overlap
+      // their stages across the executor pool — the cluster story's
+      // single-node analog. Epochs reuse the same rendered frames tagged
+      // with distinct epoch ids; results stay per-epoch.
+      val tagged = (0 until nEpochs)
+        .map(e => px.withColumn("epoch_id", lit(e.toLong)))
+        .reduce(_.unionByName(_))
+      val t0 = System.nanoTime()
+      val (statuses, catalog) = EpochPipeline.runEpochs(
+        spark, tagged, "epoch_id", size, size, minStars = 5)
+      val n = catalog.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-CONCURRENT size=${size}x$size images=$nImages epochs=$nEpochs " +
+        f"ok=${statuses.values.count(_ == "ok")} stars=$n wall=$dt%.1f s")
+    }
     spark.stop()
   }
 }
