@@ -200,6 +200,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Decontamination (benchmark-overlap detection): flag corpus documents
+    * sharing at least `minShared` distinct word n-grams with any benchmark
+    * document — the training-data hygiene pass that keeps eval sets out
+    * of the corpus. Inverted-index join on the shingle (one shuffle keyed
+    * by content, linear in corpus size); the benchmark side is tiny, so
+    * its shingle set broadcasts. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, minShared: Int): DataFrame = {
+    val c = shingleSet(corpus, id, text, n)
+    val b = shingleSet(bench, id, text, n)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    c.join(broadcast(b), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cluster resolution over the near-dup pair graph — the dedup endgame:
     * connected components with the component's MIN doc id as the cluster
     * id (canonical survivor), isolated docs forming their own cluster.

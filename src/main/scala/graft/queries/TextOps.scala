@@ -235,6 +235,26 @@ object TextOps {
       SELECT node AS doc_id, MIN(label) AS cluster_id
       FROM walk GROUP BY node"""))
 
+  /** Decontamination: corpus docs (doc_id % 20 != 0) sharing ≥ 5 distinct
+    * 3-gram shingles with any "benchmark" doc (doc_id % 20 == 0). */
+  private val q87 = NamedQuery(
+    "q87_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3, 5)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      c AS (SELECT * FROM sh WHERE doc_id % 20 != 0),
+      b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 = 0)
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM c JOIN b USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5"""))
+
   val all: Seq[NamedQuery] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87)
 }

@@ -179,6 +179,17 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("decontamination flags corpus docs overlapping the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationPairs(docs, bench, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect()
+    // docs 1-3 share the long fox prefix; 4 and 5 share nothing
+    assert(flagged.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(flagged.forall(_._2 === 100L))
+    assert(flagged.forall(_._3 >= 4L))
+  }
+
   test("near-dup clusters: components get min-id labels, isolated docs stand alone") {
     val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5)
       .as[(Long, Long)].collect().toMap
