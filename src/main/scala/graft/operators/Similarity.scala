@@ -125,4 +125,37 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
         col("rank"))
   }
+
+  /** Embedding near-dup pairs at corpus scale: sign-LSH band buckets
+    * generate candidates (self-join keyed by band — linear shuffle, never
+    * the n² cross product), then exact cosine verifies, so precision never
+    * degrades — only recall trades against nBits/nBands. The all-pairs
+    * exact form lives in Dedup.embeddingNearDup; this is its scale path. */
+  def lshNearDupPairs(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, dims: Int, nBits: Int = 16, nBands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0, "nBits must split evenly into bands")
+    val planes = hyperplanes(nBits, dims, seed)
+    val bitsPerBand = nBits / nBands
+    val bits = planes.map(h => when(dot(col("e"), lit(h)) > 0, 1L).otherwise(0L))
+    val bands = (0 until nBands).map { b =>
+      val key = (0 until bitsPerBand)
+        .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val sigs = corpus
+      .select(col(id).as("vid"), normalized(toDouble(col(vec))).as("e"))
+      .withColumn("bk", explode(array(bands: _*)))
+    val cands = sigs.as("a").join(sigs.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.e").as("ea"), col("b.e").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("cosine_raw", dot(col("ea"), col("eb")))
+      .filter(col("cosine_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
 }

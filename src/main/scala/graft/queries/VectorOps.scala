@@ -82,5 +82,14 @@ object VectorOps {
       probes(s, d), "vec_id", "embedding", 5, dims = 64),
     None)
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74)
+  /** LSH-banded embedding near-dup (the scale path of q72's exact
+    * all-pairs): approximate candidate generation → rows-only check;
+    * recall vs the exact pairs is a ScalaTest. */
+  private val q88 = NamedQuery(
+    "q88_embedding_neardup_lsh",
+    (s, d) => Similarity.lshNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64),
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88)
 }

@@ -266,6 +266,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("LSH near-dup pairs: subset of exact pairs with identical cosines") {
+    val exact = graft.operators.Dedup
+      .embeddingNearDup(emb, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.5,
+      dims = 16, nBits = 16, nBands = 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // precision 1.0: every LSH pair is a true pair with the same cosine
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, c) => assert(c === exact(k), s"cosine differs at $k") }
+    // decent recall at these band settings on gaussian vectors
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH near-dup recall too low: $recall")
+    }
+  }
+
   test("sign-LSH ANN: exact-verified candidates, decent recall, top-k shape") {
     val probes = emb.filter($"vec_id" < 5)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
