@@ -326,6 +326,30 @@ object TimeSeries {
       QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
         ORDER BY c.ts ASC NULLS LAST, c.event_id ASC) = 1"""))
 
+  /** Datetime long tail beyond q19: week truncation, day-of-week (Spark
+    * numbers Sunday=1, DuckDB Sunday=0), ISO week, month-end, day diffs,
+    * calendar-clamped month addition. */
+  private val q89 = NamedQuery(
+    "q89_datetime_extras",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        date_trunc("week", col("o_orderdate")).as("week_start"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+        weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"),
+        add_months(col("o_orderdate"), 2).as("plus_2m")),
+    Some("""SELECT o_orderkey, o_orderdate,
+      CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m
+      FROM orders WHERE o_orderkey % 13 = 0"""))
+
   val all: Seq[NamedQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q77)
+    q49, q50, q51, q77, q89)
 }
