@@ -500,7 +500,29 @@ object Relational {
       CAST(props->>'$.k' AS DOUBLE) * value AS kv
       FROM events"""))
 
+  /** Typed JSON parsing (from_json with an explicit schema — the struct
+    * path next to q21's string extraction), to_json round-trip, and a
+    * schema-validity flag per row. */
+  private val q90 = NamedQuery(
+    "q90_json_typed",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val schema = StructType(Seq(StructField("k", LongType)))
+      e.filter(col("event_id") % 11 === 0)
+        .select(col("event_id"),
+          from_json(col("props"), schema).as("p"))
+        .select(col("event_id"),
+          col("p.k").as("k"),
+          col("p").isNotNull.as("parsed"),
+          to_json(col("p")).as("rebuilt"))
+    },
+    Some("""SELECT event_id,
+      CAST(props->>'$.k' AS BIGINT) AS k,
+      json_valid(props) AS parsed,
+      '{"k":' || (props->>'$.k') || '}' AS rebuilt
+      FROM events WHERE event_id % 11 = 0"""))
+
   val all: Seq[NamedQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q17b, q18, q19, q20, q21)
+    q15, q16, q17, q17b, q18, q19, q20, q21, q90)
 }
