@@ -84,11 +84,15 @@ object VectorOps {
 
   /** LSH-banded embedding near-dup (the scale path of q72's exact
     * all-pairs): approximate candidate generation → rows-only check;
-    * recall vs the exact pairs is a ScalaTest. */
+    * recall vs the exact pairs is a ScalaTest. 8 bits/band keeps band
+    * buckets ~n/256 so candidate generation stays far from n²; at this
+    * moderate threshold sign-LSH recall is partial by construction —
+    * the exact path (q72) is the completeness reference. */
   private val q88 = NamedQuery(
     "q88_embedding_neardup_lsh",
     (s, d) => Similarity.lshNearDupPairs(
-      Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64),
+      Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64,
+      nBits = 64, nBands = 8),
     None)
 
   val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88)
