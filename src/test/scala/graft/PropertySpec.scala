@@ -91,6 +91,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("np.roll key rewrite is a bijection on the grid") {
+    val gen = for {
+      w <- Gen.choose(1, 32)
+      h <- Gen.choose(1, 32)
+      sx <- Gen.choose(-40, 40)
+      sy <- Gen.choose(-40, 40)
+    } yield (w, h, sx, sy)
+    check("roll", 300)(Prop.forAll(gen) { case (w, h, sx, sy) =>
+      // pmod semantics used by alignAndCombine's roll projection
+      def pmod(a: Int, m: Int) = ((a % m) + m) % m
+      val mapped = for (y <- 0 until h; x <- 0 until w)
+        yield (pmod(y + sy, h), pmod(x + sx, w))
+      mapped.distinct.size == w * h // bijective: no pixel lost or doubled
+    })
+  }
+
+  test("rank trim drops exactly 10 rows when n > 10, none otherwise") {
+    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    check("trim", 200)(Prop.forAll(gen) { vs =>
+      // the reference's two-sided trim rule (core.py:339): remove the 5
+      // brightest and 5 dimmest only when more than 10 rows survive it
+      val n = vs.length
+      val kept =
+        if (n <= 10) n
+        else n - 10
+      val ranked = vs.sorted
+      val survivors = if (n <= 10) ranked else ranked.slice(5, n - 5)
+      survivors.length == kept &&
+        (n <= 10 || survivors.forall(v =>
+          v >= ranked(4) && v <= ranked(n - 5)))
+    })
+  }
+
   test("FITS header cards round-trip arbitrary keyword/value pairs") {
     val key = Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaUpperChar).map(_.mkString))
@@ -145,6 +179,30 @@ class SparkPropertySpec extends SparkSpec {
         else Some(i.toLong -> cands.minBy(c => (c._2, c._1))._1.toLong)
       }.toMap
       got == want
+    })
+  }
+
+  test("FITS write/read round-trips random pixel grids exactly") {
+    import graft.sources.Fits
+    val gen = for {
+      w <- Gen.choose(1, 8)
+      h <- Gen.choose(1, 8)
+      vs <- Gen.listOfN(w * h, Gen.chooseNum(-1e6, 1e6))
+    } yield (w, h, vs)
+    check("fits-roundtrip", 5)(Prop.forAll(gen) { case (w, h, vs) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-fits")
+      val px = (for (y <- 0 until h; x <- 0 until w)
+        yield (y.toLong, x.toLong, vs(y * w + x))).toDF("y", "x", "v")
+      val path = dir.resolve("rt.fits").toString
+      Fits.writeFits(px, w, h,
+        Seq(Map("AIRMASS" -> "1.0", "EXPTIME" -> "1.0",
+          "DATE-OBS" -> "2020-01-01T00:00:00.000")),
+        Map.empty, 0.0, 0.0, path)
+      val back = Fits.readFits(spark, path, hduIndex = 0)
+        .select("y", "x", "v").as[(Long, Long, Double)].collect()
+        .map { case (y, x, v) => (y, x) -> v }.toMap
+      (0 until h).forall(y => (0 until w).forall(x =>
+        back((y.toLong, x.toLong)) == vs(y * w + x)))
     })
   }
 
