@@ -95,5 +95,33 @@ object VectorOps {
       nBits = 64, nBands = 8),
     None)
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88)
+  /** Higher-order array functions over the embedding vectors: exists /
+    * forall (as filter-length predicates on both engines), fold
+    * (aggregate ↔ list_reduce), flatten, and a transform-chain — the HOF
+    * battery beyond q41b's element ops. */
+  private val q91 = NamedQuery(
+    "q91_array_hof",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      e.select(col("vec_id"),
+        exists(col("v"), x => x > 2.0).as("has_large"),
+        forall(col("v"), x => abs(x) < 10.0).as("all_bounded"),
+        r6(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+          .as("sumsq"),
+        size(flatten(array(slice(col("v"), 1, 4), slice(col("v"), 61, 4))))
+          .cast("long").as("n_ends"),
+        r6(element_at(transform(col("v"), x => x * 2.0 + 1.0), 1))
+          .as("first_affine"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      SELECT vec_id,
+        len(list_filter(v, x -> x > 2.0)) > 0 AS has_large,
+        len(list_filter(v, x -> NOT (abs(x) < 10.0))) = 0 AS all_bounded,
+        ROUND(list_reduce(list_prepend(0.0, v), (acc, x) -> acc + x * x), 6) AS sumsq,
+        CAST(len(flatten([v[1:4], v[61:64]])) AS BIGINT) AS n_ends,
+        ROUND(v[1] * 2.0 + 1.0, 6) AS first_affine
+      FROM e"""))
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91)
 }
