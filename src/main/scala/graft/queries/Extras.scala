@@ -134,6 +134,48 @@ object Extras {
         * (180.0 / pi()), 6) AS dec
       FROM part"""))
 
+  /** Cone search — ens_match's positional form (walkthrough cells 7-8):
+    * all catalog rows within an angular radius of the target position,
+    * great-circle distance via haversine. Scale shape: the radius
+    * predicate pre-filters on a bounding box (pushed to the scan) before
+    * any trig runs; trig outputs r6-rounded for the oracle. */
+  private val q92 = NamedQuery(
+    "q92_cone_search",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val ra = ((col("p_partkey") * 37 % 3600) / 10.0)
+      val dec = (((col("p_partkey") * 91 % 1200) / 10.0) - 60.0)
+      val (ra0, dec0, radius) = (150.125, -32.5, 15.0)
+      val rad = lit(math.Pi) / 180.0
+      val dphi = (dec - lit(dec0)) * rad / 2.0
+      val dlam = (ra - lit(ra0)) * rad / 2.0
+      val h = sin(dphi) * sin(dphi) +
+        cos(dec * rad) * cos(lit(dec0) * rad) * sin(dlam) * sin(dlam)
+      val dist = lit(2.0) * asin(sqrt(h)) * (lit(180.0) / math.Pi)
+      p.select(col("p_partkey"), ra.as("ra"), dec.as("dec"),
+          r6(dist).as("sep_deg"))
+        // bounding-box prefilter (scan-pushable), then the exact cone cut
+        .filter(abs(col("dec") - dec0) <= radius)
+        .filter(col("sep_deg") <= radius)
+    },
+    Some("""WITH c AS (SELECT p_partkey,
+        (p_partkey*37%3600)/10.0 AS ra,
+        ((p_partkey*91%1200)/10.0) - 60.0 AS dec
+      FROM part)
+      SELECT p_partkey, ra, dec,
+        ROUND(2.0 * asin(sqrt(
+          sin((dec - -32.5) * (pi() / 180.0) / 2.0) * sin((dec - -32.5) * (pi() / 180.0) / 2.0)
+          + cos(dec * (pi() / 180.0)) * cos(-32.5 * (pi() / 180.0))
+            * sin((ra - 150.125) * (pi() / 180.0) / 2.0) * sin((ra - 150.125) * (pi() / 180.0) / 2.0)))
+          * (180.0 / pi()), 6) AS sep_deg
+      FROM c
+      WHERE abs(dec - -32.5) <= 15.0
+        AND ROUND(2.0 * asin(sqrt(
+          sin((dec - -32.5) * (pi() / 180.0) / 2.0) * sin((dec - -32.5) * (pi() / 180.0) / 2.0)
+          + cos(dec * (pi() / 180.0)) * cos(-32.5 * (pi() / 180.0))
+            * sin((ra - 150.125) * (pi() / 180.0) / 2.0) * sin((ra - 150.125) * (pi() / 180.0) / 2.0)))
+          * (180.0 / pi()), 6) <= 15.0"""))
+
   /** WCS-style linear pixel→sky transform (core.py:525-526): affine CD
     * matrix on broadcast solution coefficients — a pure expression tree. */
   private val q34 = NamedQuery(
@@ -357,5 +399,5 @@ object Extras {
       FROM orders o GROUP BY o_orderpriority"""))
 
   val all: Seq[NamedQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40b, q41b, q42b, q85)
+    q38, q39, q40b, q41b, q42b, q85, q92)
 }
