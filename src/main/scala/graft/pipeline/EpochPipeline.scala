@@ -36,26 +36,25 @@ object EpochPipeline {
       cutoutRadius: Int = 8): Double = {
     import spark.implicits._
     val cands = stars
-      .orderBy(col("peak").desc, col("star_id"))
-      .select(col("img_id"), col("star_id"), col("xcentroid"),
-        col("ycentroid"), col("peak"))
+      .orderBy(col("peak").desc, col("ycentroid"), col("xcentroid"))
+      .select(col("img_id"), col("xcentroid"), col("ycentroid"), col("peak"))
       .limit(maxTries)
-      .as[(Long, Int, Double, Double, Double)]
+      .as[(Long, Double, Double, Double)]
       .collect() // ≤ maxTries rows — the reference's bounded search
     // greedy walk in peak order: saturated stars are suppressed (their
     // neighborhood is excluded, like the reference's zeroed search box);
     // the walk abandons once peaks drop below minPeak (core.py:110).
     val suppressed = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    var pick: Option[(Long, Int, Double, Double, Double)] = None
+    var pick: Option[(Long, Double, Double, Double)] = None
     val it = cands.iterator
     var abandoned = false
     while (pick.isEmpty && !abandoned && it.hasNext) {
       val c = it.next()
-      if (c._5 < minPeak) abandoned = true
-      else if (c._5 >= satLimit) suppressed += ((c._3, c._4))
+      if (c._4 < minPeak) abandoned = true
+      else if (c._4 >= satLimit) suppressed += ((c._2, c._3))
       else {
         val clear = suppressed.forall { case (tx, ty) =>
-          val dx = c._3 - tx; val dy = c._4 - ty
+          val dx = c._2 - tx; val dy = c._3 - ty
           dx * dx + dy * dy >= minSeparation * minSeparation
         }
         if (clear) pick = Some(c)
@@ -63,7 +62,7 @@ object EpochPipeline {
     }
     pick match {
       case None => 0.0 // sentinel: no usable star (core.py:107-113)
-      case Some((img, _, xc, yc, _)) =>
+      case Some((img, xc, yc, _)) =>
         val cut = pixels
           .filter(col("img_id") === img &&
             col("y").between(math.round(yc) - cutoutRadius, math.round(yc) + cutoutRadius) &&
@@ -79,7 +78,7 @@ object EpochPipeline {
   /** Run one epoch end to end over long-form pixels (one or more images of
     * the same field). Returns the status branch taken and the output
     * catalog (empty for aborted epochs). */
-  def run(spark: SparkSession, pixels: DataFrame, height: Int, width: Int,
+  def run(spark: SparkSession, pixels: DataFrame, width: Int, height: Int,
       nSigma: Double = 10.0, maxStarsFwhm: Double = 30.0,
       minStars: Int = 3, wcsSolver: Option[WcsEnrichment.Solver] = None): Result = {
     import spark.implicits._
@@ -89,31 +88,63 @@ object EpochPipeline {
     // passes read stored blocks instead of recomputing the source lineage
     val pinned = pixels.localCheckpoint()
 
-    // 1. align + median-combine the epoch's images (image_combiner)
-    val nImages = pinned.select(col("img_id")).distinct().count()
+    // frames small enough that a whole image fits an aggregation buffer
+    // (≤ 1M px = 8 MB) take the one-shuffle clip; full frames take the
+    // fixpoint loop
+    val bufferable = width.toLong * height <= (1L << 20)
+
+    // 1. per-image stats (one grouped pass) double as the image census —
+    // the stats row count IS the image count, so no separate distinct scan
+    val pixStats = Photometry.backgroundStats(pinned, bufferable = bufferable)
+      .localCheckpoint()
+    val nImages = pixStats.count()
     val combined =
       if (nImages > 1)
-        Photometry.alignAndCombine(pinned, height, width, nSigma)
+        Photometry.alignAndCombine(pinned, width, height, nSigma)
           .select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
       else pinned.select(lit(0L).as("img_id"), col("y"), col("x"), col("v"))
 
-    // 2. global background subtraction
-    val sub = Photometry.subtractBackground(combined).localCheckpoint()
+    // 2. global background subtraction. One stats pass serves both the
+    // subtraction and every later detection threshold: sigma clipping is
+    // shift-invariant (subtracting the median shifts mean and median by
+    // the same constant and keeps the survivor set), so the subtracted
+    // image's stats are the combined image's, re-centered at zero — no
+    // second fixpoint loop. A single-image epoch is its own combine, so
+    // its stats are the already-computed per-image row, relabeled; the
+    // checkpointed 1-row-per-image frame keeps its five consumers from
+    // re-running the aggregate.
+    val baseStats =
+      if (nImages > 1)
+        Photometry.backgroundStats(combined, bufferable = bufferable)
+          .localCheckpoint()
+      else pixStats.select(lit(0L).as("img_id"), col("bkg_mean"),
+        col("bkg_median"), col("bkg_std"))
+    val sub = combined.join(broadcast(baseStats), Seq("img_id"))
+      .select(col("img_id"), col("y"), col("x"),
+        (col("v") - col("bkg_median")).as("v"))
+      .localCheckpoint()
+    val subStats = baseStats.select(col("img_id"),
+      (col("bkg_mean") - col("bkg_median")).as("bkg_mean"),
+      lit(0.0).as("bkg_median"), col("bkg_std"))
 
-    // the subtracted image's background stats feed every later detection
-    // pass — estimated once, like the reference's fixed finder threshold
-    val subStats = Photometry.backgroundStats(sub)
-
-    // 3. FWHM from the brightest clean star; abort epoch on failure
-    val bright = Photometry.detectStars(sub, nSigma, 4, Double.MaxValue,
-      0, 0L, 0L, Some(subStats))
+    // 3. FWHM from the brightest clean star; abort epoch on failure. The
+    // candidate list is the above-threshold pixels themselves — the
+    // reference's search is an argmax walk over the image (np.max +
+    // np.where, core.py:72-76), not a detection pass, so feeding peak
+    // pixels directly matches its semantics and skips a detection chain.
+    val bright = sub.join(broadcast(subStats), Seq("img_id"))
+      .filter(col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
+      .select(col("img_id"), col("x").cast("double").as("xcentroid"),
+        col("y").cast("double").as("ycentroid"), col("v").as("peak"))
     val fwhm = findFwhm(spark, sub, bright)
     if (fwhm == 0.0) return Result("aborted_no_fwhm", 0.0, emptyCatalog(spark))
 
-    // 4. detection + image_mask: crowding exclusion + two-sided rank trim
+    // 4. detection + image_mask: crowding exclusion + two-sided rank trim.
+    // The catalog is tiny — checkpoint it so the mask joins and windows
+    // run over stored rows, not the re-derived detection joins.
     val detected = Photometry.detectStars(sub, nSigma,
       math.max(math.ceil(fwhm).toInt, 3), Double.MaxValue, 0, 0L, 0L,
-      Some(subStats))
+      Some(subStats)).localCheckpoint()
     val uncrowded = SpatialJoins.crowdingAnti(
       detected.withColumn("sid", col("star_id")),
       "sid", "xcentroid", "ycentroid", 5 * fwhm)
@@ -121,14 +152,16 @@ object EpochPipeline {
       Seq(col("star_id")), 5, 10)
 
     // guard: diagnostics-only epoch (psf_phot.py:78-82)
-    if (masked.count() < minStars || fwhm > maxStarsFwhm)
+    val maskedPinned = masked.localCheckpoint()
+    if (maskedPinned.count() < minStars || fwhm > maxStarsFwhm)
       return Result("diagnostics_only", fwhm, emptyCatalog(spark))
 
-    // 5+6. EPSF build + iterative PSF photometry. star_id restarts per
+    // 5+6. EPSF build from the masked catalog (build_psf(stars_tbl),
+    // psf_phot.py:76) + iterative PSF photometry. star_id restarts per
     // photometry iteration, so give every measured star a unique key
     // before anything joins on it.
     val results = Photometry.epsfPhotometry(spark, sub, fwhm, 2, nSigma,
-        statsOpt = Some(subStats))
+        statsOpt = Some(subStats), starsOpt = Some(maskedPinned))
       .withColumn("uid", row_number().over(
         Window.partitionBy(col("img_id"))
           .orderBy(col("iter_detected"), col("star_id"))))
@@ -170,7 +203,7 @@ object EpochPipeline {
     * epoch's stages schedule in parallel across executors. Returns the
     * union of per-epoch catalogs tagged with epoch_id, plus statuses. */
   def runEpochs(spark: SparkSession, pixels: DataFrame, epochCol: String,
-      height: Int, width: Int, nSigma: Double = 10.0,
+      width: Int, height: Int, nSigma: Double = 10.0,
       minStars: Int = 3): (Map[Long, String], DataFrame) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -184,7 +217,7 @@ object EpochPipeline {
       ep -> Future {
         run(spark,
           pixels.filter(col(epochCol) === ep).drop(epochCol),
-          height, width, nSigma, minStars = minStars)
+          width, height, nSigma, minStars = minStars)
       }
     }
     val results = jobs.map { case (ep, f) => ep -> Await.result(f, Duration.Inf) }

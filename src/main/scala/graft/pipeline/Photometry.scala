@@ -33,9 +33,20 @@ object Photometry {
     * buffering aggregate remains the right tool for the many-small-groups
     * call sites (median combine, annulus). */
   def backgroundStats(pixels: DataFrame, sigma: Double = 2.0,
-      maxIters: Int = 5): DataFrame = {
+      maxIters: Int = 5, bufferable: Boolean = false): DataFrame = {
     val spark = pixels.sparkSession
     import spark.implicits._
+    // when the caller can bound the per-image pixel count (small frames /
+    // fixtures), the buffering aggregate runs the whole clip fixpoint in
+    // ONE shuffle instead of maxIters+1 aggregate rounds — same clip
+    // semantics (SigmaClippedStats.clip), different physical plan. Full
+    // frames (16.7 M px = 134 MB buffers) must keep the loop.
+    if (bufferable) {
+      val scs = sigmaClippedStats(sigma, maxIters)
+      return pixels.groupBy(col("img_id")).agg(scs(col("v")).as("s"))
+        .select(col("img_id"), col("s.mean").as("bkg_mean"),
+          col("s.median").as("bkg_median"), col("s.std").as("bkg_std"))
+    }
     // pin the 2-column projection for the loop's repeated scans; released
     // before returning (the result itself is a collected model object)
     val base = pixels.select(col("img_id"), col("v")).persist()
@@ -58,7 +69,12 @@ object Photometry {
       val nxt = agg(cur)
       val prevN = res.map(r => r._1 -> r._2).toMap
       changed = nxt.exists(r => prevN.get(r._1).forall(_ != r._2))
-      res = nxt
+      // an image whose rows were ALL clipped this round vanishes from the
+      // groupBy result — keep its previous-round stats (the last non-empty
+      // survivor set, matching SigmaClippedStats.clip's kept.nonEmpty
+      // guard) instead of silently dropping the image downstream
+      val nxtImgs = nxt.map(_._1).toSet
+      res = nxt ++ res.filterNot(r => nxtImgs.contains(r._1))
       it += 1
     }
     base.unpersist(blocking = false)
@@ -67,8 +83,9 @@ object Photometry {
   }
 
   /** Global background subtraction (psf_phot.py:69: image −= median). */
-  def subtractBackground(pixels: DataFrame): DataFrame =
-    pixels.join(broadcast(backgroundStats(pixels)), Seq("img_id"))
+  def subtractBackground(pixels: DataFrame, bufferable: Boolean = false): DataFrame =
+    pixels.join(broadcast(backgroundStats(pixels, bufferable = bufferable)),
+        Seq("img_id"))
       .select(col("img_id"), col("y"), col("x"),
         (col("v") - col("bkg_median")).as("v"))
 
@@ -77,13 +94,14 @@ object Photometry {
     * then flux-weighted centroid over a (2R+1)² box.
     *
     * Scale shape: the threshold predicate keeps only candidate pixels (a
-    * ~1e-5 fraction at 10σ), and every later step — neighborhood max,
-    * shape stats, centroid box — is a join of the BIG pixel table against
-    * a candidate-derived small side, which AQE broadcasts. The pixel
-    * table is scanned three times and never shuffled or sorted; at 4096²
-    * frames this collapsed detection from two full-table sorts to pure
-    * scans. Emits one star row per image peak: the Generator shape
-    * (§2.11). */
+    * ~1e-5 fraction at 10σ); the 3×3 peak test is a candidates-only
+    * self-join (sub-threshold neighbors cannot outrank a candidate), and
+    * the one remaining pixel-table join gathers peak boxes with every
+    * shape statistic folded into a single aggregation. The pixel table is
+    * scanned exactly twice (threshold pass, box gather) and never
+    * shuffled or sorted. Requires boxRadius ≥ 1 (the 3×3 sharpness subset
+    * comes from the box). Emits one star row per image peak: the
+    * Generator shape (§2.11). */
   def detectStars(pixels: DataFrame, nSigma: Double, boxRadius: Int): DataFrame =
     detectStars(pixels, nSigma, boxRadius, Double.MaxValue, 0, 0L, 0L, None)
 
@@ -101,53 +119,55 @@ object Photometry {
       peakMax: Double, excludeBorder: Int, width: Long, height: Long,
       precomputedStats: Option[DataFrame] = None): DataFrame = {
     val stats = broadcast(precomputedStats.getOrElse(backgroundStats(pixels)))
-    // candidate pixels: above threshold, below saturation, inside the
-    // border — the only pixels that can be peaks. Tiny at any real nSigma;
-    // localCheckpoint'd because three later joins reuse it.
-    val cands = pixels.join(stats, Seq("img_id"))
-      .filter(col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std") &&
-        col("v") < lit(peakMax) &&
+    // above-threshold pixels: the only pixels that can be peaks OR beat a
+    // peak. Tiny at any real nSigma.
+    val aboveThr = pixels.join(stats, Seq("img_id"))
+      .filter(col("v") > col("bkg_median") + lit(nSigma) * col("bkg_std"))
+      .select(col("img_id"), col("y"), col("x"), col("v"), col("bkg_median"))
+      .localCheckpoint()
+    // peak-ELIGIBLE candidates additionally clear saturation (find_stars
+    // peak=100000, core.py:130-131) and the border margin
+    // (exclude_border=True, core.py:144)
+    val cands = aboveThr
+      .filter(col("v") < lit(peakMax) &&
         (if (excludeBorder > 0)
           col("x") >= excludeBorder && col("x") < lit(width - excludeBorder) &&
           col("y") >= excludeBorder && col("y") < lit(height - excludeBorder)
          else lit(true)))
-      .select(col("img_id"), col("y"), col("x"), col("v"), col("bkg_median"))
-      .localCheckpoint()
-    // gather each candidate's existing 3×3 neighborhood from the pixel
-    // table (big side streamed, candidate keys broadcast): block max for
-    // the plateau-tie-broken peak test — winner orders by (value desc,
-    // y asc, x asc) — plus block sum/count for DAOFIND-style sharpness:
-    // (peak − mean of the 8 neighbors) / peak
+    // 3×3 peak test — winner orders by (value desc, y asc, x asc), tie-
+    // broken for plateaus. A sub-threshold pixel is by construction
+    // smaller than every above-threshold center, so only above-threshold
+    // neighbors can win (including saturated/border pixels, which may
+    // VETO a peak but never be one): the test is a self-join of the tiny
+    // above-threshold set — the big pixel table is not touched.
     val offs = array((-1 to 1).map(lit): _*)
     val nbrKeys = cands
       .withColumn("dy", explode(offs)).withColumn("dx", explode(offs))
       .select(col("img_id"), (col("y") + col("dy")).as("y"),
         (col("x") + col("dx")).as("x"), col("y").as("cy"), col("x").as("cx"))
-    val nbr = pixels.join(nbrKeys, Seq("img_id", "y", "x"))
+    val winners = aboveThr.select(col("img_id"), col("y"), col("x"), col("v"))
+      .join(nbrKeys, Seq("img_id", "y", "x"))
       .groupBy(col("img_id"), col("cy"), col("cx"))
-      .agg(
-        max(struct(col("v").as("bv"), (-col("y")).as("bny"),
-          (-col("x")).as("bnx"))).as("winner"),
-        sum(col("v")).as("s2"), count(lit(1)).as("c2"))
-      .select(col("img_id"), col("cy").as("y"), col("cx").as("x"),
-        col("winner"), col("s2"), col("c2"))
-    val peaks = cands.join(nbr, Seq("img_id", "y", "x"))
+      .agg(max(struct(col("v").as("bv"), (-col("y")).as("bny"),
+        (-col("x")).as("bnx"))).as("winner"))
+      .select(col("img_id"), col("cy").as("y"), col("cx").as("x"), col("winner"))
+    val peaks = cands.join(winners, Seq("img_id", "y", "x"))
       .filter(struct(col("v").as("bv"), (-col("y")).as("bny"),
         (-col("x")).as("bnx")) === col("winner"))
       .select(col("img_id"), col("y").as("py"), col("x").as("px"),
-        col("v").as("peak"), col("bkg_median"),
-        when(col("c2") > 1 && col("v") =!= 0.0,
-          (col("v") - (col("s2") - col("v")) / (col("c2") - 1)) / col("v"))
-          .otherwise(lit(null)).as("sharpness"))
+        col("v").as("peak"), col("bkg_median"))
+    // ONE box gather per peak serves every remaining statistic: flux,
+    // flux-weighted centroid and npix over the (2R+1)² box; DAOFIND-style
+    // sharpness — (peak − mean of the 8 existing neighbors) / peak — from
+    // the |d|≤1 subset via conditional aggregates; roundness from the
+    // flux-weighted second moments about the centroid (marginal-width
+    // asymmetry, DAOFIND roundness2 analog), folded into the same pass.
     val boxOffs = array((-boxRadius to boxRadius).map(lit): _*)
     val box = peaks
       .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
       .select(col("img_id"), col("py"), col("px"), col("peak"), col("bkg_median"),
-        col("sharpness"),
         (col("py") + col("dy")).as("y"), (col("px") + col("dx")).as("x"))
-    // roundness from the flux-weighted second moments about the centroid
-    // (marginal-width asymmetry, DAOFIND roundness2 analog): computed from
-    // raw moments so it folds in the same aggregation as the centroid
+    val inner = abs(col("y") - col("py")) <= 1 && abs(col("x") - col("px")) <= 1
     val sw = sum(col("w")); val swx = sum(col("w") * col("x"))
     val swy = sum(col("w") * col("y"))
     val sxx = sum(col("w") * col("x") * col("x")) / sw - (swx / sw) * (swx / sw)
@@ -157,11 +177,16 @@ object Photometry {
       .groupBy(col("img_id"), col("py"), col("px"))
       .agg(first(col("peak")).as("peak"), sum(col("w")).as("flux"),
         (swx / sw).as("xcentroid"), (swy / sw).as("ycentroid"),
-        first(col("sharpness")).as("sharpness"),
+        sum(when(inner, col("v"))).as("s2"),
+        sum(when(inner, 1L)).as("c2"),
         when(sxx + syy =!= 0.0, (sxx - syy) / (sxx + syy))
           .otherwise(lit(null)).as("roundness"),
         count(lit(1)).cast(LongType).as("npix"),
         first(col("bkg_median")).as("sky"))
+      .withColumn("sharpness",
+        when(col("c2") > 1 && col("peak") =!= 0.0,
+          (col("peak") - (col("s2") - col("peak")) / (col("c2") - 1)) / col("peak"))
+          .otherwise(lit(null)))
       .withColumn("star_id", row_number().over(
         Window.partitionBy(col("img_id")).orderBy(col("py"), col("px"))))
       .withColumn("mag", lit(-2.5) * log10(col("flux")))
@@ -176,7 +201,7 @@ object Photometry {
     * (core.py:209 — a projection, no data movement beyond the final
     * combine), then per-pixel sigma-clipped median across the stack
     * (core.py:215-243). `height`/`width` wrap the roll like np.roll. */
-  def alignAndCombine(pixels: DataFrame, height: Int, width: Int,
+  def alignAndCombine(pixels: DataFrame, width: Int, height: Int,
       nSigma: Double = 10.0, matchRadius: Double = 20.0): DataFrame = {
     val stars = detectStars(pixels, nSigma, 3).cache()
     // no stars anywhere (cloudy epoch): no shift estimation possible —
@@ -296,7 +321,9 @@ object Photometry {
     * model object (abstraction #5) so the per-iteration centroid readback
     * is a driver-side scalar, not a data collect. */
   def buildEpsfIterative(pixels: DataFrame, stars: DataFrame, cutoutRadius: Int,
-      oversample: Int, maxIters: Int = 10, tol: Double = 1e-3): DataFrame = {
+      oversample: Int, maxIters: Int = 10, tol: Double = 1e-2): DataFrame = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
     val margin = 2 // covers recenter drift (tol-convergent shifts ≪ 1 px)
     val boxOffs = array((-(cutoutRadius + margin) to (cutoutRadius + margin))
       .map(lit): _*)
@@ -310,9 +337,13 @@ object Photometry {
         (round(col("xcentroid")).cast(LongType) + col("dx")).as("x"))
       .join(pixels, Seq("img_id", "y", "x"))
       .localCheckpoint()
+    // Per iteration: ONE distributed stacking aggregate; the stacked grid
+    // (≤ (2·oversample·(R+margin)+1)² cells — a model object, abstraction
+    // #5) is collected and the smoothing + recentering run driver-side,
+    // instead of paying a checkpoint + two more shuffles per round.
     var sx = 0.0
     var sy = 0.0
-    var epsf: DataFrame = null
+    var grid: Map[(Long, Long), Double] = Map.empty
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -326,14 +357,15 @@ object Photometry {
         .withColumn("nv", col("v") / col("flux"))
         .groupBy(col("w"), col("u"))
         .agg(avg(col("nv")).as("epsf"))
-      epsf = smoothEpsf(stacked).localCheckpoint()
-      val c = epsf.agg(
-        (sum(col("u") * col("epsf")) / sum(col("epsf"))).as("cu"),
-        (sum(col("w") * col("epsf")) / sum(col("epsf"))).as("cw")).head()
+        .select(col("w"), col("u"), col("epsf"))
+        .as[(Long, Long, Double)].collect()
+      grid = smoothCells(stacked.map(t => (t._1, t._2) -> t._3).toMap)
+      val se = grid.values.sum
       // empty stack (no stars / no cutout pixels) or all-zero model:
       // nothing to recenter — stop with whatever grid we have
-      if (c.isNullAt(0) || c.isNullAt(1)) return epsf
-      val (cu, cw) = (c.getDouble(0), c.getDouble(1))
+      if (grid.isEmpty || se == 0.0) return gridToDf(spark, grid)
+      val cu = grid.iterator.map { case ((_, u), v) => u * v }.sum / se
+      val cw = grid.iterator.map { case ((w, _), v) => w * v }.sum / se
       if (math.abs(cu) < tol * oversample && math.abs(cw) < tol * oversample) {
         converged = true
       } else {
@@ -342,7 +374,29 @@ object Photometry {
       }
       it += 1
     }
-    epsf
+    gridToDf(spark, grid)
+  }
+
+  /** Driver-side analog of [[smoothEpsf]]: identical tap weights and the
+    * same sum(contrib)/sum(weight) normalization over the cells present. */
+  private def smoothCells(cells: Map[(Long, Long), Double]): Map[(Long, Long), Double] = {
+    val kernel = Seq((-1L, 0.0625), (0L, 0.125), (1L, 0.0625))
+    val acc = scala.collection.mutable.HashMap
+      .empty[(Long, Long), (Double, Double)]
+    for (((w, u), v) <- cells; (dy, wy) <- kernel; (dx, wx) <- kernel) {
+      val wt = wy * wx / 0.0625
+      val key = (w + dy, u + dx)
+      val (c, s) = acc.getOrElse(key, (0.0, 0.0))
+      acc(key) = (c + v * wt, s + wt)
+    }
+    acc.iterator.map { case (k, (c, s)) => k -> c / s }.toMap
+  }
+
+  private def gridToDf(spark: SparkSession,
+      grid: Map[(Long, Long), Double]): DataFrame = {
+    import spark.implicits._
+    grid.iterator.map { case ((w, u), v) => (w, u, v) }.toSeq
+      .toDF("w", "u", "epsf")
   }
 
   /** PSF basis used by the group fits and model subtraction: evaluated in
@@ -428,11 +482,16 @@ object Photometry {
     * (do_photometry, psf_phot.py:84) — the reference's actual sequence. */
   def epsfPhotometry(spark: SparkSession, pixels: DataFrame, fwhm: Double,
       nIters: Int, nSigma: Double, oversample: Int = 2,
-      statsOpt: Option[DataFrame] = None): DataFrame = {
+      statsOpt: Option[DataFrame] = None,
+      starsOpt: Option[DataFrame] = None): DataFrame = {
     val boxR = math.max(math.ceil(2 * fwhm).toInt, 2)
     val stats = statsOpt.getOrElse(backgroundStats(pixels))
-    val stars = detectStars(pixels, nSigma, boxR, Double.MaxValue, 0, 0L, 0L,
-      Some(stats))
+    // the reference builds the EPSF from the caller's masked star table
+    // (build_psf(stars_tbl), psf_phot.py:76) — accept it and skip the
+    // extra detection pass; detect only when the caller has none
+    val stars = starsOpt.getOrElse(
+      detectStars(pixels, nSigma, boxR, Double.MaxValue, 0, 0L, 0L,
+        Some(stats)))
     val epsf = buildEpsfIterative(pixels, stars, boxR, oversample)
     val psf = collectGridPsf(epsf, boxR, oversample)
     // degenerate EPSF (starless field / empty stack): fall back to the
@@ -459,16 +518,21 @@ object Photometry {
     var iter = 1
     var continue = true
     while (iter <= nIters && continue) {
+      // checkpoint the round's catalog so the emptiness probe and the
+      // group fit don't each recompute the detection joins
       val stars = detectStars(residual, nSigma, boxR, Double.MaxValue,
-        0, 0L, 0L, Some(fixedStats))
-      val grouped = groupStars(spark, stars, boxR.toDouble)
-      if (grouped.isEmpty) { continue = false }
+        0, 0L, 0L, Some(fixedStats)).localCheckpoint()
+      if (stars.isEmpty) { continue = false }
       else {
+        val grouped = groupStars(spark, stars, boxR.toDouble)
         val fitted = fitGroups(spark, grouped, residual, psf, boxR)
           .withColumn("iter_detected", lit(iter))
           .localCheckpoint()
         results = results.unionByName(fitted.select(starSchema.map(f => col(f.name)): _*))
-        residual = subtractModel(residual, fitted, psf, boxR).localCheckpoint()
+        // the residual only feeds the NEXT round's detection — skip the
+        // subtraction after the final round
+        if (iter < nIters)
+          residual = subtractModel(residual, fitted, psf, boxR).localCheckpoint()
       }
       iter += 1
     }

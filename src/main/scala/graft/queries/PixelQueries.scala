@@ -24,36 +24,67 @@ object PixelQueries {
     * means the driver's sequential query runs don't re-render; the first
     * query that needs a stage pays for it. localCheckpoint also cuts the
     * downstream plans' analysis cost to a leaf scan. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private def cached(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), s"$key|$dir"),
-      build.localCheckpoint())
+      (build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      var t = memo.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        memo.put(s, t)
+        // weak keying lets a dereferenced session's entries be collected;
+        // an explicit stop drops them immediately
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            memo.synchronized { memo.remove(s) }
+        })
+      }
+      t
+    }
+    perSession.getOrElseUpdate(s"$key|$dir", build.localCheckpoint())
+  }
 
   /** Render: flat background 100 + one Gaussian per selected supplier, on a
-    * SIZE² grid. Deterministic in the fixture keys; no RNG. */
+    * SIZE² grid. Deterministic in the fixture keys; no RNG. Stars sit on a
+    * corners+center lattice whose minimum pairwise distance (31 px) clears
+    * the pipeline's 5·fwhm ≈ 21 px crowding radius, so the mask keeps all
+    * of them and the end-to-end epoch query exercises the `ok` branch. */
   private def renderField(s: SparkSession, d: String): DataFrame = {
+    val k = col("s_suppkey") - 1 // 0..4
     val stars = Tables.supplier(s, d)
       .filter(col("s_suppkey") < 6)
       .select(
-        ((col("s_suppkey") * 13 % 48) + 8).cast(DoubleType).as("sx"),
-        ((col("s_suppkey") * 29 % 48) + 8).cast(DoubleType).as("sy"),
+        when(k === 4, lit(32.0))
+          .otherwise(lit(10.0) + (k % 2) * 44).cast(DoubleType).as("sx"),
+        when(k === 4, lit(32.0))
+          .otherwise(lit(10.0) + floor(k / 2) * 44).cast(DoubleType).as("sy"),
         (col("s_acctbal") % 2000 + 1200).as("amp"))
     val grid = s.range(SIZE.toLong * SIZE).select(
       (col("id") / SIZE).cast(LongType).as("y"),
       (col("id") % SIZE).as("x"))
+    // deterministic pseudo-noise from pure integer arithmetic (Knuth
+    // multiplicative hash, exact in any engine — no transcendentals, so a
+    // DuckDB oracle reproduces it bit-for-bit): uniform ±3 ADU. Without
+    // noise the clipped background σ is degenerate and the 10σ detection
+    // threshold admits every Gaussian halo pixel as a candidate.
+    val noise = ((col("y") * 64 + col("x") + 1) * lit(2654435761L) % 1024
+      - lit(511.5)) / lit(1024.0) * 6.0
     grid.crossJoin(broadcast(stars))
       .withColumn("contrib", col("amp") * exp(
         (negate((col("x") - col("sx")) * (col("x") - col("sx")) +
           (col("y") - col("sy")) * (col("y") - col("sy")))) / lit(2.0 * 1.8 * 1.8)))
       .groupBy(col("y"), col("x"))
       .agg((sum(col("contrib")) + lit(100.0)).as("v"))
-      .select(lit(1L).as("img_id"), col("y"), col("x"), col("v"))
+      .select(lit(1L).as("img_id"), col("y"), col("x"),
+        (col("v") + noise).as("v"))
   }
 
   private def field(s: SparkSession, d: String): DataFrame =
     cached(s, d, "field")(renderField(s, d))
+  /** Test access to the rendered field (planted-truth pipeline specs). */
+  private[graft] def fieldFor(s: SparkSession, d: String): DataFrame = field(s, d)
   private def bgSub(s: SparkSession, d: String): DataFrame =
     cached(s, d, "bgsub")(Photometry.subtractBackground(field(s, d)))
   private def detected(s: SparkSession, d: String): DataFrame =

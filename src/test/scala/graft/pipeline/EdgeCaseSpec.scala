@@ -94,6 +94,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(detected.count() === 12)
   }
 
+  test("non-square frame: roll wraps x by width and y by height") {
+    // 40(w)×24(h) frame, star near the x>height edge so a swapped wrap
+    // (x mod 24) would both collide pixel keys and displace the peak
+    def field(imgId: Long, sx: Int, sy: Int) =
+      (for (y <- 0 until 24; x <- 0 until 40) yield {
+        val dx = x - (30.0 + sx); val dy = y - (12.0 + sy)
+        (imgId, y.toLong, x.toLong,
+          100.0 + 1000.0 * math.exp(-(dx * dx + dy * dy) / (2 * 1.5 * 1.5)))
+      }).toDF("img_id", "y", "x", "v")
+    val px = field(0, 0, 0).union(field(1, 2, 1))
+    val combined = Photometry.alignAndCombine(px, 40, 24)
+    assert(combined.count() === 40L * 24)
+    val peak = combined.filter($"y" === 12 && $"x" === 30)
+      .select("v").as[Double].head()
+    assert(peak > 900.0)
+  }
+
   test("empty star table: grouping and annulus return empty, not error") {
     val empty = Seq.empty[(Long, Int, Double, Double, Double, Double)]
       .toDF("img_id", "star_id", "xcentroid", "ycentroid", "peak", "flux")

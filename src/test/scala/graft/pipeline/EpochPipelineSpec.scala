@@ -59,6 +59,15 @@ class EpochPipelineSpec extends SparkSpec {
     assert(catalog.filter(col("epoch_id") === 3L).count() === 0)
   }
 
+  test("driver q83: rendered fixture field runs the ok branch, non-empty catalog") {
+    val sf = "/root/testdata/sf0.001"
+    val res = EpochPipeline.run(spark,
+      graft.queries.PixelQueries.fieldFor(spark, sf), 64, 64, minStars = 2)
+    assert(res.status === "ok")
+    assert(res.catalog.count() >= 5) // all five rendered stars measured
+    assert(graft.SparkEntry.queries("q83_epoch_pipeline")(spark, sf).count() >= 5)
+  }
+
   test("epoch aborts with no-FWHM status on a starless field") {
     val rnd = new scala.util.Random(9)
     val flat = (for (y <- 0 until 48; x <- 0 until 48)
