@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
+import graft.Compat._
 import graft.pipeline.{GaussianFit, Photometry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,33 +86,156 @@ object PixelQueries {
     cached(s, d, "field")(renderField(s, d))
   /** Test access to the rendered field (planted-truth pipeline specs). */
   private[graft] def fieldFor(s: SparkSession, d: String): DataFrame = field(s, d)
+  /** One clip pass (bufferable: the 64² frame fits an aggregation buffer)
+    * serves subtraction AND detection thresholds — clipping is
+    * shift-invariant, so the subtracted image's stats are this row
+    * re-centered at zero. */
+  private def stats0(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "stats")(
+      Photometry.backgroundStats(field(s, d), bufferable = true))
+  private def shiftedStats(s: SparkSession, d: String): DataFrame =
+    stats0(s, d).select(col("img_id"),
+      (col("bkg_mean") - col("bkg_median")).as("bkg_mean"),
+      lit(0.0).as("bkg_median"), col("bkg_std"))
   private def bgSub(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "bgsub")(Photometry.subtractBackground(field(s, d)))
+    cached(s, d, "bgsub")(
+      field(s, d).join(broadcast(stats0(s, d)), Seq("img_id"))
+        .select(col("img_id"), col("y"), col("x"),
+          (col("v") - col("bkg_median")).as("v")))
   private def detected(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "stars")(Photometry.detectStars(bgSub(s, d), 10.0, 4))
+    cached(s, d, "stars")(Photometry.detectStars(bgSub(s, d), 10.0, 4,
+      Double.MaxValue, 0, 0L, 0L, Some(shiftedStats(s, d))))
+
+  /** The DuckDB replica of the whole rendered-field detection chain —
+    * every stage is exact-arithmetic-reproducible: the render uses integer
+    * hash noise and IEEE +,−,×,÷ (plus EXP, whose ≤1-ulp cross-engine skew
+    * is absorbed by soft thresholds and ROUND(…,6) outputs); the clip
+    * fixpoint unrolls to 5 filter rounds (a converged set is a fixed point
+    * of further passes); MEDIAN/STDDEV_POP match the aggregate's
+    * numpy-median/population-std; the 3×3 peak test and box stats restate
+    * detectStars' joins relationally. */
+  private val detectSqlPrefix = """WITH stars AS (
+      SELECT CASE WHEN s_suppkey - 1 = 4 THEN 32.0
+                  ELSE 10.0 + ((s_suppkey - 1) % 2) * 44 END AS sx,
+             CASE WHEN s_suppkey - 1 = 4 THEN 32.0
+                  ELSE 10.0 + FLOOR((s_suppkey - 1) / 2) * 44 END AS sy,
+             s_acctbal % 2000 + 1200 AS amp
+      FROM supplier WHERE s_suppkey < 6),
+    grid AS (SELECT CAST(range // 64 AS BIGINT) AS y,
+                    CAST(range % 64 AS BIGINT) AS x FROM range(4096)),
+    render AS (
+      SELECT y, x,
+        SUM(amp * EXP((-((x - sx)*(x - sx) + (y - sy)*(y - sy))) / (2.0 * 1.8 * 1.8))) + 100.0
+          + ((y * 64 + x + 1) * 2654435761 % 1024 - 511.5) / 1024.0 * 6.0 AS v
+      FROM grid CROSS JOIN stars GROUP BY y, x),
+    c0 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM render),
+    r1 AS (SELECT v, y, x FROM render, c0 WHERE ABS(v - med) <= 2.0 * sd),
+    c1 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r1),
+    r2 AS (SELECT v, y, x FROM r1, c1 WHERE ABS(v - med) <= 2.0 * sd),
+    c2 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r2),
+    r3 AS (SELECT v, y, x FROM r2, c2 WHERE ABS(v - med) <= 2.0 * sd),
+    c3 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r3),
+    r4 AS (SELECT v, y, x FROM r3, c3 WHERE ABS(v - med) <= 2.0 * sd),
+    c4 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r4),
+    r5 AS (SELECT v, y, x FROM r4, c4 WHERE ABS(v - med) <= 2.0 * sd),
+    bstats AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r5),
+    bgsub AS (SELECT y, x, v - (SELECT med FROM bstats) AS v FROM render),
+    cands AS (SELECT b.y, b.x, b.v FROM bgsub b, bstats
+              WHERE b.v > 0.0 + 10.0 * sd),
+    nbr AS (SELECT c.y AS cy, c.x AS cx, n.v AS nv, n.y AS ny, n.x AS nx
+            FROM cands c JOIN cands n
+              ON n.y BETWEEN c.y - 1 AND c.y + 1
+             AND n.x BETWEEN c.x - 1 AND c.x + 1),
+    win AS (SELECT cy, cx, ny, nx,
+              ROW_NUMBER() OVER (PARTITION BY cy, cx
+                ORDER BY nv DESC, ny, nx) AS rn
+            FROM nbr),
+    peaks AS (SELECT w.cy AS py, w.cx AS px, c.v AS peak
+              FROM win w JOIN cands c ON c.y = w.cy AND c.x = w.cx
+              WHERE w.rn = 1 AND w.ny = w.cy AND w.nx = w.cx),
+    boxw AS (SELECT p.py, p.px, p.peak, b.y, b.x, b.v,
+               GREATEST(b.v - 0.0, 0.0) AS w
+             FROM peaks p JOIN bgsub b
+               ON b.y BETWEEN p.py - 4 AND p.py + 4
+              AND b.x BETWEEN p.px - 4 AND p.px + 4),
+    det AS (SELECT py, px, MIN(peak) AS peak,
+              SUM(w) AS flux,
+              SUM(w * x) / SUM(w) AS xcentroid,
+              SUM(w * y) / SUM(w) AS ycentroid,
+              SUM(CASE WHEN ABS(y - py) <= 1 AND ABS(x - px) <= 1 THEN v END) AS s2,
+              SUM(CASE WHEN ABS(y - py) <= 1 AND ABS(x - px) <= 1 THEN 1 END) AS c2,
+              SUM(w * x * x) / SUM(w) - (SUM(w * x) / SUM(w)) * (SUM(w * x) / SUM(w)) AS sxx,
+              SUM(w * y * y) / SUM(w) - (SUM(w * y) / SUM(w)) * (SUM(w * y) / SUM(w)) AS syy,
+              COUNT(*) AS npix
+            FROM boxw GROUP BY py, px)"""
 
   /** Detection generator on the rendered field (find_stars semantics,
-    * core.py:116-146): one output row per detected star. */
+    * core.py:116-146): one output row per detected star. Outputs rounded
+    * to 6 dp on both sides (transcendental render + ratio outputs). */
   private val q80 = NamedQuery(
     "q80_star_detection",
-    (s, d) => detected(s, d),
-    None)
+    (s, d) => detected(s, d).select(col("img_id"), col("star_id"),
+      r6(col("xcentroid")).as("xcentroid"),
+      r6(col("ycentroid")).as("ycentroid"),
+      r6(col("sharpness")).as("sharpness"),
+      r6(col("roundness")).as("roundness"),
+      col("npix"), r6(col("sky")).as("sky"), r6(col("peak")).as("peak"),
+      r6(col("flux")).as("flux"), r6(col("mag")).as("mag")),
+    Some(detectSqlPrefix + """
+      SELECT CAST(1 AS BIGINT) AS img_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY py, px) AS INTEGER) AS star_id,
+        ROUND(xcentroid, 6) AS xcentroid,
+        ROUND(ycentroid, 6) AS ycentroid,
+        ROUND(CASE WHEN c2 > 1 AND peak <> 0.0
+          THEN (peak - (s2 - peak) / (c2 - 1)) / peak END, 6) AS sharpness,
+        ROUND(CASE WHEN sxx + syy <> 0.0
+          THEN (sxx - syy) / (sxx + syy) END, 6) AS roundness,
+        npix, 0.0 AS sky,
+        ROUND(peak, 6) AS peak,
+        ROUND(flux, 6) AS flux,
+        ROUND(-2.5 * LOG10(flux), 6) AS mag
+      FROM det"""))
 
   /** Iteratively-subtracted PSF photometry on the rendered field
     * (do_photometry, core.py:416-452). */
   private val q81 = NamedQuery(
     "q81_psf_photometry",
     (s, d) => Photometry.iterativePhotometry(s, bgSub(s, d),
-      fwhm = 1.8 * GaussianFit.SigmaToFwhm, nIters = 2, nSigma = 10.0),
+      fwhm = 1.8 * GaussianFit.SigmaToFwhm, nIters = 2, nSigma = 10.0,
+      stats = Some(shiftedStats(s, d))),
     None)
 
   /** Per-star annulus background on the rendered field (bkg_sub,
-    * core.py:352-381). */
+    * core.py:352-381): ring predicate around each detected star's
+    * centroid, per-star 5-round clip, median of survivors. */
   private val q82 = NamedQuery(
     "q82_annulus_background",
     (s, d) => Photometry.annulusBackground(
-      field(s, d), detected(s, d), 6.0, 10.0),
-    None)
+        field(s, d), detected(s, d), 6.0, 10.0)
+      .select(col("img_id"), col("star_id"),
+        r6(col("annulus_bkg")).as("annulus_bkg"), col("n_annulus")),
+    Some(detectSqlPrefix + """,
+      stars2 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY py, px) AS INTEGER) AS star_id,
+                   xcentroid, ycentroid FROM det),
+      ring AS (SELECT s.star_id, r.v
+        FROM stars2 s JOIN render r
+          ON r.y BETWEEN ROUND(s.ycentroid) - 10 AND ROUND(s.ycentroid) + 10
+         AND r.x BETWEEN ROUND(s.xcentroid) - 10 AND ROUND(s.xcentroid) + 10
+        WHERE (r.x - s.xcentroid)*(r.x - s.xcentroid) + (r.y - s.ycentroid)*(r.y - s.ycentroid) >= 36.0
+          AND (r.x - s.xcentroid)*(r.x - s.xcentroid) + (r.y - s.ycentroid)*(r.y - s.ycentroid) < 100.0),
+      b0 AS (SELECT star_id AS g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM ring GROUP BY star_id),
+      a1 AS (SELECT star_id AS g, v FROM ring JOIN b0 ON b0.g = ring.star_id WHERE ABS(v - med) <= 2.0 * sd),
+      b1 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a1 GROUP BY g),
+      a2 AS (SELECT a1.g, a1.v FROM a1 JOIN b1 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b2 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a2 GROUP BY g),
+      a3 AS (SELECT a2.g, a2.v FROM a2 JOIN b2 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b3 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a3 GROUP BY g),
+      a4 AS (SELECT a3.g, a3.v FROM a3 JOIN b3 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b4 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a4 GROUP BY g),
+      a5 AS (SELECT a4.g, a4.v FROM a4 JOIN b4 USING (g) WHERE ABS(v - med) <= 2.0 * sd)
+      SELECT CAST(1 AS BIGINT) AS img_id, g AS star_id,
+        ROUND(MEDIAN(v), 6) AS annulus_bkg, COUNT(*) AS n_annulus
+      FROM a5 GROUP BY g"""))
 
   /** The reference's complete per-epoch pipeline (psf_phot.py:9-98) on the
     * rendered field: combine → background → FWHM → mask → EPSF →
