@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible correctness traces for the APPROXIMATE operators
+  * (SURVEY.md §2.10 + §2.5): each query here computes the approximate
+  * result AND its exact reference in the same plan and returns the
+  * comparison (recall / precision / relative error) as rows. The
+  * approximate side is not ANSI-SQL-expressible, so these are rows-only
+  * driver entries — but the returned values are deterministic (fixed
+  * seeds, deterministic tie-breaks), so regressions in the approximate
+  * operators surface as changed recall rows in the verify dump, not just
+  * as ScalaTest failures invisible to the driver.
+  */
+object RecallQueries {
+
+  private def probes(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+
+  /** recall@5 per probe of one ANN result against the exact top-5. */
+  private def topkRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val a = approx.select(col("q_id"), col("vec_id").as("a_vec"))
+    e.join(a, e("q_id") === a("q_id") && col("vec_id") === col("a_vec"),
+        "left_outer")
+      .groupBy(e("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("a_vec")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
+  /** q95: IVF ANN (q71's exact configuration) recall@5 vs brute force. */
+  private val q95 = NamedQuery(
+    "q95_ann_ivf_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      topkRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5),
+        Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+          probes(s, d), "vec_id", "embedding", 5, 3))
+    },
+    None)
+
+  /** q96: sign-LSH ANN (q74's exact configuration) recall@5 vs brute
+    * force. */
+  private val q96 = NamedQuery(
+    "q96_ann_lsh_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      topkRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5),
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5, dims = 64))
+    },
+    None)
+
+  /** q97: LSH near-dup pairs (q88's configuration) vs the exact all-pairs
+    * set (q72's): one summary row. Precision is 1.0 by construction (every
+    * LSH candidate is exact-verified against the same threshold); recall
+    * is the banding tradeoff being certified. */
+  private val q97 = NamedQuery(
+    "q97_neardup_lsh_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45,
+          dims = 64, nBits = 64, nBands = 8)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
+        .join(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_exact"), col("n_lsh"),
+          round(col("n_lsh") / col("n_exact"), 6).as("recall"),
+          // union size == exact size ⇔ no false positives
+          round(col("n_exact") / col("n_union"), 6).as("precision_floor"))
+    },
+    None)
+
+  /** q98: HLL++ approx_count_distinct (q17b's aggregate) relative error vs
+    * the exact distinct count, per group. */
+  private val q98 = NamedQuery(
+    "q98_hll_rel_error",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .select(col("l_returnflag"), col("exact_orders"), col("approx_orders"),
+        round(abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders"), 6).as("rel_error")),
+    None)
+
+  /** q99: SimHash chunk-banding (q63's candidate generator) recall vs the
+    * exact all-pairs Hamming scan — the pigeonhole guarantee (≤3 differing
+    * bits leave one 16-bit chunk intact) made driver-visible: recall must
+    * be exactly 1.0. The all-pairs reference is quadratic and exists ONLY
+    * as this fixture-scale certificate; the banded path is the operator. */
+  private val q99 = NamedQuery(
+    "q99_simhash_band_recall",
+    (s, d) => {
+      val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      val exact = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.simhash ^ b.simhash)") <= 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val banded = Dedup.simhashPairs(Tables.documents(s, d), "doc_id",
+          "text", 3)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      exact.join(banded, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_banded"))
+        .select(col("n_exact"), col("n_banded"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_banded") / col("n_exact"), 6))
+            .as("recall"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99)
+}
