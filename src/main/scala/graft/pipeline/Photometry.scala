@@ -575,11 +575,20 @@ object Photometry {
         "peak", "flux")
   }
 
-  /** Per-group linear LSQ: solve (ΦᵀΦ)f = Φᵀz for member fluxes, Gaussian
-    * basis φ_j centered on fixed centroids. Pixel evidence is gathered by a
-    * box join keyed on (img, group); each group solves a k×k system. */
+  /** Per-group PSF fit (fit_stars, core.py:442-450): a linear LSQ warm
+    * start — solve (ΦᵀΦ)f = Φᵀz for member fluxes at the detection
+    * centroids — then `posSteps` damped Gauss-Newton iterations over the
+    * full per-group parameter vector [fluxes, x positions, y positions],
+    * matching the reference's LevMar fit of flux AND position. Position
+    * derivatives are central differences (the EPSF grid has no analytic
+    * gradient); steps are clamped to ±0.5 px and the star is kept inside
+    * its evidence box. Pixel evidence is gathered by a box join keyed on
+    * (img, group); each group solves a 3k×3k system — group cardinality
+    * is crowding-bounded, so the solve stays O(1) per group at any data
+    * scale. */
   private def fitGroups(spark: SparkSession, grouped: DataFrame,
-      residual: DataFrame, psf: PsfModel, boxR: Int): DataFrame = {
+      residual: DataFrame, psf: PsfModel, boxR: Int,
+      posSteps: Int = 2): DataFrame = {
     import spark.implicits._
     val boxOffs = array((-boxR to boxR).map(lit): _*)
     val box = grouped
@@ -619,9 +628,66 @@ object Photometry {
         for (a <- 0 until k) ata(a)(a) += 1e-9
         val fluxesRaw = LinAlg.solve(ata, atb).getOrElse(new Array[Double](k))
         val vol = psf.volume
+        // Gauss-Newton refinement of [f, x, y] around the warm start
+        val xs = members.map(_._2)
+        val ys = members.map(_._3)
+        val fs = fluxesRaw.clone()
+        val h = 0.25 // central-difference step; resolves oversample≥2 grids
+        var step = 0
+        while (step < posSteps && k > 0) {
+          val n3 = 3 * k
+          val jtj = Array.ofDim[Double](n3, n3)
+          val jtr = new Array[Double](n3)
+          val jrow = new Array[Double](n3)
+          var pi = 0
+          while (pi < pix.length) {
+            val px = pix(pi)._1.toDouble
+            val py = pix(pi)._2.toDouble
+            var model = 0.0
+            var j = 0
+            while (j < k) {
+              val dx = px - xs(j); val dy = py - ys(j)
+              val phi0 = psf.eval(dx, dy)
+              model += fs(j) * phi0
+              jrow(j) = phi0
+              // ∂model/∂x_j = −f_j·∂φ/∂dx (dx = px − x_j)
+              jrow(k + j) = -fs(j) *
+                (psf.eval(dx + h, dy) - psf.eval(dx - h, dy)) / (2 * h)
+              jrow(2 * k + j) = -fs(j) *
+                (psf.eval(dx, dy + h) - psf.eval(dx, dy - h)) / (2 * h)
+              j += 1
+            }
+            val r = pix(pi)._3 - model
+            var a = 0
+            while (a < n3) {
+              jtr(a) += jrow(a) * r
+              var b = 0
+              while (b < n3) { jtj(a)(b) += jrow(a) * jrow(b); b += 1 }
+              a += 1
+            }
+            pi += 1
+          }
+          // Levenberg damping (relative) + absolute ridge for flat columns
+          var a = 0
+          while (a < n3) { jtj(a)(a) += 1e-3 * jtj(a)(a) + 1e-9; a += 1 }
+          LinAlg.solve(jtj, jtr) match {
+            case Some(delta) =>
+              var j = 0
+              while (j < k) {
+                fs(j) += delta(j)
+                val mx = members(j)._2; val my = members(j)._3
+                xs(j) = math.max(mx - boxR * 0.5, math.min(mx + boxR * 0.5,
+                  xs(j) + math.max(-0.5, math.min(0.5, delta(k + j)))))
+                ys(j) = math.max(my - boxR * 0.5, math.min(my + boxR * 0.5,
+                  ys(j) + math.max(-0.5, math.min(0.5, delta(2 * k + j)))))
+                j += 1
+              }
+            case None => step = posSteps // singular: keep current params
+          }
+          step += 1
+        }
         members.indices.iterator.map { mi =>
-          (img, members(mi)._1, gid, members(mi)._2, members(mi)._3,
-            fluxesRaw(mi) * vol, 0)
+          (img, members(mi)._1, gid, xs(mi), ys(mi), fs(mi) * vol, 0)
         }
       }
       .toDF("img_id", "star_id", "group_id", "x_fit", "y_fit", "flux_fit",

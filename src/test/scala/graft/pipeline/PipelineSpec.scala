@@ -173,6 +173,25 @@ class PhotometrySpec extends SparkSpec {
     }
   }
 
+  test("group fit refines fractional positions to sub-0.1px (LevMar parity)") {
+    // fractional centers: moment centroids over a truncated box are biased
+    // here, so passing requires the Gauss-Newton position refinement
+    // (core.py:442-450 fits flux AND position), not just the warm start
+    val frac = Seq((12.4, 14.7, 800.0, 1.8), (40.6, 22.3, 600.0, 1.8),
+      (30.2, 45.8, 700.0, 1.8))
+    val px = Photometry.subtractBackground(starField(1L, 64, 100.0, frac))
+    val fwhm = 1.8 * GaussianFit.SigmaToFwhm
+    val out = Photometry.iterativePhotometry(spark, px, fwhm, 1, 10.0)
+      .select("x_fit", "y_fit").as[(Double, Double)].collect()
+    frac.foreach { case (sx, sy, _, _) =>
+      val got = out.minBy(o =>
+        (o._1 - sx) * (o._1 - sx) + (o._2 - sy) * (o._2 - sy))
+      val err = math.sqrt(
+        (got._1 - sx) * (got._1 - sx) + (got._2 - sy) * (got._2 - sy))
+      assert(err < 0.1, s"position error $err at ($sx,$sy), got $got")
+    }
+  }
+
   test("residual cutouts: image center bright, residual center near zero") {
     val sig = 1.8
     val px = Photometry.subtractBackground(starField(1L, 64, 100.0, planted))
