@@ -112,14 +112,16 @@ object Similarity {
     val p = probes.select(col(probeId).as("q_id"),
         normalized(toDouble(col(probeVec))).as("qe"))
       .withColumn("bk", explode(bandKeys(col("qe"))))
+    // cosine computed at the band join (deterministic per pair) so the
+    // candidate dedup shuffles 3 scalars, not two 64-dim vectors
     val cands = c.join(broadcast(p), Seq("bk"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
+      .select(col("q_id"), col("vec_id"),
+        dot(col("qe"), col("e")).as("cos_raw"))
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     cands
-      .withColumn("cos_raw", dot(col("qe"), col("e")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
@@ -147,14 +149,19 @@ object Similarity {
     val sigs = corpus
       .select(col(id).as("vid"), normalized(toDouble(col(vec))).as("e"))
       .withColumn("bk", explode(array(bands: _*)))
-    val cands = sigs.as("a").join(sigs.as("b"),
+    // the cosine is deterministic per pair, so it's computed AT the band
+    // join (where both vectors already sit) and the threshold filter runs
+    // BEFORE the pair dedup: the dedup exchange then shuffles only
+    // (id_a, id_b, cosine) scalars for surviving near-dups — never the
+    // vector payloads, and never the sub-threshold candidate majority.
+    // Duplicate candidates (pairs sharing >1 band) carry bit-identical
+    // cosines, so dropDuplicates keeps an arbitrary but identical row.
+    sigs.as("a").join(sigs.as("b"),
         col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        col("a.e").as("ea"), col("b.e").as("eb"))
-      .dropDuplicates("id_a", "id_b")
-    cands
-      .withColumn("cosine_raw", dot(col("ea"), col("eb")))
+        dot(col("a.e"), col("b.e")).as("cosine_raw"))
       .filter(col("cosine_raw") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("cosine_raw"), 6).as("cosine"))
   }
