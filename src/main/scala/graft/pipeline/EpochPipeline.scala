@@ -200,27 +200,40 @@ object EpochPipeline {
 
   /** The outer per-epoch loop (psf_phot.py:44): epochs are independent, so
     * they run as concurrent Spark jobs from the driver — on a cluster each
-    * epoch's stages schedule in parallel across executors. Returns the
-    * union of per-epoch catalogs tagged with epoch_id, plus statuses. */
+    * epoch's stages schedule in parallel across executors. Concurrency is
+    * BOUNDED by a fixed-size pool (`parallelism`, default 4): a 350-epoch
+    * campaign must not spawn 350 driver threads each holding job state and
+    * localCheckpoint blocks — epochs beyond the bound queue and recycle
+    * the same workers, keeping peak driver memory and scheduler pressure
+    * flat no matter the campaign length. Returns the union of per-epoch
+    * catalogs tagged with epoch_id, plus statuses. */
   def runEpochs(spark: SparkSession, pixels: DataFrame, epochCol: String,
       width: Int, height: Int, nSigma: Double = 10.0,
-      minStars: Int = 3): (Map[Long, String], DataFrame) = {
+      minStars: Int = 3, parallelism: Int = 4): (Map[Long, String], DataFrame) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    require(parallelism >= 1, "parallelism must be positive")
     val epochs = pixels.select(col(epochCol)).distinct()
       .collect().map(_.getLong(0)).sorted
     if (epochs.isEmpty)
       return (Map.empty[Long, String],
         emptyCatalog(spark).withColumn("epoch_id", lit(null).cast("long")))
-    val jobs = epochs.map { ep =>
-      ep -> Future {
-        run(spark,
-          pixels.filter(col(epochCol) === ep).drop(epochCol),
-          width, height, nSigma, minStars = minStars)
-      }
-    }
-    val results = jobs.map { case (ep, f) => ep -> Await.result(f, Duration.Inf) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, epochs.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val results =
+      try {
+        // submit everything up front (the pool queues past the bound),
+        // await in epoch order
+        val jobs = epochs.map { ep =>
+          ep -> Future {
+            run(spark,
+              pixels.filter(col(epochCol) === ep).drop(epochCol),
+              width, height, nSigma, minStars = minStars)
+          }
+        }
+        jobs.map { case (ep, f) => ep -> Await.result(f, Duration.Inf) }
+      } finally pool.shutdown()
     val statuses = results.map { case (ep, r) => ep -> r.status }.toMap
     val catalogs = results.map { case (ep, r) =>
       r.catalog.withColumn("epoch_id", lit(ep))

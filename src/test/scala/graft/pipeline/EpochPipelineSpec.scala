@@ -59,6 +59,22 @@ class EpochPipelineSpec extends SparkSpec {
     assert(catalog.filter(col("epoch_id") === 3L).count() === 0)
   }
 
+  test("campaign-scale epoch loop: 10 epochs through a parallelism-2 pool") {
+    // more epochs than pool slots: work must queue and recycle the two
+    // workers (the 350-epoch campaign shape), not spawn a thread per epoch
+    val rnd = new scala.util.Random(11)
+    val epochs = (1L to 10L).map { ep =>
+      (for (y <- 0 until 24; x <- 0 until 24)
+        yield (ep * 100, y.toLong, x.toLong, 100.0 + rnd.nextGaussian()))
+        .toDF("img_id", "y", "x", "v").withColumn("epoch_id", lit(ep))
+    }.reduce(_ union _)
+    val (statuses, catalog) = EpochPipeline.runEpochs(spark, epochs,
+      "epoch_id", 24, 24, minStars = 2, parallelism = 2)
+    assert(statuses.size === 10)
+    assert(statuses.values.forall(_ === "aborted_no_fwhm"))
+    assert(catalog.count() === 0)
+  }
+
   test("driver q83: rendered fixture field runs the ok branch, non-empty catalog") {
     val sf = "/root/testdata/sf0.001"
     val res = EpochPipeline.run(spark,
