@@ -27,23 +27,20 @@ import org.apache.spark.sql.functions._
 object Fits {
 
   final case class Hdu(header: Map[String, String], bitpix: Int,
-      axes: Seq[Int], dataOffset: Int, dataLength: Int)
+      axes: Seq[Int], dataOffset: Long, dataLength: Long)
 
   private val Block = 2880
   private val Card = 80
 
-  /** Parse one header starting at `off`; returns (cards, offset after the
-    * last header block). Duplicate keywords keep the first value, matching
-    * astropy's `header[key]` lookup semantics. */
-  private def parseHeader(bytes: Array[Byte], off: Int): (Map[String, String], Int) = {
-    val cards = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var p = off
-    var done = false
-    while (!done && p + Card <= bytes.length) {
-      val card = new String(bytes, p, Card, "US-ASCII")
-      val key = card.substring(0, 8).trim
-      if (key == "END") done = true
-      else if (key.nonEmpty && card.length > 10 && card.charAt(8) == '=') {
+  /** Parse one 80-byte card into `cards`; returns true on END. Duplicate
+    * keywords keep the first value, matching astropy's `header[key]`
+    * lookup semantics. */
+  private def parseCard(card: String,
+      cards: scala.collection.mutable.LinkedHashMap[String, String]): Boolean = {
+    val key = card.substring(0, 8).trim
+    if (key == "END") true
+    else {
+      if (key.nonEmpty && card.length > 10 && card.charAt(8) == '=') {
         // strip inline comment (a '/' outside a quoted string), unquote
         val raw = card.substring(10)
         val value = {
@@ -58,11 +55,72 @@ object Fits {
         }
         if (!cards.contains(key)) cards(key) = value
       }
+      false
+    }
+  }
+
+  /** Parse one header starting at `off`; returns (cards, offset after the
+    * last header block). */
+  private def parseHeader(bytes: Array[Byte], off: Int): (Map[String, String], Int) = {
+    val cards = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var p = off
+    var done = false
+    while (!done && p + Card <= bytes.length) {
+      done = parseCard(new String(bytes, p, Card, "US-ASCII"), cards)
       p += Card
     }
     // advance to the end of the current 2880 block
     val headerEnd = off + ((p - off + Block - 1) / Block) * Block
     (cards.toMap, headerEnd)
+  }
+
+  /** Parse one header from a positioned-readable stream starting at byte
+    * `off`: header blocks are read one at a time; data bytes are never
+    * touched. Returns (cards, data offset). */
+  private def parseHeaderAt(read: (Long, Array[Byte]) => Unit, off: Long,
+      fileLen: Long): (Map[String, String], Long) = {
+    val cards = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val block = new Array[Byte](Block)
+    var p = off
+    var done = false
+    while (!done && p + Block <= fileLen) {
+      read(p, block)
+      var c = 0
+      while (!done && c < Block) {
+        done = parseCard(new String(block, c, Card, "US-ASCII"), cards)
+        c += Card
+      }
+      p += Block
+    }
+    (cards.toMap, p)
+  }
+
+  private def hduFrom(header: Map[String, String], dataOff: Long): Hdu = {
+    val bitpix = header.get("BITPIX").map(_.toInt).getOrElse(8)
+    val naxis = header.get("NAXIS").map(_.toInt).getOrElse(0)
+    val axes = (1 to naxis).map(i => header(s"NAXIS$i").toInt)
+    val dataLen = if (naxis == 0) 0L
+      else axes.map(_.toLong).product * (math.abs(bitpix) / 8)
+    Hdu(header, bitpix, axes, dataOff, dataLen)
+  }
+
+  /** Locate HDU `hduIndex` through a positioned reader WITHOUT reading any
+    * data bytes: headers stream block-wise, data extents are skipped by
+    * offset arithmetic. O(header bytes) I/O at any file length — the
+    * >2 GiB-safe path the DSv2 connector uses (file offsets are Long
+    * throughout). */
+  def locateHdu(read: (Long, Array[Byte]) => Unit, fileLen: Long,
+      hduIndex: Int): Option[Hdu] = {
+    var off = 0L
+    var idx = 0
+    while (off + Block <= fileLen) {
+      val (header, dataOff) = parseHeaderAt(read, off, fileLen)
+      val hdu = hduFrom(header, dataOff)
+      if (idx == hduIndex) return Some(hdu)
+      off = dataOff + ((hdu.dataLength + Block - 1) / Block) * Block
+      idx += 1
+    }
+    None
   }
 
   /** Split a FITS byte array into its HDUs (primary + extensions). */
@@ -71,13 +129,9 @@ object Fits {
     var off = 0
     while (off + Block <= bytes.length) {
       val (header, dataOff) = parseHeader(bytes, off)
-      val bitpix = header.get("BITPIX").map(_.toInt).getOrElse(8)
-      val naxis = header.get("NAXIS").map(_.toInt).getOrElse(0)
-      val axes = (1 to naxis).map(i => header(s"NAXIS$i").toInt)
-      val dataLen = if (naxis == 0) 0
-        else axes.product * (math.abs(bitpix) / 8)
-      out += Hdu(header, bitpix, axes, dataOff, dataLen)
-      off = dataOff + ((dataLen + Block - 1) / Block) * Block
+      val hdu = hduFrom(header, dataOff.toLong)
+      out += hdu
+      off = dataOff + (((hdu.dataLength + Block - 1) / Block) * Block).toInt
     }
     out.result()
   }
@@ -87,7 +141,7 @@ object Fits {
     val n = if (hdu.axes.isEmpty) 0 else hdu.axes.product
     val bscale = hdu.header.get("BSCALE").map(_.toDouble).getOrElse(1.0)
     val bzero = hdu.header.get("BZERO").map(_.toDouble).getOrElse(0.0)
-    val buf = ByteBuffer.wrap(bytes, hdu.dataOffset, hdu.dataLength)
+    val buf = ByteBuffer.wrap(bytes, hdu.dataOffset.toInt, hdu.dataLength.toInt)
       .order(ByteOrder.BIG_ENDIAN)
     val out = new Array[Double](n)
     var i = 0

@@ -87,47 +87,73 @@ private class FitsScan(path: String, hduIndex: Int, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FitsReaderFactory(hduIndex, required.fieldNames)
+    // ship the SESSION hadoop conf to the executors — a fresh
+    // Configuration() would silently drop filesystem credentials/settings
+    // that the driver-side glob planning used
+    new FitsReaderFactory(hduIndex, required.fieldNames,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private case class FitsInputPartition(file: String) extends InputPartition
 
-private class FitsReaderFactory(hduIndex: Int, columns: Array[String])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FitsPartitionReader(
-      partition.asInstanceOf[FitsInputPartition].file, hduIndex, columns)
+/** Java-serializable wrapper for the session Hadoop configuration (the
+  * upstream helper with these semantics is private[spark]). */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
 
-/** Streams one file's pixels as InternalRows. The header map is converted
-  * once per file; pixel decode is skipped entirely when `v` is pruned. */
+private class FitsReaderFactory(hduIndex: Int, columns: Array[String],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FitsPartitionReader(
+      partition.asInstanceOf[FitsInputPartition].file, hduIndex, columns, conf)
+}
+
+/** Streams one file's pixels as InternalRows, block-wise: headers are
+  * parsed by streaming 2880-byte blocks, the target HDU's data extent is
+  * located by offset arithmetic (Long offsets — >2 GiB files are fine),
+  * and pixels decode from ~1 MiB positioned reads. Peak heap per task is
+  * one chunk, independent of frame size. The header map is converted once
+  * per file; data bytes are never read when `v` is pruned. */
 private class FitsPartitionReader(file: String, hduIndex: Int,
-    columns: Array[String]) extends PartitionReader[InternalRow] {
+    columns: Array[String], conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 
   // pruning must not change cardinality (one row per pixel regardless of
-  // projection) — it only controls whether the data block gets decoded
+  // projection) — it only controls whether data blocks get read at all
   private val needPixels = columns.contains("v")
-  private val bytes: Array[Byte] = {
-    val hconf = new org.apache.hadoop.conf.Configuration()
-    val p = new Path(file)
-    val fs = p.getFileSystem(hconf)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    buf
-  }
-  private val hdus = Fits.parseHdus(bytes)
-  private val hdu = if (hduIndex < hdus.length) Some(hdus(hduIndex)) else None
+  private val path = new Path(file)
+  private val fs = path.getFileSystem(conf.value)
+  private val fileLen = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  private def readAt(off: Long, buf: Array[Byte]): Unit =
+    in.readFully(off, buf)
+
+  private val hdu = Fits.locateHdu(readAt, fileLen, hduIndex)
   private val (width, height) = hdu match {
     case Some(h) if h.axes.length == 2 => (h.axes.head, h.axes(1))
     case _ => (0, 0)
   }
-  private val values: Array[Double] = hdu match {
-    case Some(h) if needPixels && h.axes.length == 2 => Fits.pixelValues(bytes, h)
-    case _ => Array.empty
+  private val (bitpix, bscale, bzero) = hdu match {
+    case Some(h) => (h.bitpix,
+      h.header.get("BSCALE").map(_.toDouble).getOrElse(1.0),
+      h.header.get("BZERO").map(_.toDouble).getOrElse(0.0))
+    case None => (8, 1.0, 0.0)
   }
+  private val bytesPerPx = math.max(1, math.abs(bitpix) / 8)
   private val headerData = hdu.map { h =>
     val ks = h.header.keys.toArray
     ArrayBasedMapData(
@@ -136,23 +162,66 @@ private class FitsPartitionReader(file: String, hduIndex: Int,
   }.orNull
   private val imgId = UTF8String.fromString(file)
 
-  private val total = if (hdu.isEmpty) 0 else width * height
-  private var i = -1
+  private val total: Long =
+    if (hdu.exists(_.axes.length == 2)) width.toLong * height else 0L
+  private var i = -1L
+
+  // chunked decode state: `chunk` holds pixels [chunkStart, chunkStart+n)
+  private val chunkPixels = math.max(1, (1 << 20) / bytesPerPx)
+  private var chunk: java.nio.ByteBuffer = null
+  private var chunkStart = 0L
+  private def refill(px: Long): Unit = {
+    val n = math.min(chunkPixels.toLong, total - px).toInt
+    val bytes = new Array[Byte](n * bytesPerPx)
+    in.readFully(hdu.get.dataOffset + px * bytesPerPx, bytes)
+    chunk = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    chunkStart = px
+  }
+  private def decode(px: Long): Double = {
+    if (chunk == null || px >= chunkStart + chunkPixels || px < chunkStart)
+      refill(px)
+    val o = ((px - chunkStart) * bytesPerPx).toInt
+    val raw = bitpix match {
+      case 8   => (chunk.get(o) & 0xff).toDouble
+      case 16  => chunk.getShort(o).toDouble
+      case 32  => chunk.getInt(o).toDouble
+      case 64  => chunk.getLong(o).toDouble
+      case -32 => chunk.getFloat(o).toDouble
+      case -64 => chunk.getDouble(o)
+      case b   => throw new IllegalArgumentException(s"BITPIX $b unsupported")
+    }
+    bzero + bscale * raw
+  }
+
+  // reused output row: the scan exec copies each row into an UnsafeRow
+  private val colCodes: Array[Int] = columns.map {
+    case "img_id" => 0
+    case "header" => 1
+    case "y" => 2
+    case "x" => 3
+    case "v" => 4
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+  private val rowVals = new Array[Any](columns.length)
+  private val row = new GenericInternalRow(rowVals)
 
   override def next(): Boolean = { i += 1; i < total }
 
   override def get(): InternalRow = {
-    val y = if (width > 0) (i / width).toLong else 0L
-    val x = if (width > 0) (i % width).toLong else 0L
-    InternalRow.fromSeq(columns.toSeq.map {
-      case "img_id" => imgId
-      case "header" => headerData
-      case "y" => y
-      case "x" => x
-      case "v" => if (i < values.length) values(i) else 0.0
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    })
+    var c = 0
+    while (c < colCodes.length) {
+      rowVals(c) = colCodes(c) match {
+        case 0 => imgId
+        case 1 => headerData
+        case 2 => if (width > 0) i / width else 0L
+        case 3 => if (width > 0) i % width else 0L
+        case 4 => if (needPixels) decode(i) else 0.0
+      }
+      c += 1
+    }
+    row
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

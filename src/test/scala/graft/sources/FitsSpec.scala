@@ -140,6 +140,56 @@ class FitsSpec extends SparkSpec {
       s"prune not pushed:\n$plan")
   }
 
+  test("DSv2 streams a >256 MB frame: block-wise decode, exact aggregates") {
+    // 6144² float64 primary-HDU image = 302 MB of data — bigger than any
+    // sane task heap slice. The reader must stream (locateHdu touches only
+    // header blocks; pixels decode from ~1 MiB positioned reads); holding
+    // file bytes like the flatMap path would need the whole 302 MB per
+    // task. Values are (i % 1000)·0.25: ≤2 fractional bits, so the 37.7M-
+    // term double sum is EXACT in any accumulation order — the aggregate
+    // check is bit-tight, not approximate.
+    val n = 6144
+    val dir = Files.createTempDirectory("graft-fits-big")
+    val f = dir.resolve("big.fits")
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(ByteBuffer.wrap(block(
+        card("SIMPLE", "T"), card("BITPIX", "-64"),
+        card("NAXIS", "2"), card("NAXIS1", n.toString),
+        card("NAXIS2", n.toString), commentCard("END"))))
+      val rowBuf = ByteBuffer.allocate(n * 8).order(ByteOrder.BIG_ENDIAN)
+      var i = 0L
+      for (_ <- 0 until n) {
+        rowBuf.clear()
+        for (_ <- 0 until n) { rowBuf.putDouble((i % 1000L) * 0.25); i += 1 }
+        rowBuf.flip(); ch.write(rowBuf)
+      }
+      val pad = (2880 - (n.toLong * n * 8 % 2880)) % 2880
+      if (pad > 0) ch.write(ByteBuffer.allocate(pad.toInt))
+    } finally ch.close()
+    try {
+      val df = spark.read.format("graft.sources.FitsTableProvider")
+        .option("hdu", "0").load(f.toString)
+      val total = n.toLong * n
+      val cycles = total / 1000; val rem = (total % 1000).toInt
+      val expected = cycles.toDouble * (999.0 * 1000 / 2 * 0.25) +
+        (0 until rem).map(_ * 0.25).sum
+      val agg = df.agg(count(lit(1)), sum(col("v")), max(col("y")), max(col("x")))
+        .as[(Long, Double, Long, Long)].head()
+      assert(agg._1 === total)
+      assert(agg._2 === expected)
+      assert(agg._3 === (n - 1).toLong && agg._4 === (n - 1).toLong)
+      // spot-check the far corner (forces the last chunk's offsets right)
+      val corner = df.filter(col("y") === n - 1 && col("x") === n - 1)
+        .select("v").as[Double].head()
+      assert(corner === ((total - 1) % 1000L) * 0.25)
+    } finally {
+      Files.deleteIfExists(f); Files.deleteIfExists(dir)
+    }
+  }
+
   test("decoded pixels feed detection directly (ingest-to-operator splice)") {
     // render a tiny star field into a FITS float image, then run the
     // pipeline's detector on the decoded long form
