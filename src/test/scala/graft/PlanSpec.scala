@@ -46,6 +46,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("columnar text scoring plans with zero exchanges (q103)") {
+    // repetition scoring is per-row arithmetic on the tokenized text — if
+    // an Exchange appears, someone turned a projection into a shuffle
+    val plan = finalPlan(q("q103_ngram_repetition"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("sequence packing shuffles only by the shard key (q100)") {
+    // one window partitioned by source — every exchange in the (adaptive)
+    // plan must key on the shard column, nothing else, so shards pack in
+    // parallel with no global sort
+    val plan = finalPlan(q("q100_sequence_packing"))
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.forall(_.startsWith("source")),
+      s"non-shard exchange keys $keys:\n$plan")
+    assert(plan.contains("Window"), s"no window:\n$plan")
+  }
+
+  test("stratified sampling is a stateless scan filter (q101)") {
+    val plan = finalPlan(q("q101_stratified_sample"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("Filter"), s"no filter:\n$plan")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
