@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * in partition-sized batches.
   *
   * The Spark-side contract — schema, partitioning, batch shape, feature
-  * vector signature — is real and tested. The codec itself is a STUB: this
-  * container has no image/audio libraries, so `decodeStub` computes a
-  * deterministic fake (byte histogram) where a real deployment would call
-  * an actual decoder on the payload bytes. Swapping the stub for a real
-  * codec changes no schema and no partitioning.
+  * vector signature — is real and tested. Decode dispatches on the payload
+  * magic bytes: PGM images and PCM WAV audio decode for REAL via
+  * [[Codecs]] (pure-JVM implementations of the public specs — image
+  * features are decoded-luminance histograms, audio features are
+  * duration/RMS/peak/zero-crossings); entropy-coded formats (JPEG/MP3/
+  * H.264) have no codec in this container and fall back to the documented
+  * deterministic STUB (byte histogram). Swapping in more codecs changes
+  * no schema and no partitioning.
   */
 object Multimodal {
 
@@ -34,11 +37,10 @@ object Multimodal {
       (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("height"),
       lit(3).as("channels"))
 
-  /** STUB decode: a real implementation would decode `payload` with an
-    * image/audio codec here. The deterministic fake — a 16-bin byte
-    * histogram, L1-normalized — preserves the real contract: bytes in,
-    * fixed-length double feature vector out, computed per partition batch
-    * (the Scala analog of a `mapInPandas` batch). */
+  /** STUB decode for formats without an in-container codec: a 16-bin byte
+    * histogram, L1-normalized — preserves the real contract (bytes in,
+    * fixed-length double feature vector out, computed per partition batch,
+    * the Scala analog of a `mapInPandas` batch). */
   private def decodeStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
@@ -49,6 +51,36 @@ object Multimodal {
     val total = math.max(payload.length, 1).toDouble
     hist.map(_ / total)
   }
+
+  /** The fixed feature length shared by every modality. */
+  val FeatureLen = 16
+
+  /** REAL per-payload feature extraction, dispatched on magic bytes:
+    *   - PGM image → 16-bin histogram of DECODED luminance (L1-normalized);
+    *   - PCM WAV   → [duration s, RMS, peak, zero-crossing rate, 0…];
+    *   - anything else → the byte-histogram stub.
+    * All variants return exactly [[FeatureLen]] doubles. */
+  def features(payload: Array[Byte]): Array[Double] =
+    Codecs.decodePgm(payload) match {
+      case Some((_, _, px)) =>
+        val hist = new Array[Double](FeatureLen)
+        px.foreach { v =>
+          hist(math.min((v * FeatureLen).toInt, FeatureLen - 1)) += 1.0
+        }
+        hist.map(_ / math.max(px.length, 1))
+      case None => Codecs.decodeWav(payload) match {
+        case Some((rate, s)) =>
+          val out = new Array[Double](FeatureLen)
+          val n = math.max(s.length, 1)
+          out(0) = s.length.toDouble / rate
+          out(1) = math.sqrt(s.map(x => x * x).sum / n)
+          out(2) = if (s.isEmpty) 0.0 else s.map(math.abs).max
+          out(3) = s.indices.drop(1)
+            .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toDouble / n
+          out
+        case None => decodeStub(payload)
+      }
+    }
 
   /** Feature extraction over partition batches. Repartitioning by doc_id
     * spreads decode work evenly; each task processes its batch without
@@ -61,7 +93,7 @@ object Multimodal {
     src.mapPartitions { it =>
       it.map { m =>
         MediaFeatures(m.doc_id, m.media_type, m.payload.length,
-          decodeStub(m.payload))
+          features(m.payload))
       }
     }
   }
@@ -70,7 +102,7 @@ object Multimodal {
       pixels: Array[Double])
 
   /** STUB pixel decode: cycles payload bytes into a width×height luminance
-    * grid in [0,1] — stands in for a real image decode. */
+    * grid in [0,1] — stands in for entropy-coded image formats. */
   private def decodeGridStub(payload: Array[Byte], w: Int, h: Int): Array[Double] = {
     val n = w * h
     val out = new Array[Double](n)
@@ -82,16 +114,26 @@ object Multimodal {
     out
   }
 
-  /** Resize: area-average (box) resampling of the stub-decoded grid to
-    * targetW × targetH. The resampling arithmetic is the real operator —
-    * swap decodeGridStub for a codec and nothing else changes. Runs per
-    * partition batch like extractFeatures. */
+  /** Decode a payload to a luminance grid: real PGM decode when the magic
+    * matches (dimensions come from the FILE, overriding metadata), stub
+    * cycling otherwise. */
+  def decodeImage(payload: Array[Byte], metaW: Int, metaH: Int): (Int, Int, Array[Double]) =
+    Codecs.decodePgm(payload) match {
+      case Some((w, h, px)) => (w, h, px)
+      case None => (metaW, metaH, decodeGridStub(payload, metaW, metaH))
+    }
+
+  /** Resize: area-average (box) resampling of the decoded grid to
+    * targetW × targetH. PGM payloads resample their REAL pixels; other
+    * formats resample the stub grid. Runs per partition batch like
+    * extractFeatures. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.map { m =>
-        val src = decodeGridStub(m.payload, m.width, m.height)
+      it.map { m0 =>
+        val (dw, dh, src) = decodeImage(m0.payload, m0.width, m0.height)
+        val m = m0.copy(width = dw, height = dh)
         val out = new Array[Double](targetW * targetH)
         var ty = 0
         while (ty < targetH) {

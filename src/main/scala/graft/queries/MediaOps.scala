@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.multimodal.{Codecs, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible certification of the REAL media codecs (SURVEY.md
+  * §2.10 multimodal): deterministic media payloads are synthesized from
+  * fixture arithmetic, ENCODED to real container bytes (PGM / PCM WAV),
+  * decoded back through the production [[Multimodal]] dispatch, and
+  * feature-summarized — while the DuckDB oracle computes the same
+  * features from the closed-form signal. A codec bug on either direction
+  * breaks the hash match. Quantization uses explicit floor(x+0.5) in both
+  * engines, so the byte round-trip is engine-exact; transcendental inputs
+  * (sin) round at 6 dp after aggregation.
+  */
+object MediaOps {
+
+  /** q104: PGM image round-trip. Pixel (y,x) of doc d is
+    * ((x + y + d) mod 256)/255 — integer-exact through the 8-bit
+    * quantizer — encoded as binary P5 and decoded by magic dispatch
+    * (dimensions come from the FILE, not metadata). */
+  private val q104 = NamedQuery(
+    "q104_image_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
+          (col("n_chars") % 12 + 4).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            (((i % w) + (i / w) + id) % 256).toDouble / 255.0
+          }
+          val payload = Codecs.encodePgm(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val n = dec.length
+          (id, dw.toLong, dh.toLong, dec.sum / n,
+            math.sqrt(dec.map(v => v * v).sum / n))
+        })
+        .toDF("doc_id", "w", "h", "mean_lum", "rms_lum")
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("mean_lum"), 6).as("mean_lum"),
+          round(col("rms_lum"), 6).as("rms_lum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 16 + 4 AS w,
+        n_chars % 12 + 4 AS h FROM documents),
+      g AS (SELECT d.doc_id, d.w, d.h,
+              CAST((xx.x + yy.y + d.doc_id) % 256 AS DOUBLE) / 255.0 AS v
+            FROM d, UNNEST(generate_series(0, d.h - 1)) AS yy(y),
+                 UNNEST(generate_series(0, d.w - 1)) AS xx(x))
+      SELECT doc_id, w, h, ROUND(AVG(v), 6) AS mean_lum,
+        ROUND(SQRT(AVG(v * v)), 6) AS rms_lum
+      FROM g GROUP BY 1, 2, 3"""))
+
+  /** q105: PCM WAV round-trip. Doc d carries a 0.5-amplitude sine at
+    * (d mod 20 + 1) cycles per 64 samples, PCM16-quantized; the oracle
+    * models the quantizer (floor(s·32767 + 0.5)/32768) and recomputes
+    * duration/RMS/peak/zero-crossing rate from the closed form. */
+  private val q105 = NamedQuery(
+    "q105_audio_features",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val f = Multimodal.features(payload)
+          (id, f(0), f(1), f(2), f(3))
+        })
+        .toDF("doc_id", "duration", "rms", "peak", "zcr")
+        .select(col("doc_id"), round(col("duration"), 6).as("duration"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"),
+          round(col("zcr"), 6).as("zcr"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 50 AS ns,
+        doc_id % 20 + 1 AS k FROM documents),
+      s AS (SELECT d.doc_id, d.ns, tt.t,
+              FLOOR(0.5 * SIN(2 * pi() * d.k * tt.t / 64.0) * 32767 + 0.5)
+                / 32768.0 AS v
+            FROM d, UNNEST(generate_series(0, d.ns - 1)) AS tt(t)),
+      a AS (SELECT doc_id, ns, t, v,
+              CASE WHEN LAG(v) OVER w IS NOT NULL
+                    AND (v >= 0) <> (LAG(v) OVER w >= 0) THEN 1 ELSE 0 END AS flip
+            FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY t))
+      SELECT doc_id, ROUND(CAST(ns AS DOUBLE) / 8000.0, 6) AS duration,
+        ROUND(SQRT(AVG(v * v)), 6) AS rms,
+        ROUND(MAX(ABS(v)), 6) AS peak,
+        ROUND(CAST(SUM(flip) AS DOUBLE) / ns, 6) AS zcr
+      FROM a GROUP BY doc_id, ns"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105)
+}

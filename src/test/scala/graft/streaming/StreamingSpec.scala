@@ -272,6 +272,71 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.sortBy(f => (f._1, f._2)).toSeq === again.sortBy(f => (f._1, f._2)).toSeq)
   }
 
+  test("PGM codec: binary and ASCII round-trip, comments, 16-bit samples") {
+    import graft.multimodal.Codecs
+    val px = Array.tabulate(12)(i => (i * 20 % 256) / 255.0)
+    val enc = Codecs.encodePgm(4, 3, px)
+    val Some((w, h, dec)) = Codecs.decodePgm(enc)
+    assert(w === 4 && h === 3)
+    // 8-bit quantization: exact for k/255 grid values
+    px.zip(dec).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // ASCII P2 with a comment line decodes identically
+    val ascii = ("P2\n# a comment\n4 3\n255\n" +
+      px.map(v => math.floor(v * 255 + 0.5).toInt).mkString(" "))
+      .getBytes("US-ASCII")
+    val Some((_, _, dec2)) = Codecs.decodePgm(ascii)
+    assert(dec.toSeq === dec2.toSeq)
+    // 16-bit maxval path
+    val wide = "P5\n2 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x00, (0xff).toByte, (0xff).toByte)
+    val Some((_, _, dec3)) = Codecs.decodePgm(wide)
+    assert(math.abs(dec3(0) - 0x4000.toDouble / 65535) < 1e-12 && dec3(1) === 1.0)
+    assert(Codecs.decodePgm("nope".getBytes).isEmpty)
+  }
+
+  test("WAV codec: PCM16 sine round-trips; RMS/peak/ZCR features match") {
+    import graft.multimodal.{Codecs, Multimodal}
+    val n = 8000 // exactly 1 s, 125 whole cycles at 125 Hz
+    val s = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 125 * t / 8000.0))
+    val enc = Codecs.encodeWav(8000, s)
+    val Some((rate, dec)) = Codecs.decodeWav(enc)
+    assert(rate === 8000 && dec.length === n)
+    // quantizer asymmetry (encode ×32767, decode ÷32768) reaches exactly
+    // 1/32768 at |s| = 0.5 — hence ≤, not <
+    dec.zip(s).foreach { case (d, o) => assert(math.abs(d - o) <= 1.0 / 32768) }
+    val f = Multimodal.features(enc)
+    assert(math.abs(f(0) - 1.0) < 1e-9) // duration
+    assert(math.abs(f(1) - 0.5 / math.sqrt(2.0)) < 1e-3) // sine RMS = A/√2
+    assert(math.abs(f(2) - 0.5) < 1e-3) // peak
+    assert(math.abs(f(3) - 2 * 125.0 / 8000) < 1e-3) // 2 crossings per cycle
+    assert(Codecs.decodeWav(Array.fill[Byte](64)(1)).isEmpty)
+  }
+
+  test("feature dispatch: PGM histogram is over decoded luminance") {
+    import graft.multimodal.{Codecs, Multimodal}
+    // all-dark image: every pixel lands in histogram bin 0
+    val dark = Codecs.encodePgm(8, 8, Array.fill(64)(0.0))
+    val f = Multimodal.features(dark)
+    assert(f(0) === 1.0 && f.drop(1).forall(_ === 0.0))
+  }
+
+  test("resize decodes real PGM payloads: file dimensions win, means hold") {
+    import graft.multimodal.{Codecs, Multimodal}
+    // 8x4 horizontal gradient encoded as PGM; metadata lies (3x3)
+    val px = Array.tabulate(32)(i => (i % 8) / 7.0)
+    val m = Seq((7L, "image", Codecs.encodePgm(8, 4, px), 3, 3, 1))
+      .toDF("doc_id", "media_type", "payload", "width", "height", "channels")
+    val r = Multimodal.resize(m, 2, 2).head()
+    // left half mean = mean((0..3)/7), right half = mean((4..7)/7)
+    val lm = (0 to 3).map(_ / 7.0).sum / 4
+    val rm = (4 to 7).map(_ / 7.0).sum / 4
+    // quantization error ≤ 1/255 per pixel
+    assert(math.abs(r.pixels(0) - lm) < 1.0 / 255)
+    assert(math.abs(r.pixels(1) - rm) < 1.0 / 255)
+    assert(math.abs(r.pixels(2) - lm) < 1.0 / 255)
+    assert(math.abs(r.pixels(3) - rm) < 1.0 / 255)
+  }
+
   test("resize: area-average resampling preserves the global mean") {
     val resized = Multimodal.resize(Multimodal.fromDocuments(docs), 4, 4)
       .collect()
