@@ -52,6 +52,19 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
 
+  /** State-partition sizing: streaming state shards by
+    * spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
+    * pays a state-store commit per shard. The fixture's key cardinality
+    * (thousands) wants far fewer shards than the session's CPU-count
+    * setting — a real deployment sizes state partitions by key volume,
+    * not cores. Temporarily lower the conf for the stream, restore
+    * after (queries run sequentially in the driver harness). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** q93: incremental tumbling-window counts ≡ batch q40. The stream runs
     * hourlyTypeCounts (the production transform) in Update mode; every
     * micro-batch upserts its changed groups into a keyed store (the
@@ -62,22 +75,24 @@ object StreamingQueries {
     "q93_incremental_windows",
     (s, d) => {
       import s.implicits._
-      val dir = stage(s, d, nFiles = 6)
+      val dir = stage(s, d, nFiles = 4)
       // upsert store: (wstart µs, event_type) -> (n, sum). TrieMap for the
       // concurrent foreachBatch writes; size = #groups, a model object.
       val store = TrieMap.empty[(Long, String), (Long, Double)]
-      val q = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
-        .select(unix_micros(col("wstart")).as("w_us"), col("event_type"),
-          col("n"), col("sum_value"))
-        .writeStream.outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.as[(Long, String, Long, Double)].collect()
-            .foreach { case (w, t, n, sv) => store.put((w, t), (n, sv)) }
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
+          .select(unix_micros(col("wstart")).as("w_us"), col("event_type"),
+            col("n"), col("sum_value"))
+          .writeStream.outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.as[(Long, String, Long, Double)].collect()
+              .foreach { case (w, t, n, sv) => store.put((w, t), (n, sv)) }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       store.iterator
         .map { case ((w, t), (n, sv)) => (w, t, n, sv) }.toSeq
         .toDF("w_us", "event_type", "n", "sum_value")
@@ -100,33 +115,37 @@ object StreamingQueries {
     "q94_incremental_sessions",
     (s, d) => {
       import s.implicits._
-      val dir = stage(s, d, nFiles = 6)
+      val dir = stage(s, d, nFiles = 4)
       val maxTs = Tables.events(s, d).agg(max(unix_micros(col("ts")))).head().getLong(0)
       // sentinel: beyond max ts + watermark delay + gap, with margin
       val sentinelUs = maxTs + (3651L * 86400 + 86400) * 1000000L
       // stage it strictly after the data files so the oldest-first file
-      // source delivers it in the final micro-batch (mod-time ordering)
-      Thread.sleep(1100)
+      // source delivers it in the final micro-batch (mod-time ordering;
+      // local filesystems stamp at ms-or-finer granularity, so a 250 ms
+      // gap guarantees strict ordering)
+      Thread.sleep(250)
       Seq((-1L, sentinelUs, -1L, "sentinel", 0.0))
         .toDF("event_id", "ts_us", "user_id", "event_type", "value")
         .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .write.mode("append").parquet(dir)
       val store = TrieMap.empty[(Long, Long), (Long, Long, Double)]
-      val q = EventStreams.userSessions(eventStream(s, dir),
-          gap = "10 minutes", watermark = NeverLate)
-        .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
-          unix_micros(col("session_end")).as("e_us"), col("n"), col("sum_value"))
-        .writeStream.outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.as[(Long, Long, Long, Long, Double)].collect()
-            .foreach { case (u, st, en, n, sv) =>
-              store.put((u, st), (en, n, sv)) }
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStreams.userSessions(eventStream(s, dir),
+            gap = "10 minutes", watermark = NeverLate)
+          .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
+            unix_micros(col("session_end")).as("e_us"), col("n"), col("sum_value"))
+          .writeStream.outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.as[(Long, Long, Long, Long, Double)].collect()
+              .foreach { case (u, st, en, n, sv) =>
+                store.put((u, st), (en, n, sv)) }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       store.iterator
         .filter { case ((u, _), _) => u >= 0 }
         .map { case ((u, st), (en, n, sv)) => (u, st, en, n, sv) }.toSeq
