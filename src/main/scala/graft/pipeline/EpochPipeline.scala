@@ -77,16 +77,26 @@ object EpochPipeline {
 
   /** Run one epoch end to end over long-form pixels (one or more images of
     * the same field). Returns the status branch taken and the output
-    * catalog (empty for aborted epochs). */
+    * catalog (empty for aborted epochs). `reportPath`, when set, writes
+    * the reference's per-epoch diagnostic PDF of the input frames
+    * (write_pdf(images=im_data), psf_phot.py:55) — a real PDF via
+    * [[graft.sources.Pdf]]; the fuller model+cutout report remains the
+    * standalone `Pdf.writeReport` surface. */
   def run(spark: SparkSession, pixels: DataFrame, width: Int, height: Int,
       nSigma: Double = 10.0, maxStarsFwhm: Double = 30.0,
-      minStars: Int = 3, wcsSolver: Option[WcsEnrichment.Solver] = None): Result = {
+      minStars: Int = 3, wcsSolver: Option[WcsEnrichment.Solver] = None,
+      reportPath: Option[String] = None): Result = {
     import spark.implicits._
 
     // every stage makes multiple passes over the epoch's pixels (detection
     // scans, box joins, the combine) — materialize the input once so those
     // passes read stored blocks instead of recomputing the source lineage
     val pinned = pixels.localCheckpoint()
+
+    reportPath.foreach { p =>
+      graft.sources.Pdf.writeReport(p,
+        graft.sources.Pdf.frameImages(pinned, width, height))
+    }
 
     // frames small enough that a whole image fits an aggregation buffer
     // (≤ 1M px = 8 MB) take the one-shuffle clip; full frames take the

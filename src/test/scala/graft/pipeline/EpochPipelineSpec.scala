@@ -59,6 +59,17 @@ class EpochPipelineSpec extends SparkSpec {
     assert(catalog.filter(col("epoch_id") === 3L).count() === 0)
   }
 
+  test("per-epoch diagnostic PDF lands alongside the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch-pdf")
+    val p = dir.resolve("epoch_1.pdf").toString
+    val res = EpochPipeline.run(spark, field(0, (0, 0)), 64, 64,
+      minStars = 2, reportPath = Some(p))
+    assert(res.status === "ok")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(new String(bytes.take(8), "US-ASCII").startsWith("%PDF-1.4"))
+    assert(new String(bytes, "ISO-8859-1").contains("/Subtype /Image"))
+  }
+
   test("campaign-scale epoch loop: 10 epochs through a parallelism-2 pool") {
     // more epochs than pool slots: work must queue and recycle the two
     // workers (the 350-epoch campaign shape), not spawn a thread per epoch
