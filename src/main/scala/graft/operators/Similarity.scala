@@ -72,6 +72,49 @@ object Similarity {
         col("rank"))
   }
 
+  /** Train an IVF coarse quantizer: `iters` Lloyd rounds from a
+    * deterministic hash-sampled seed. Returns (vec_id, cell) assignments
+    * whose cells track the VECTOR GEOMETRY — the right cells when no
+    * meaningful pre-clustering column exists. Each round is one broadcast
+    * argmax scan over the corpus (max_by aggregate — no window sort) plus
+    * one per-cell mean; the centroid table (nCells × dims) is a bounded
+    * model object, collected like the EPSF grid. Linear in corpus size,
+    * no pairwise shuffle: the k-means-style scale path of IVF training. */
+  def trainCells(corpus: DataFrame, id: String, vec: String, nCells: Int,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(id).as("vid"),
+      normalized(toDouble(col(vec))).as("e")).localCheckpoint()
+    // deterministic seeds: the nCells smallest multiplicative id hashes
+    var cents: Seq[(Int, Seq[Double])] = c
+      .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
+      .orderBy(col("hk"), col("vid")).limit(nCells)
+      .select(col("e")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+    def assign(): DataFrame = {
+      val centDf = broadcast(cents.toDF("cell", "centroid"))
+      c.crossJoin(centDf)
+        // deterministic tie-break toward the lower cell id
+        .withColumn("score",
+          cosine(col("e"), col("centroid")) - col("cell") * lit(1e-12))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cell"), col("score")).as("cell"))
+    }
+    var round = 0
+    while (round < iters) {
+      cents = assign().join(c, Seq("vid"))
+        .select(col("cell"), posexplode(col("e")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      round += 1
+    }
+    assign().select(col("vid").as("vec_id"), col("cell"))
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `nBits` planes
     * of `dims` weights in [-0.5, 0.5), seeded — a tiny model object
     * embedded as literals (broadcast by the plan). */

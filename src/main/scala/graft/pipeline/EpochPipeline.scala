@@ -219,7 +219,8 @@ object EpochPipeline {
     * catalogs tagged with epoch_id, plus statuses. */
   def runEpochs(spark: SparkSession, pixels: DataFrame, epochCol: String,
       width: Int, height: Int, nSigma: Double = 10.0,
-      minStars: Int = 3, parallelism: Int = 4): (Map[Long, String], DataFrame) = {
+      minStars: Int = 3, parallelism: Int = 4,
+      reportDir: Option[String] = None): (Map[Long, String], DataFrame) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     require(parallelism >= 1, "parallelism must be positive")
@@ -239,7 +240,8 @@ object EpochPipeline {
           ep -> Future {
             run(spark,
               pixels.filter(col(epochCol) === ep).drop(epochCol),
-              width, height, nSigma, minStars = minStars)
+              width, height, nSigma, minStars = minStars,
+              reportPath = reportDir.map(d => s"$d/epoch_$ep.pdf"))
           }
         }
         jobs.map { case (ep, f) => ep -> Await.result(f, Duration.Inf) }

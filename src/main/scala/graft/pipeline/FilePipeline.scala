@@ -24,10 +24,14 @@ object FilePipeline {
     * @param fitsGlob glob of FITS files whose basenames the CSV lists
     * @param resultsDir when set, the combined catalog is written there,
     *                   partitioned by epoch_id (the per-epoch output files)
+    * @param reportDir  when set, each epoch writes its diagnostic PDF
+    *                   (`epoch_<id>.pdf`) there — the reference's
+    *                   per-epoch write_pdf call (psf_phot.py:55)
     */
   def run(spark: SparkSession, csvPath: String, fitsGlob: String,
       width: Int, height: Int, minStars: Int = 3,
-      resultsDir: Option[String] = None): PipelineResult = {
+      resultsDir: Option[String] = None,
+      reportDir: Option[String] = None): PipelineResult = {
     val meta = spark.read
       .schema("filename STRING, epoch_id LONG").csv(csvPath)
     val pixels = Fits.readFits(spark, fitsGlob)
@@ -38,7 +42,7 @@ object FilePipeline {
         col("v"))
     val (statuses, catalog) =
       EpochPipeline.runEpochs(spark, pixels, "epoch_id", width, height,
-        minStars = minStars)
+        minStars = minStars, reportDir = reportDir)
     resultsDir.foreach(dir =>
       CatalogSinks.writePartitioned(catalog, "epoch_id", dir))
     PipelineResult(statuses, catalog)

@@ -123,5 +123,26 @@ object RecallQueries {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99)
+  /** q106: IVF with a TRAINED coarse quantizer (2 Lloyd rounds over
+    * hash-seeded centroids) instead of the fixture's label column —
+    * the cells now track vector geometry, which is what a 100 TB corpus
+    * without meaningful pre-clustering needs. Same recall@5 certificate
+    * shape as q95; the values show what training buys. */
+  private val q106 = NamedQuery(
+    "q106_ann_ivf_trained_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = Similarity.trainCells(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      val withCell = emb.select(col("vec_id"), col("embedding"))
+        .join(cells, Seq("vec_id"))
+      topkRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5),
+        Similarity.ivfTopK(withCell, "vec_id", "embedding", "cell",
+          probes(s, d), "vec_id", "embedding", 5, 4))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106)
 }

@@ -266,6 +266,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("trained IVF quantizer recovers planted clusters; nprobe=1 recall 1.0") {
+    // 3 well-separated planted clusters: after 2 Lloyd rounds, trained
+    // cells must align with the true clusters (each planted cluster maps
+    // to exactly one cell), so probing ONE cell finds every true neighbor
+    val crnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(16)(0.0).updated(0, 10.0),
+      Array.fill(16)(0.0).updated(5, 10.0),
+      Array.fill(16)(0.0).updated(11, -10.0))
+    val clustered = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => (v + crnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.trainCells(clustered, "vec_id", "embedding",
+      nCells = 3, iters = 2)
+    val byCluster = cells.as[(Long, Int)].collect().groupBy(_._1 % 3)
+    byCluster.values.foreach { members =>
+      assert(members.map(_._2).toSet.size === 1,
+        s"planted cluster split across cells: ${members.toSeq}")
+    }
+    assert(byCluster.values.map(_.head._2).toSet.size === 3,
+      "distinct planted clusters merged into one cell")
+    // determinism: a second training run yields identical assignments
+    val again = Similarity.trainCells(clustered, "vec_id", "embedding", 3, 2)
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(again.toSeq === cells.as[(Long, Int)].collect().sortBy(_._1).toSeq)
+    // single-probe search within the trained cells: full recall, because
+    // true neighbors share the probe's cell
+    val probes = clustered.filter($"vec_id" < 3)
+    val withCell = clustered.join(cells, Seq("vec_id"))
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Similarity.ivfTopK(withCell, "vec_id", "embedding", "cell",
+      probes, "vec_id", "embedding", 5, 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 === brute, "nprobe=1 on trained cells missed true neighbors")
+  }
+
   test("LSH near-dup pairs: subset of exact pairs with identical cosines") {
     val exact = graft.operators.Dedup
       .embeddingNearDup(emb, "vec_id", "embedding", 0.5)

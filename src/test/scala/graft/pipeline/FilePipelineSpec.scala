@@ -53,10 +53,19 @@ class FilePipelineSpec extends SparkSpec {
       "e1a.fits,1\ne1b.fits,1\ne2a.fits,2\n".getBytes("US-ASCII"))
     val out = dir.resolve("results").toString
 
+    val reports = java.nio.file.Files.createTempDirectory("graft-fp-reports")
     val res = FilePipeline.run(spark, dir.resolve("meta.csv").toString,
-      dir.toString + "/*.fits", W, W, minStars = 1, resultsDir = Some(out))
+      dir.toString + "/*.fits", W, W, minStars = 1, resultsDir = Some(out),
+      reportDir = Some(reports.toString))
 
     assert(res.statuses === Map(1L -> "ok", 2L -> "aborted_no_fwhm"))
+    // per-epoch diagnostic PDFs landed (the psf_phot.py:55 call), one per
+    // epoch, valid headers
+    Seq(1L, 2L).foreach { ep =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        reports.resolve(s"epoch_$ep.pdf"))
+      assert(new String(bytes.take(8), "US-ASCII").startsWith("%PDF-1.4"))
+    }
     val cat = res.catalog.filter($"epoch_id" === 1L)
       .select("xcentroid", "ycentroid").as[(Double, Double)].collect()
     planted.foreach { case (sx, sy, _) =>
