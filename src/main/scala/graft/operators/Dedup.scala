@@ -110,6 +110,50 @@ object Dedup {
     jaccardFromPairs(pairShingles, counts, threshold)
   }
 
+  /** Asymmetric n-gram containment (quote/subset duplication):
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. A short document quoted inside
+    * a long one scores ≈1 even when symmetric Jaccard is tiny — the
+    * duplication class Jaccard structurally misses, and the standard
+    * extra axis of training-corpus dedup. Same linear inverted-index
+    * pair generation as ngramJaccardPairs (grouped posting lists, never
+    * the n² cross product); each undirected pair fans out to its two
+    * directed scores map-side. Emits (id_from, id_to, common,
+    * containment) per direction clearing the threshold. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleSet(df, id, text, n).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
+        val ds = it.map(_._1).toArray
+        java.util.Arrays.sort(ds)
+        for {
+          i <- ds.indices.iterator
+          j <- ((i + 1) until ds.length).iterator
+        } yield (ds(i), ds(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(explode(array(
+        struct(col("id_a").as("id_from"), col("id_b").as("id_to"),
+          col("common"),
+          (col("common").cast(DoubleType) / col("n_a")).as("containment")),
+        struct(col("id_b").as("id_from"), col("id_a").as("id_to"),
+          col("common"),
+          (col("common").cast(DoubleType) / col("n_b")).as("containment"))))
+        .as("r"))
+      .select(col("r.id_from"), col("r.id_to"), col("r.common"),
+        col("r.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash + LSH near-dup pairs. k hash functions h_i(s) = xxhash64(i, s);
     * signatures banded (bands × rowsPerBand = k); candidate pairs share a
     * band signature; candidates are exact-verified with true Jaccard ≥

@@ -60,6 +60,30 @@ object TextOps {
   /** SimHash near-dup pairs. xxhash64-based bit votes are not reproducible
     * in the oracle engine → rows-only check; recall/precision covered by
     * ScalaTest against the exact pairs. */
+  /** Asymmetric containment near-dup (quote/subset detection): directed
+    * |A∩B|/|A| over 3-gram shingle sets — catches a short document quoted
+    * inside a long one, which symmetric Jaccard (q61) misses. */
+  private val q107 = NamedQuery(
+    "q107_containment_pairs",
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id",
+      "text", 3, 0.8),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      d AS (
+        SELECT id_a AS id_from, id_b AS id_to, common,
+          CAST(common AS DOUBLE) / ca.n_sh AS containment
+        FROM p JOIN c ca ON ca.doc_id = id_a
+        UNION ALL
+        SELECT id_b, id_a, common, CAST(common AS DOUBLE) / cb.n_sh
+        FROM p JOIN c cb ON cb.doc_id = id_b)
+      SELECT id_from, id_to, common, containment FROM d
+      WHERE containment >= 0.8"""))
+
   private val q63 = NamedQuery(
     "q63_simhash_pairs",
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3),
@@ -256,5 +280,6 @@ object TextOps {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5"""))
 
   val all: Seq[NamedQuery] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
+      q107)
 }

@@ -125,6 +125,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PGM codec round-trips arbitrary grids within one quantization step") {
+    import graft.multimodal.Codecs
+    val gen = for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 12)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0.0, 1.0))
+    } yield (w, h, px.toArray)
+    check("pgm", 200)(Prop.forAll(gen) { case (w, h, px) =>
+      val Some((dw, dh, dec)) = Codecs.decodePgm(Codecs.encodePgm(w, h, px))
+      dw == w && dh == h && dec.length == px.length &&
+        // 8-bit quantizer: error bounded by half a step
+        dec.zip(px).forall { case (d, o) => math.abs(d - o) <= 0.5 / 255 + 1e-12 }
+    })
+  }
+
+  test("WAV codec round-trips arbitrary PCM16 samples within one step") {
+    import graft.multimodal.Codecs
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      s <- Gen.nonEmptyListOf(Gen.chooseNum(-1.0, 1.0))
+    } yield (rate, s.toArray)
+    check("wav", 200)(Prop.forAll(gen) { case (rate, s) =>
+      val Some((dr, dec)) = Codecs.decodeWav(Codecs.encodeWav(rate, s))
+      dr == rate && dec.length == s.length &&
+        // ×32767 encode / ÷32768 decode asymmetry: ≤ 1/32768 + half-step
+        dec.zip(s).forall { case (d, o) =>
+          math.abs(d - o) <= 1.0 / 32768 + 0.5 / 32767 + 1e-12 }
+    })
+  }
+
   test("FITS header cards round-trip arbitrary keyword/value pairs") {
     val key = Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaUpperChar).map(_.mkString))

@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("containment catches a quoted document that Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                       // the short original
+      (2L, s"$filler $quote"),           // quoted inside a long doc
+      (3L, "totally unrelated content about something else entirely here"))
+      .toDF("doc_id", "text")
+    // symmetric Jaccard at a dedup-grade threshold: the pair is invisible
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!jac.contains((1L, 2L)), "Jaccard unexpectedly flagged the quote")
+    // containment: every shingle of doc 1 appears in doc 2 → C(1→2) = 1.0
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cont.exists(r => r._1 == 1L && r._2 == 2L && r._4 == 1.0),
+      s"containment missed the quoted doc: ${cont.toSeq}")
+    // the reverse direction is diluted by the filler and must NOT fire
+    assert(!cont.exists(r => r._1 == 2L && r._2 == 1L))
+    assert(!cont.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
   test("minhash LSH recovers the high-similarity pairs of exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
