@@ -124,5 +124,35 @@ object TrainingOps {
         ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 6) AS repetition
       FROM a"""))
 
-  val all: Seq[NamedQuery] = Seq(q100, q101, q102, q103)
+  /** q108: overlapping document chunking (context-window preprocessing):
+    * fixed 200-char windows at a 150-char stride, with char offsets kept
+    * for provenance. One generate-and-substring projection per row — no
+    * shuffle, no UDF; chunk counts derive from length arithmetic. */
+  private val q108 = NamedQuery(
+    "q108_doc_chunking",
+    (s, d) => {
+      val win = 200; val stride = 150
+      val nChunks = greatest(
+        ceil((length(col("text")) - lit(win)).cast(DoubleType) / stride)
+          .cast(LongType) + 1, lit(1L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("start_pos"),
+          substring(col("text"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(win)).as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+        GREATEST(CAST(CEIL(CAST(LENGTH(text) - 200 AS DOUBLE) / 150) AS BIGINT) + 1, 1) AS nc
+        FROM documents),
+      c AS (SELECT doc_id, text, u.i AS chunk_idx
+            FROM d, UNNEST(generate_series(0, nc - 1)) AS u(i))
+      SELECT doc_id, chunk_idx, chunk_idx * 150 + 1 AS start_pos,
+        substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk,
+        CAST(LENGTH(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
+      FROM c"""))
+
+  val all: Seq[NamedQuery] = Seq(q100, q101, q102, q103, q108)
 }
