@@ -144,5 +144,29 @@ object RecallQueries {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106)
+  /** q109: approx_percentile (the quantile sketch) relative error vs the
+    * exact percentile, per quartile of the lineitem price column — the
+    * quantile member of the sketch family certificate (q98 covers HLL).
+    * The sketch's accuracy parameter is pinned so the values are
+    * deterministic. */
+  private val q109 = NamedQuery(
+    "q109_quantile_sketch_error",
+    (s, d) => {
+      val exact = expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ex")
+      val approx = expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+        .as("ap")
+      Tables.lineitem(s, d).agg(exact, approx)
+        .select(explode(arrays_zip(
+          array(lit(0.25), lit(0.5), lit(0.75)).as("q"),
+          col("ex"), col("ap"))).as("r"))
+        .select(col("r.q"), col("r.ex").as("exact"),
+          col("r.ap").as("approx"),
+          round(abs(col("r.ap") - col("r.ex")) /
+            abs(col("r.ex")), 6).as("rel_error"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106, q109)
 }

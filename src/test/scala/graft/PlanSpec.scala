@@ -65,6 +65,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
 
+  test("PII scrub is a pure projection — zero exchanges (q102)") {
+    val plan = finalPlan(q("q102_pii_scrub"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("stratified sampling is a stateless scan filter (q101)") {
     val plan = finalPlan(q("q101_stratified_sample"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
