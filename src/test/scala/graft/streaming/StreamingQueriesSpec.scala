@@ -22,4 +22,12 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(inc.count() === batch.count())
     assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty)
   }
+
+  test("replay determinism: a second q93 run produces the identical table") {
+    // the hash gate depends on re-runs being bit-stable even though each
+    // run stages fresh files and a fresh micro-batch sequence
+    val a = SparkEntry.queries("q93_incremental_windows")(spark, sf)
+    val b = SparkEntry.queries("q93_incremental_windows")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
