@@ -168,5 +168,29 @@ object RecallQueries {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106, q109)
+  /** q110: Misra–Gries heavy-hitters guarantee, driver-visible. The
+    * sketch (k=50 counters, O(k) shuffle per group at any scale) must
+    * contain EVERY token whose true frequency exceeds n/(k+1) — that
+    * containment is order-independent even though individual sketch
+    * counts are not, so the output (true heavy hitters + membership) is
+    * deterministic. */
+  private val q110 = NamedQuery(
+    "q110_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.{FrequentItems, TextFunctions}
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val k = 50
+      val sketch: Map[String, Long] = toks.as[String]
+        .select(new FrequentItems(k).toColumn).head()
+      val n = toks.count()
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+        .filter(col("exact_count") > lit(n / (k + 1)))
+        .select(col("tok"), col("exact_count"),
+          col("tok").isInCollection(sketch.keys.toSeq).as("in_sketch"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106, q109, q110)
 }

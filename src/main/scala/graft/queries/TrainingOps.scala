@@ -154,5 +154,29 @@ object TrainingOps {
         CAST(LENGTH(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
       FROM c"""))
 
-  val all: Seq[NamedQuery] = Seq(q100, q101, q102, q103, q108)
+  /** q111: Z-order spatial keys — interleave, then deinterleave back;
+    * the round trip is the bijection certificate and the whole chain is
+    * one codegen'd integer projection. Coordinates derive from fixture
+    * keys; the same generated shift/mask SQL runs in both engines. */
+  private val q111 = NamedQuery(
+    "q111_zorder_keys",
+    (s, d) => {
+      import graft.functions.SpatialKeys._
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("z", expr(zorderSql("x", "y")))
+        .withColumn("x_back", expr(deinterleaveXSql("z")))
+        .withColumn("y_back", expr(deinterleaveYSql("z")))
+    },
+    Some(s"""WITH c AS (SELECT l_orderkey, l_linenumber,
+        l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      zt AS (SELECT *, ${graft.functions.SpatialKeys.zorderSql("x", "y")} AS z
+             FROM c)
+      SELECT l_orderkey, l_linenumber, x, y, z,
+        ${graft.functions.SpatialKeys.deinterleaveXSql("z")} AS x_back,
+        ${graft.functions.SpatialKeys.deinterleaveYSql("z")} AS y_back
+      FROM zt"""))
+
+  val all: Seq[NamedQuery] = Seq(q100, q101, q102, q103, q108, q111)
 }
