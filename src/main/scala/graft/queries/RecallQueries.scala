@@ -179,13 +179,19 @@ object RecallQueries {
     (s, d) => {
       import s.implicits._
       import graft.functions.{FrequentItems, TextFunctions}
+      // pin the exploded token stream once: the sketch scan and the exact
+      // reference both read the materialized blocks
       val toks = Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .localCheckpoint()
       val k = 50
       val sketch: Map[String, Long] = toks.as[String]
         .select(new FrequentItems(k).toColumn).head()
-      val n = toks.count()
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+      val exact = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count")).localCheckpoint()
+      // n from the exact counts — no third pass over the stream
+      val n = exact.agg(sum(col("exact_count"))).head().getLong(0)
+      exact
         .filter(col("exact_count") > lit(n / (k + 1)))
         .select(col("tok"), col("exact_count"),
           col("tok").isInCollection(sketch.keys.toSeq).as("in_sketch"))
