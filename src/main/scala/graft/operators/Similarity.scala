@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,12 +86,26 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(id).as("vid"),
       normalized(toDouble(col(vec))).as("e")).localCheckpoint()
-    // deterministic seeds: the nCells smallest multiplicative id hashes
-    var cents: Seq[(Int, Seq[Double])] = c
+    // deterministic SPREAD seeding: hash-sample a bounded candidate pool
+    // (one scan), then greedy farthest-point on the pool driver-side —
+    // two seeds landing in one tight cluster is the classic way Lloyd
+    // strands an empty cell, and hash order alone can do exactly that.
+    // Pool coverage: clusters holding < 1/(64·nCells) of the corpus can
+    // be missed; acceptable for a coarse quantizer.
+    val pool: Array[Seq[Double]] = c
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
-      .orderBy(col("hk"), col("vid")).limit(nCells)
+      .orderBy(col("hk"), col("vid")).limit(64 * nCells)
       .select(col("e")).as[Seq[Double]].collect()
-      .zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (seeds.size < nCells && seeds.size < pool.length)
+      seeds += pool.maxBy(p => seeds.map(s => d2(p, s)).min)
+    var cents: Seq[(Int, Seq[Double])] =
+      seeds.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
     def assign(): DataFrame = {
       val centDf = broadcast(cents.toDF("cell", "centroid"))
       c.crossJoin(centDf)
@@ -103,16 +117,95 @@ object Similarity {
     }
     var round = 0
     while (round < iters) {
-      cents = assign().join(c, Seq("vid"))
+      val recomputed = assign().join(c, Seq("vid"))
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("centroid"))
-        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+        .as[(Int, Seq[Double])].collect().toMap
+      // a cell that lost every member keeps its previous centroid (it can
+      // re-acquire points) instead of silently vanishing from the model
+      cents = cents.map { case (i, old) => (i, recomputed.getOrElse(i, old)) }
       round += 1
     }
     assign().select(col("vid").as("vec_id"), col("cell"))
+  }
+
+  /** As [[trainCells]], additionally returning the final centroids (the
+    * coarse-quantizer model a probe needs to rank cells). */
+  def trainCellsWithCentroids(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val assign = trainCells(corpus, id, vec, nCells, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(id).as("vid"),
+      normalized(toDouble(col(vec))).as("e"))
+    val cents = assign.withColumnRenamed("vec_id", "vid").join(c, Seq("vid"))
+      .select(col("cell"), posexplode(col("e")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    (assign, cents)
+  }
+
+  /** Persist the corpus as an on-disk IVF index: parquet PARTITIONED BY
+    * the trained cell id, with the centroid model in a `_centroids`
+    * sidecar (underscore-prefixed: invisible to readers of the data
+    * tree). This is the I/O half of the IVF scale story: a probe's scan
+    * lists only its nprobe cell directories — partition pruning happens
+    * before any file is opened, so probe cost is |corpus|·nprobe/nCells
+    * of I/O, not a full scan. */
+  def writeIvfIndex(corpus: DataFrame, id: String, vec: String, dir: String,
+      nCells: Int, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assign, cents) = trainCellsWithCentroids(corpus, id, vec, nCells, iters)
+    corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("embedding"))
+      .join(assign, Seq("vec_id"))
+      // co-locate each cell before the partitioned write: one writer task
+      // per cell directory instead of every task spraying every cell
+      .repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    cents.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/_centroids")
+  }
+
+  /** Probe the on-disk IVF index: rank cells by probe↔centroid cosine,
+    * then scan ONLY the top `nprobe` cell partitions (the filter is on
+    * the partition column, so pruning is a listing-time decision) and
+    * exact-rank within the candidates. */
+  def probeIvfIndex(spark: SparkSession, dir: String, probes: DataFrame,
+      probeId: String, probeVec: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(spark.read.parquet(s"$dir/_centroids"))
+    val p = probes.select(col(probeId).as("q_id"),
+      toDouble(col(probeVec)).as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probeCells = p.crossJoin(cents)
+      .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    // the probed cell set is bounded (≤ probes × nprobe): collect it so
+    // the scan filter is a LITERAL IN over the partition column
+    val wanted = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(dir)
+      .filter(col("cell").isin(wanted.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id"), col("cell"), normalized(col("embedding")).as("e"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    c.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
+        col("rank"))
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `nBits` planes

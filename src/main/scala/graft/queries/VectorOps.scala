@@ -123,5 +123,22 @@ object VectorOps {
         ROUND(v[1] * 2.0 + 1.0, 6) AS first_affine
       FROM e"""))
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91)
+  /** The IVF index's I/O half, driver-visible: the corpus is WRITTEN as
+    * cell-partitioned parquet (trained coarse quantizer + `_centroids`
+    * sidecar) and the probe reads only its nprobe cell directories —
+    * partition pruning before any file opens. Deterministic (trained
+    * cells and ranking are); approximate by construction → rows-only. */
+  private val q112 = NamedQuery(
+    "q112_ann_ivf_index_probe",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", dir, nCells = 16)
+      Similarity.probeIvfIndex(s, dir, probes(s, d), "vec_id", "embedding",
+        5, nprobe = 4)
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91, q112)
 }

@@ -327,6 +327,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1 === brute, "nprobe=1 on trained cells missed true neighbors")
   }
 
+  test("on-disk IVF index: cell-partitioned layout, pruned probe scan") {
+    val crnd = new scala.util.Random(13)
+    val centers = Seq(
+      Array.fill(16)(0.0).updated(0, 10.0),
+      Array.fill(16)(0.0).updated(5, 10.0),
+      Array.fill(16)(0.0).updated(11, -10.0))
+    val clustered = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => (v + crnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIvfIndex(clustered, "vec_id", "embedding", dir, nCells = 3)
+    // physical layout: one directory per cell + the centroid sidecar
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs.count(_.startsWith("cell=")) === 3, s"layout: $subdirs")
+    assert(subdirs.contains("_centroids"))
+    // probing one cell prunes the scan to that partition BEFORE any I/O
+    val probes = clustered.filter($"vec_id" < 3)
+    val out = Similarity.probeIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", 5, nprobe = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning:\n$plan")
+    // well-separated clusters + nprobe=1: the pruned scan still achieves
+    // full recall vs brute force (true neighbors share the probe's cell)
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = out.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got === brute, "pruned index probe missed true neighbors")
+  }
+
   test("LSH near-dup pairs: subset of exact pairs with identical cosines") {
     val exact = graft.operators.Dedup
       .embeddingNearDup(emb, "vec_id", "embedding", 0.5)
