@@ -96,6 +96,10 @@ object Similarity {
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
       .orderBy(col("hk"), col("vid")).limit(64 * nCells)
       .select(col("e")).as[Seq[Double]].collect()
+    // empty corpus: empty assignment, not a seed-selection crash
+    if (pool.isEmpty)
+      return c.select(col("vid").as("vec_id"),
+        lit(0).cast("int").as("cell")).limit(0)
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

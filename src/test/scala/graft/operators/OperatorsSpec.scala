@@ -327,6 +327,11 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1 === brute, "nprobe=1 on trained cells missed true neighbors")
   }
 
+  test("trainCells on an empty corpus returns an empty assignment") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.trainCells(empty, "vec_id", "embedding", 4).count() === 0)
+  }
+
   test("on-disk IVF index: cell-partitioned layout, pruned probe scan") {
     val crnd = new scala.util.Random(13)
     val centers = Seq(
