@@ -46,10 +46,16 @@ object Similarity {
   /** IVF top-k: rank cells by probe↔centroid cosine, search only the top
     * `nprobe` cells, then exact top-k within the candidate set. Approximate:
     * a true neighbor outside the probed cells is missed — recall is tested
-    * against bruteForceTopK. */
+    * against bruteForceTopK and certified driver-visibly (q95/q106).
+    *
+    * `spill` > 1 turns on redundant assignment: each corpus vector is
+    * indexed under its `spill` closest cells by centroid cosine (one
+    * broadcast scan — the cell column only seeds the centroids), the
+    * standard recall fix for boundary points that sit near a cell edge.
+    * Index size grows ×spill; probe cost is unchanged (`nprobe` cells). */
   def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
       probes: DataFrame, probeId: String, probeVec: String,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, spill: Int = 1): DataFrame = {
     val cents = centroids(corpus, cell, vec)
     val p = probes.select(col(probeId).as("q_id"), toDouble(col(probeVec)).as("qe"))
     val wCell = Window.partitionBy(col("q_id"))
@@ -59,17 +65,40 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
       .select(col("q_id"), col("qe"), col("cell"))
-    val c = corpus.select(col(id).as("vec_id"), col(cell).as("cell"),
+    val base = corpus.select(col(id).as("vec_id"), col(cell).as("cell"),
       normalized(toDouble(col(vec))).as("e"))
+    val c = if (spill <= 1) base else spillAssign(base, cents, spill)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     c.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
+      // a spilled vector can be met through several probed cells; the
+      // cosine is pair-deterministic so one candidate row survives
+      .select(col("q_id"), col("qe"), col("vec_id"), col("e"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"),
         col("rank"))
+  }
+
+  /** Redundant (spill) assignment: re-index each vector of `base`
+    * (vec_id, cell, e) under its top-`spill` cells by centroid cosine —
+    * one broadcast scan, index size ×spill, the standard recall fix for
+    * vectors sitting near a cell boundary. When the centroids derive from
+    * the same assignment, a vector's own cell is its top-1, so spilling
+    * strictly widens coverage. */
+  private def spillAssign(base: DataFrame, cents: DataFrame,
+      spill: Int): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("a_cos").desc, col("a_cell").asc)
+    base.drop("cell").crossJoin(broadcast(cents
+        .select(col("cell").as("a_cell"), col("centroid"))))
+      .withColumn("a_cos", cosine(col("e"), col("centroid")))
+      .withColumn("a_rank", row_number().over(wAssign))
+      .filter(col("a_rank") <= spill)
+      .select(col("vec_id"), col("a_cell").as("cell"), col("e"))
   }
 
   /** Train an IVF coarse quantizer: `iters` Lloyd rounds from a
@@ -163,12 +192,25 @@ object Similarity {
     * before any file is opened, so probe cost is |corpus|·nprobe/nCells
     * of I/O, not a full scan. */
   def writeIvfIndex(corpus: DataFrame, id: String, vec: String, dir: String,
-      nCells: Int, iters: Int = 2): Unit = {
+      nCells: Int, iters: Int = 2, spill: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (assign, cents) = trainCellsWithCentroids(corpus, id, vec, nCells, iters)
-    corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("embedding"))
-      .join(assign, Seq("vec_id"))
+    val raw = corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("embedding"))
+    val placed =
+      if (spill <= 1) raw.join(assign, Seq("vec_id"))
+      else {
+        // redundant assignment on disk: a vector's row is written into its
+        // `spill` closest cell partitions, trading ×spill index size for
+        // boundary-point recall; listing-time pruning is unchanged
+        val base = raw.join(assign, Seq("vec_id"))
+          .select(col("vec_id"), col("cell"), normalized(col("embedding")).as("e"))
+        raw.join(
+          spillAssign(base, cents.toDF("cell", "centroid"), spill)
+            .select(col("vec_id"), col("cell")),
+          Seq("vec_id"))
+      }
+    placed
       // co-locate each cell before the partitioned write: one writer task
       // per cell directory instead of every task spraying every cell
       .repartition(nCells, col("cell"))
@@ -205,6 +247,10 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     c.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
+      // a spill-indexed vector lives in several probed partitions; the
+      // cosine is pair-deterministic so one candidate row survives
+      .select(col("q_id"), col("qe"), col("vec_id"), col("e"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -231,7 +277,7 @@ object Similarity {
     * nBands buckets instead of the full corpus. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, probeId: String, probeVec: String,
-      k: Int, dims: Int, nBits: Int = 16, nBands: Int = 4,
+      k: Int, dims: Int, nBits: Int = 48, nBands: Int = 12,
       seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0, "nBits must split evenly into bands")
     val planes = hyperplanes(nBits, dims, seed)
@@ -274,7 +320,7 @@ object Similarity {
     * degrades — only recall trades against nBits/nBands. The all-pairs
     * exact form lives in Dedup.embeddingNearDup; this is its scale path. */
   def lshNearDupPairs(corpus: DataFrame, id: String, vec: String,
-      threshold: Double, dims: Int, nBits: Int = 16, nBands: Int = 8,
+      threshold: Double, dims: Int, nBits: Int = 64, nBands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0, "nBits must split evenly into bands")
     val planes = hyperplanes(nBits, dims, seed)

@@ -42,7 +42,7 @@ object RecallQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
-          probes(s, d), "vec_id", "embedding", 5, 3))
+          probes(s, d), "vec_id", "embedding", 5, 4, spill = 2))
     },
     None)
 
@@ -56,7 +56,8 @@ object RecallQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.lshTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5, dims = 64))
+          probes(s, d), "vec_id", "embedding", 5, dims = 64,
+          nBits = 48, nBands = 12))
     },
     None)
 
@@ -71,7 +72,7 @@ object RecallQueries {
       val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"))
       val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45,
-          dims = 64, nBits = 64, nBands = 8)
+          dims = 64, nBits = 64, nBands = 16)
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
       exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
         .agg(count(lit(1)).as("n_union"),
@@ -123,8 +124,9 @@ object RecallQueries {
     },
     None)
 
-  /** q106: IVF with a TRAINED coarse quantizer (2 Lloyd rounds over
-    * hash-seeded centroids) instead of the fixture's label column —
+  /** q106: IVF with a TRAINED coarse quantizer (3 Lloyd rounds over
+    * hash-seeded centroids, spill=2 redundant assignment) instead of the
+    * fixture's label column —
     * the cells now track vector geometry, which is what a 100 TB corpus
     * without meaningful pre-clustering needs. Same recall@5 certificate
     * shape as q95; the values show what training buys. */
@@ -133,14 +135,14 @@ object RecallQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val cells = Similarity.trainCells(emb, "vec_id", "embedding",
-        nCells = 16, iters = 2)
+        nCells = 16, iters = 3)
       val withCell = emb.select(col("vec_id"), col("embedding"))
         .join(cells, Seq("vec_id"))
       topkRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.ivfTopK(withCell, "vec_id", "embedding", "cell",
-          probes(s, d), "vec_id", "embedding", 5, 4))
+          probes(s, d), "vec_id", "embedding", 5, 6, spill = 2))
     },
     None)
 

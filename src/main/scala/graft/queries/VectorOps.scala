@@ -33,13 +33,15 @@ object VectorOps {
       SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank
       FROM r WHERE rank <= 5"""))
 
-  /** IVF ANN (label cells, nprobe=3). Approximate by construction →
-    * rows-only check; recall vs the exact baseline is a ScalaTest. */
+  /** IVF ANN (label cells, nprobe=4, spill=2: each vector indexed under
+    * its 2 closest cells — measured recall@5 0.86 vs 0.42 for the naive
+    * single-assignment nprobe=3 config, certified by q95). Approximate by
+    * construction → rows-only check. */
   private val q71 = NamedQuery(
     "q71_ann_ivf_topk",
     (s, d) => Similarity.ivfTopK(
       Tables.embeddings(s, d), "vec_id", "embedding", "label",
-      probes(s, d), "vec_id", "embedding", 5, 3),
+      probes(s, d), "vec_id", "embedding", 5, 4, spill = 2),
     None)
 
   /** Embedding-cosine near-dup pairs. */
@@ -73,26 +75,29 @@ object VectorOps {
       FROM v GROUP BY label"""))
 
   /** Sign-LSH banded ANN (the brief's "LSH-bucketed variant"): approximate
-    * by construction → rows-only check; recall vs the exact baseline is a
-    * ScalaTest (SimilaritySpec). */
+    * by construction → rows-only check; recall vs the exact baseline is
+    * certified by q96 (48 bits / 12 bands = 4 bits/band → measured
+    * recall@5 0.90 vs 0.40 for the old 16/4 config). */
   private val q74 = NamedQuery(
     "q74_ann_lsh_topk",
     (s, d) => Similarity.lshTopK(
       Tables.embeddings(s, d), "vec_id", "embedding",
-      probes(s, d), "vec_id", "embedding", 5, dims = 64),
+      probes(s, d), "vec_id", "embedding", 5, dims = 64,
+      nBits = 48, nBands = 12),
     None)
 
   /** LSH-banded embedding near-dup (the scale path of q72's exact
     * all-pairs): approximate candidate generation → rows-only check;
-    * recall vs the exact pairs is a ScalaTest. 8 bits/band keeps band
-    * buckets ~n/256 so candidate generation stays far from n²; at this
-    * moderate threshold sign-LSH recall is partial by construction —
-    * the exact path (q72) is the completeness reference. */
+    * recall vs the exact pairs is certified by q97. Banded FOR the
+    * registered 0.45 threshold: 4 bits/band × 16 bands gives per-band
+    * collision (1−θ/π)⁴ ≈ 0.18 at cos 0.45, so P(candidate) ≈ 0.96 at
+    * the threshold and higher above it — measured recall 1.0 (the old
+    * 8-bit banding was tuned for the ≥0.9 regime and recalled 0.14). */
   private val q88 = NamedQuery(
     "q88_embedding_neardup_lsh",
     (s, d) => Similarity.lshNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64,
-      nBits = 64, nBands = 8),
+      nBits = 64, nBands = 16),
     None)
 
   /** Higher-order array functions over the embedding vectors: exists /
@@ -134,9 +139,9 @@ object VectorOps {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_index").toString
       Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
-        "embedding", dir, nCells = 16)
+        "embedding", dir, nCells = 16, iters = 3, spill = 2)
       Similarity.probeIvfIndex(s, dir, probes(s, d), "vec_id", "embedding",
-        5, nprobe = 4)
+        5, nprobe = 6)
     },
     None)
 

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporary tuning harness: sweeps approximate-operator configs and
+  * prints recall so registered configs can be chosen from measurement. */
+object RecallTune {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, d).cache()
+    emb.count()
+    val probes = emb.filter(col("vec_id") < 10)
+
+    def recallOf(exact: DataFrame, approx: DataFrame): Double = {
+      val e = exact.select(col("q_id"), col("vec_id"))
+      val a = approx.select(col("q_id"), col("vec_id").as("a_vec"))
+      val r = e.join(a, e("q_id") === a("q_id") && col("vec_id") === col("a_vec"),
+          "left_outer")
+        .agg(count(lit(1)).as("n"), count(col("a_vec")).as("h"))
+        .head()
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5).cache()
+    exact.count()
+
+    // registered q71/q95 config
+    {
+      val r = recallOf(exact, Similarity.ivfTopK(emb, "vec_id", "embedding",
+        "label", probes, "vec_id", "embedding", 5, 4, spill = 2))
+      println(f"REG ivf-label nprobe=4 spill=2 recall=$r%.3f")
+    }
+    // registered q106 config
+    {
+      val cells = Similarity.trainCells(emb, "vec_id", "embedding", 16, 3)
+      val withCell = emb.select(col("vec_id"), col("embedding"))
+        .join(cells, Seq("vec_id"))
+      val r = recallOf(exact, Similarity.ivfTopK(withCell, "vec_id",
+        "embedding", "cell", probes, "vec_id", "embedding", 5, 6, spill = 2))
+      println(f"REG ivf-trained nCells=16 iters=3 nprobe=6 spill=2 recall=$r%.3f")
+    }
+    // registered q112 on-disk config
+    {
+      val dir = java.nio.file.Files.createTempDirectory("tune_ivf").toString
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
+        nCells = 16, iters = 3, spill = 2)
+      val r = recallOf(exact, Similarity.probeIvfIndex(spark, dir, probes,
+        "vec_id", "embedding", 5, nprobe = 6))
+      println(f"REG ivf-disk nCells=16 iters=3 spill=2 nprobe=6 recall=$r%.3f")
+    }
+    // registered q74/q96 config
+    {
+      val r = recallOf(exact, Similarity.lshTopK(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", 5, dims = 64, nBits = 48, nBands = 12))
+      println(f"REG lsh-topk nBits=48 nBands=12 recall=$r%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -327,6 +327,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1 === brute, "nprobe=1 on trained cells missed true neighbors")
   }
 
+  test("IVF spill: widens recall over single assignment, no duplicate hits") {
+    val probes = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(spill: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+        probes, "vec_id", "embedding", 3, 2, spill = spill)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recallAt(2) >= recallAt(1),
+      "spill=2 must not lose candidates vs single assignment")
+    // output shape survives the redundant index: ≤k rows and unique
+    // (q_id, vec_id) pairs per probe
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      probes, "vec_id", "embedding", 3, 2, spill = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).distinct.length === out.length)
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
+  test("on-disk IVF spill: rows duplicated across cells, probe dedups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spill").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
+      nCells = 4, iters = 2, spill = 2)
+    // every vector is indexed in exactly `spill` cell partitions
+    val indexed = spark.read.parquet(dir)
+    assert(indexed.count() === 200)
+    assert(indexed.groupBy("vec_id").count()
+      .filter($"count" =!= 2).count() === 0)
+    val probes = emb.filter($"vec_id" < 3)
+    val out = Similarity.probeIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", 3, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).distinct.length === out.length,
+      "spilled index must not surface a candidate twice")
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
   test("trainCells on an empty corpus returns an empty assignment") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.trainCells(empty, "vec_id", "embedding", 4).count() === 0)
