@@ -113,52 +113,57 @@ object PixelQueries {
     * fixpoint unrolls to 5 filter rounds (a converged set is a fixed point
     * of further passes); MEDIAN/STDDEV_POP match the aggregate's
     * numpy-median/population-std; the 3×3 peak test and box stats restate
-    * detectStars' joins relationally. */
-  private val detectSqlPrefix = """WITH stars AS (
+    * detectStars' joins relationally. Every CTE is MATERIALIZED: DuckDB
+    * inlines CTEs by default, and each clip round references its
+    * predecessor twice (once in the aggregate, once in the filter), so the
+    * inlined chain re-evaluates the render exponentially — 5 global + 5
+    * per-star rounds cost ~7 min inlined vs ~0.1 s materialized, which is
+    * the difference between the driver's gate finishing and timing out. */
+  private val detectSqlPrefix = """WITH stars AS MATERIALIZED (
       SELECT CASE WHEN s_suppkey - 1 = 4 THEN 32.0
                   ELSE 10.0 + ((s_suppkey - 1) % 2) * 44 END AS sx,
              CASE WHEN s_suppkey - 1 = 4 THEN 32.0
                   ELSE 10.0 + FLOOR((s_suppkey - 1) / 2) * 44 END AS sy,
              s_acctbal % 2000 + 1200 AS amp
       FROM supplier WHERE s_suppkey < 6),
-    grid AS (SELECT CAST(range // 64 AS BIGINT) AS y,
+    grid AS MATERIALIZED (SELECT CAST(range // 64 AS BIGINT) AS y,
                     CAST(range % 64 AS BIGINT) AS x FROM range(4096)),
-    render AS (
+    render AS MATERIALIZED (
       SELECT y, x,
         SUM(amp * EXP((-((x - sx)*(x - sx) + (y - sy)*(y - sy))) / (2.0 * 1.8 * 1.8))) + 100.0
           + ((y * 64 + x + 1) * 2654435761 % 1024 - 511.5) / 1024.0 * 6.0 AS v
       FROM grid CROSS JOIN stars GROUP BY y, x),
-    c0 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM render),
-    r1 AS (SELECT v, y, x FROM render, c0 WHERE ABS(v - med) <= 2.0 * sd),
-    c1 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r1),
-    r2 AS (SELECT v, y, x FROM r1, c1 WHERE ABS(v - med) <= 2.0 * sd),
-    c2 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r2),
-    r3 AS (SELECT v, y, x FROM r2, c2 WHERE ABS(v - med) <= 2.0 * sd),
-    c3 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r3),
-    r4 AS (SELECT v, y, x FROM r3, c3 WHERE ABS(v - med) <= 2.0 * sd),
-    c4 AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r4),
-    r5 AS (SELECT v, y, x FROM r4, c4 WHERE ABS(v - med) <= 2.0 * sd),
-    bstats AS (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r5),
-    bgsub AS (SELECT y, x, v - (SELECT med FROM bstats) AS v FROM render),
-    cands AS (SELECT b.y, b.x, b.v FROM bgsub b, bstats
+    c0 AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM render),
+    r1 AS MATERIALIZED (SELECT v, y, x FROM render, c0 WHERE ABS(v - med) <= 2.0 * sd),
+    c1 AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r1),
+    r2 AS MATERIALIZED (SELECT v, y, x FROM r1, c1 WHERE ABS(v - med) <= 2.0 * sd),
+    c2 AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r2),
+    r3 AS MATERIALIZED (SELECT v, y, x FROM r2, c2 WHERE ABS(v - med) <= 2.0 * sd),
+    c3 AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r3),
+    r4 AS MATERIALIZED (SELECT v, y, x FROM r3, c3 WHERE ABS(v - med) <= 2.0 * sd),
+    c4 AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r4),
+    r5 AS MATERIALIZED (SELECT v, y, x FROM r4, c4 WHERE ABS(v - med) <= 2.0 * sd),
+    bstats AS MATERIALIZED (SELECT MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM r5),
+    bgsub AS MATERIALIZED (SELECT y, x, v - (SELECT med FROM bstats) AS v FROM render),
+    cands AS MATERIALIZED (SELECT b.y, b.x, b.v FROM bgsub b, bstats
               WHERE b.v > 0.0 + 10.0 * sd),
-    nbr AS (SELECT c.y AS cy, c.x AS cx, n.v AS nv, n.y AS ny, n.x AS nx
+    nbr AS MATERIALIZED (SELECT c.y AS cy, c.x AS cx, n.v AS nv, n.y AS ny, n.x AS nx
             FROM cands c JOIN cands n
               ON n.y BETWEEN c.y - 1 AND c.y + 1
              AND n.x BETWEEN c.x - 1 AND c.x + 1),
-    win AS (SELECT cy, cx, ny, nx,
+    win AS MATERIALIZED (SELECT cy, cx, ny, nx,
               ROW_NUMBER() OVER (PARTITION BY cy, cx
                 ORDER BY nv DESC, ny, nx) AS rn
             FROM nbr),
-    peaks AS (SELECT w.cy AS py, w.cx AS px, c.v AS peak
+    peaks AS MATERIALIZED (SELECT w.cy AS py, w.cx AS px, c.v AS peak
               FROM win w JOIN cands c ON c.y = w.cy AND c.x = w.cx
               WHERE w.rn = 1 AND w.ny = w.cy AND w.nx = w.cx),
-    boxw AS (SELECT p.py, p.px, p.peak, b.y, b.x, b.v,
+    boxw AS MATERIALIZED (SELECT p.py, p.px, p.peak, b.y, b.x, b.v,
                GREATEST(b.v - 0.0, 0.0) AS w
              FROM peaks p JOIN bgsub b
                ON b.y BETWEEN p.py - 4 AND p.py + 4
               AND b.x BETWEEN p.px - 4 AND p.px + 4),
-    det AS (SELECT py, px, MIN(peak) AS peak,
+    det AS MATERIALIZED (SELECT py, px, MIN(peak) AS peak,
               SUM(w) AS flux,
               SUM(w * x) / SUM(w) AS xcentroid,
               SUM(w * y) / SUM(w) AS ycentroid,
@@ -215,24 +220,24 @@ object PixelQueries {
       .select(col("img_id"), col("star_id"),
         r6(col("annulus_bkg")).as("annulus_bkg"), col("n_annulus")),
     Some(detectSqlPrefix + """,
-      stars2 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY py, px) AS INTEGER) AS star_id,
+      stars2 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY py, px) AS INTEGER) AS star_id,
                    xcentroid, ycentroid FROM det),
-      ring AS (SELECT s.star_id, r.v
+      ring AS MATERIALIZED (SELECT s.star_id, r.v
         FROM stars2 s JOIN render r
           ON r.y BETWEEN ROUND(s.ycentroid) - 10 AND ROUND(s.ycentroid) + 10
          AND r.x BETWEEN ROUND(s.xcentroid) - 10 AND ROUND(s.xcentroid) + 10
         WHERE (r.x - s.xcentroid)*(r.x - s.xcentroid) + (r.y - s.ycentroid)*(r.y - s.ycentroid) >= 36.0
           AND (r.x - s.xcentroid)*(r.x - s.xcentroid) + (r.y - s.ycentroid)*(r.y - s.ycentroid) < 100.0),
-      b0 AS (SELECT star_id AS g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM ring GROUP BY star_id),
-      a1 AS (SELECT star_id AS g, v FROM ring JOIN b0 ON b0.g = ring.star_id WHERE ABS(v - med) <= 2.0 * sd),
-      b1 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a1 GROUP BY g),
-      a2 AS (SELECT a1.g, a1.v FROM a1 JOIN b1 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
-      b2 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a2 GROUP BY g),
-      a3 AS (SELECT a2.g, a2.v FROM a2 JOIN b2 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
-      b3 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a3 GROUP BY g),
-      a4 AS (SELECT a3.g, a3.v FROM a3 JOIN b3 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
-      b4 AS (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a4 GROUP BY g),
-      a5 AS (SELECT a4.g, a4.v FROM a4 JOIN b4 USING (g) WHERE ABS(v - med) <= 2.0 * sd)
+      b0 AS MATERIALIZED (SELECT star_id AS g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM ring GROUP BY star_id),
+      a1 AS MATERIALIZED (SELECT star_id AS g, v FROM ring JOIN b0 ON b0.g = ring.star_id WHERE ABS(v - med) <= 2.0 * sd),
+      b1 AS MATERIALIZED (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a1 GROUP BY g),
+      a2 AS MATERIALIZED (SELECT a1.g, a1.v FROM a1 JOIN b1 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b2 AS MATERIALIZED (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a2 GROUP BY g),
+      a3 AS MATERIALIZED (SELECT a2.g, a2.v FROM a2 JOIN b2 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b3 AS MATERIALIZED (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a3 GROUP BY g),
+      a4 AS MATERIALIZED (SELECT a3.g, a3.v FROM a3 JOIN b3 USING (g) WHERE ABS(v - med) <= 2.0 * sd),
+      b4 AS MATERIALIZED (SELECT g, MEDIAN(v) AS med, STDDEV_POP(v) AS sd FROM a4 GROUP BY g),
+      a5 AS MATERIALIZED (SELECT a4.g, a4.v FROM a4 JOIN b4 USING (g) WHERE ABS(v - med) <= 2.0 * sd)
       SELECT CAST(1 AS BIGINT) AS img_id, g AS star_id,
         ROUND(MEDIAN(v), 6) AS annulus_bkg, COUNT(*) AS n_annulus
       FROM a5 GROUP BY g"""))
