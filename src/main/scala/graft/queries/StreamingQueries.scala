@@ -1,11 +1,9 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import scala.collection.concurrent.TrieMap
 
-import graft.{NamedQuery, Tables}
-import graft.streaming.EventStreams
+import graft.{NamedQuery, Tables, TempDirs}
+import graft.streaming.{EventStreams, KeyedParquetSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -13,10 +11,12 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 /** Driver-visible Structured Streaming correctness (SURVEY.md §2.9): each
   * query here runs a REAL streaming job — file-source micro-batches over a
   * staged copy of the `events` fixture, stateful event-time aggregation,
-  * `foreachBatch` idempotent upsert — to completion, then returns the final
-  * upserted table as a batch DataFrame. The oracle is the *batch* SQL over
-  * the same rows (q40/q42's), so the hash gate certifies incremental ≡
-  * batch end to end, not just "some rows came out".
+  * `foreachBatch` idempotent upsert into a keyed parquet table
+  * ([[KeyedParquetSink]]: O(batch) commits, distributed read-back — the
+  * scale path, not a driver map) — to completion, then returns the upserted
+  * table as a batch DataFrame. The oracle is the *batch* SQL over the same
+  * rows, so the hash gate certifies incremental ≡ batch end to end, not
+  * just "some rows came out".
   *
   * Watermark note: these harness runs use an effectively-unbounded watermark
   * delay so that no fixture row is ever dropped regardless of file arrival
@@ -31,20 +31,58 @@ object StreamingQueries {
     * watermark never overtakes in-flight files. */
   private val NeverLate = "3650 days"
 
+  /** Staged replay directories, one per (session, dataset, variant): the
+    * fixture copy is immutable once staged, so repeated verify/bench runs
+    * replay the same files instead of re-copying (and re-sleeping for the
+    * sentinel's mod-time gap). All directories die with the JVM
+    * ([[TempDirs]]). */
+  private val staged = TrieMap.empty[(Int, String, String), String]
+
   /** Stage the batch events table as an n-file parquet directory; the file
     * stream source then replays it as n micro-batches (one file per
     * trigger, oldest modification first). Range-partitioned by `ts` so the
     * replay is roughly chronological — realistic, but NOT load-bearing:
     * correctness holds for any file order because nothing can be late. */
-  private def stage(s: SparkSession, d: String, nFiles: Int): String = {
-    val dir = Files.createTempDirectory("graft_stream_events").toString
-    Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .repartitionByRange(nFiles, col("ts"))
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private def stage(s: SparkSession, d: String, nFiles: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, "plain"), {
+      val dir = TempDirs.create("graft_stream_events")
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** As [[stage]], plus a far-future sentinel event (user −1) staged as the
+    * chronologically-last file: the fixture is finite, so the sentinel
+    * pushes the final watermark past every real session's close. Its own
+    * session can never close and is filtered by consumers. */
+  private def stageWithSentinel(s: SparkSession, d: String, nFiles: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, "sentinel"), {
+      import s.implicits._
+      val dir = TempDirs.create("graft_stream_events_sentinel")
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val maxTs = Tables.events(s, d).agg(max(unix_micros(col("ts"))))
+        .head().getLong(0)
+      // beyond max ts + watermark delay + gap, with margin
+      val sentinelUs = maxTs + (3651L * 86400 + 86400) * 1000000L
+      // strictly after the data files so the oldest-first file source
+      // delivers it in the final micro-batch (mod-time ordering; local
+      // filesystems stamp at ms-or-finer granularity, so a 250 ms gap
+      // guarantees strict ordering)
+      Thread.sleep(250)
+      Seq((-1L, sentinelUs, -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("append").parquet(dir)
+      dir
+    })
 
   private def eventStream(s: SparkSession, dir: String): DataFrame =
     s.readStream
@@ -65,37 +103,37 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run a streaming DataFrame to completion (AvailableNow), upserting
+    * every micro-batch into a fresh keyed parquet sink; returns the sink's
+    * final contents. */
+  private def runToSink(s: SparkSession, out: DataFrame, mode: OutputMode,
+      keys: Seq[String]): DataFrame = {
+    val sinkDir = TempDirs.create("graft_stream_sink")
+    val q = out.writeStream.outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        KeyedParquetSink.upsertBatch(batch, bid, sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    KeyedParquetSink.read(s, sinkDir, keys)
+  }
+
   /** q93: incremental tumbling-window counts ≡ batch q40. The stream runs
     * hourlyTypeCounts (the production transform) in Update mode; every
-    * micro-batch upserts its changed groups into a keyed store (the
-    * idempotent-sink contract — re-delivered keys overwrite their own
-    * slot), and the final store contents are returned. State is keyed by
-    * (window, type): bounded by the group count, never by event volume. */
+    * micro-batch upserts its changed groups into the keyed sink, and the
+    * final table is returned. Sink keys are (window, type): bounded by the
+    * group count, never by event volume. */
   private val q93 = NamedQuery(
     "q93_incremental_windows",
     (s, d) => {
-      import s.implicits._
       val dir = stage(s, d, nFiles = 4)
-      // upsert store: (wstart µs, event_type) -> (n, sum). TrieMap for the
-      // concurrent foreachBatch writes; size = #groups, a model object.
-      val store = TrieMap.empty[(Long, String), (Long, Double)]
       withStatePartitions(s, 8) {
-        val q = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
+        val out = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
           .select(unix_micros(col("wstart")).as("w_us"), col("event_type"),
             col("n"), col("sum_value"))
-          .writeStream.outputMode(OutputMode.Update())
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.as[(Long, String, Long, Double)].collect()
-              .foreach { case (w, t, n, sv) => store.put((w, t), (n, sv)) }
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        runToSink(s, out, OutputMode.Update(), Seq("w_us", "event_type"))
       }
-      store.iterator
-        .map { case ((w, t), (n, sv)) => (w, t, n, sv) }.toSeq
-        .toDF("w_us", "event_type", "n", "sum_value")
         .select(timestamp_micros(col("w_us")).as("wstart"), col("event_type"),
           col("n"), round(col("sum_value"), 6).as("sum_value"))
     },
@@ -104,59 +142,10 @@ object StreamingQueries {
       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
-  /** q94: incremental session windows ≡ batch q42, in APPEND mode — a
-    * session row is emitted exactly once, when the event-time watermark
-    * passes its close. The fixture is finite, so a single far-future
-    * sentinel event (user −1), staged as the chronologically-last file,
-    * pushes the final watermark past every real session's close; the
-    * sentinel's own session can never close and is additionally filtered.
-    * The upsert keyed by (user, session_start) makes re-delivery a no-op. */
-  private val q94 = NamedQuery(
-    "q94_incremental_sessions",
-    (s, d) => {
-      import s.implicits._
-      val dir = stage(s, d, nFiles = 4)
-      val maxTs = Tables.events(s, d).agg(max(unix_micros(col("ts")))).head().getLong(0)
-      // sentinel: beyond max ts + watermark delay + gap, with margin
-      val sentinelUs = maxTs + (3651L * 86400 + 86400) * 1000000L
-      // stage it strictly after the data files so the oldest-first file
-      // source delivers it in the final micro-batch (mod-time ordering;
-      // local filesystems stamp at ms-or-finer granularity, so a 250 ms
-      // gap guarantees strict ordering)
-      Thread.sleep(250)
-      Seq((-1L, sentinelUs, -1L, "sentinel", 0.0))
-        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
-        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-        .write.mode("append").parquet(dir)
-      val store = TrieMap.empty[(Long, Long), (Long, Long, Double)]
-      withStatePartitions(s, 8) {
-        val q = EventStreams.userSessions(eventStream(s, dir),
-            gap = "10 minutes", watermark = NeverLate)
-          .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
-            unix_micros(col("session_end")).as("e_us"), col("n"), col("sum_value"))
-          .writeStream.outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.as[(Long, Long, Long, Long, Double)].collect()
-              .foreach { case (u, st, en, n, sv) =>
-                store.put((u, st), (en, n, sv)) }
-            ()
-          }
-          .start()
-        q.awaitTermination()
-      }
-      store.iterator
-        .filter { case ((u, _), _) => u >= 0 }
-        .map { case ((u, st), (en, n, sv)) => (u, st, en, n, sv) }.toSeq
-        .toDF("user_id", "s_us", "e_us", "n", "sum_value")
-        .select(col("user_id"),
-          timestamp_micros(col("s_us")).as("session_start"),
-          timestamp_micros(col("e_us")).as("session_end"), col("n"),
-          round(col("sum_value"), 6).as("sum_value"))
-    },
-    // q42's gaps-and-islands oracle verbatim: incremental ≡ batch
-    Some("""WITH e AS (
+  /** The q42 gaps-and-islands batch oracle: shared by q94 (session_window)
+    * and q113 (hand-rolled flatMapGroupsWithState sessionization) — both
+    * must reproduce the batch sessions exactly. */
+  private val SessionOracle = """WITH e AS (
         SELECT user_id, event_id, ts, value,
           CASE WHEN LAG(ts) OVER w IS NULL
                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 600000000
@@ -170,7 +159,86 @@ object StreamingQueries {
       SELECT user_id, MIN(ts) AS session_start,
         MAX(ts) + INTERVAL 10 MINUTE AS session_end,
         COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-      FROM g GROUP BY user_id, sess"""))
+      FROM g GROUP BY user_id, sess"""
 
-  val all: Seq[NamedQuery] = Seq(q93, q94)
+  private def sessionResult(table: DataFrame): DataFrame = table
+    .filter(col("user_id") >= 0) // drop the sentinel's never-closing user
+    .select(col("user_id"),
+      timestamp_micros(col("s_us")).as("session_start"),
+      timestamp_micros(col("e_us")).as("session_end"), col("n"),
+      round(col("sum_value"), 6).as("sum_value"))
+
+  /** q94: incremental session windows ≡ batch q42, in APPEND mode — a
+    * session row is emitted exactly once, when the event-time watermark
+    * passes its close (the sentinel file pushes the final watermark past
+    * every real close). The upsert keyed by (user, session_start) makes
+    * re-delivery a no-op. */
+  private val q94 = NamedQuery(
+    "q94_incremental_sessions",
+    (s, d) => {
+      val dir = stageWithSentinel(s, d, nFiles = 4)
+      val table = withStatePartitions(s, 8) {
+        val out = EventStreams.userSessions(eventStream(s, dir),
+            gap = "10 minutes", watermark = NeverLate)
+          .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
+            unix_micros(col("session_end")).as("e_us"), col("n"),
+            col("sum_value"))
+        runToSink(s, out, OutputMode.Append(), Seq("user_id", "s_us"))
+      }
+      sessionResult(table)
+    },
+    Some(SessionOracle))
+
+  /** q113: the CUSTOM-STATE sessionizer (flatMapGroupsWithState with
+    * event-time timeouts, §2.11) under the same file-replay hash gate as
+    * q94 — the hand-rolled operator must reproduce the batch sessions
+    * exactly, closed either by an in-stream gap break or by its state
+    * timeout when the sentinel advances the watermark. */
+  private val q113 = NamedQuery(
+    "q113_incremental_custom_sessions",
+    (s, d) => {
+      import s.implicits._
+      val dir = stageWithSentinel(s, d, nFiles = 4)
+      val table = withStatePartitions(s, 8) {
+        val out = EventStreams.closedUserSessions(
+            eventStream(s, dir).as[EventStreams.Event],
+            gapMs = 600000L, watermark = NeverLate)
+          .toDF()
+          .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
+            unix_micros(col("session_end")).as("e_us"), col("n"),
+            col("sum_value"))
+        runToSink(s, out, OutputMode.Append(), Seq("user_id", "s_us"))
+      }
+      sessionResult(table)
+    },
+    Some(SessionOracle))
+
+  /** q114: running per-user Welford statistics (mapGroupsWithState, §2.11)
+    * ≡ batch moments. Update mode: each batch re-emits the keys it
+    * touched; the sink's final row per user is the state after the last
+    * fold, which must equal the one-pass batch aggregate. The certified
+    * first moment is the SUM, not the mean: the fixture's dyadic values
+    * make many per-user means land exactly on 6-dp rounding boundaries
+    * (x/2⁷ decimals), where a 1-ulp accumulation-order difference flips
+    * the rounded digit — the sum stays far from boundaries. */
+  private val q114 = NamedQuery(
+    "q114_incremental_running_stats",
+    (s, d) => {
+      import s.implicits._
+      val dir = stage(s, d, nFiles = 4)
+      val table = withStatePartitions(s, 8) {
+        val out = EventStreams.runningUserStats(
+          eventStream(s, dir).as[EventStreams.Event]).toDF()
+        runToSink(s, out, OutputMode.Update(), Seq("user_id"))
+      }
+      table.select(col("user_id"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"),
+        round(col("std"), 6).as("std"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+      ROUND(SUM(value), 6) AS sum_value,
+      ROUND(STDDEV_POP(value), 6) AS std
+      FROM events GROUP BY user_id"""))
+
+  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114)
 }

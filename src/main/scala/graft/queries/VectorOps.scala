@@ -136,8 +136,7 @@ object VectorOps {
   private val q112 = NamedQuery(
     "q112_ann_ivf_index_probe",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
+      val dir = graft.TempDirs.create("graft_ivf_index")
       Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", dir, nCells = 16, iters = 3, spill = 2)
       Similarity.probeIvfIndex(s, dir, probes(s, d), "vec_id", "embedding",

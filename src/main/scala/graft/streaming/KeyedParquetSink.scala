@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent keyed parquet sink for `foreachBatch` upserts — the bounded
+  * replacement for a driver-side map (a driver store grows with
+  * keys×sessions; this one lives on storage and is read back
+  * distributed).
+  *
+  * Log-structured merge-on-read design:
+  *   - each micro-batch APPENDS under `dir/bid=<batchId>/` with overwrite —
+  *     a re-delivered batch (crash-and-rerun, README.md:22-27 semantics)
+  *     rewrites exactly its own partition, so delivery is idempotent by
+  *     construction and a commit is O(batch), never O(table);
+  *   - the current table is the latest row per key (max batch id wins),
+  *     resolved at read time by a keyed window — distributed, bounded by
+  *     data volume, no driver state.
+  *
+  * This is the parquet-native shape of a streaming-upsert table (the
+  * compaction a real deployment would add is an offline rewrite of old
+  * `bid=` partitions; correctness doesn't depend on it).
+  */
+object KeyedParquetSink {
+
+  /** `foreachBatch` body: persist one micro-batch's emitted rows. Empty
+    * batches write nothing (no schema-less directories). */
+  def upsertBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    if (!batch.isEmpty)
+      batch.write.mode("overwrite").parquet(s"$dir/bid=$batchId")
+  }
+
+  /** Read the table's current contents: one row per key, the latest
+    * emission (highest batch id) winning — Update-mode streams emit at
+    * most one row per key per batch, so the result is exactly the final
+    * state of every key. */
+  def read(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bid").desc)
+    spark.read.parquet(dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "bid")
+  }
+}
