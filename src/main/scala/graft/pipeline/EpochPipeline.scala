@@ -77,7 +77,16 @@ object EpochPipeline {
 
   /** Run one epoch end to end over long-form pixels (one or more images of
     * the same field). Returns the status branch taken and the output
-    * catalog (empty for aborted epochs). `reportPath`, when set, writes
+    * catalog (empty for aborted epochs).
+    *
+    * AXIS ORDER (breaking change in round 3): the positional frame dims
+    * are `(width, height)` — x-extent first — matching `alignAndCombine`
+    * and `EpochStream`. Earlier rounds took `(height, width)`; both are
+    * `Int`, so external positional callers of non-square frames should
+    * re-check their call sites (in-repo callers are updated). Prefer
+    * named arguments (`width = _, height = _`) at call sites.
+    *
+    * `reportPath`, when set, writes
     * the reference's per-epoch diagnostic PDF of the input frames
     * (write_pdf(images=im_data), psf_phot.py:55) — a real PDF via
     * [[graft.sources.Pdf]]; the fuller model+cutout report remains the

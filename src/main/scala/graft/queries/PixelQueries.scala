@@ -34,8 +34,11 @@ object PixelQueries {
       if (t == null) {
         t = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
         memo.put(s, t)
-        // weak keying lets a dereferenced session's entries be collected;
-        // an explicit stop drops them immediately
+        // lifecycle: the cached DataFrames' QueryExecutions strongly
+        // reference the session, so the weak key alone never collects —
+        // eviction IS this listener, i.e. cleanup requires spark.stop().
+        // Fine for the intended callers (verify/bench/test JVMs stop
+        // their one session at exit).
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =

@@ -149,8 +149,11 @@ object RecallQueries {
   /** q109: approx_percentile (the quantile sketch) relative error vs the
     * exact percentile, per quartile of the lineitem price column — the
     * quantile member of the sketch family certificate (q98 covers HLL).
-    * The sketch's accuracy parameter is pinned so the values are
-    * deterministic. */
+    * The sketch's accuracy parameter is pinned, and the aggregation runs
+    * over ONE partition: Greenwald–Khanna partial-sketch merges are not
+    * strictly order-independent, so a multi-partition plan could emit
+    * different (all within-guarantee) quantiles run to run — the
+    * single-partition fold makes the certified values deterministic. */
   private val q109 = NamedQuery(
     "q109_quantile_sketch_error",
     (s, d) => {
@@ -159,7 +162,8 @@ object RecallQueries {
       val approx = expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
         .as("ap")
-      Tables.lineitem(s, d).agg(exact, approx)
+      Tables.lineitem(s, d).select(col("l_extendedprice"))
+        .coalesce(1).agg(exact, approx)
         .select(explode(arrays_zip(
           array(lit(0.25), lit(0.5), lit(0.75)).as("q"),
           col("ex"), col("ap"))).as("r"))

@@ -166,10 +166,11 @@ private class FitsPartitionReader(file: String, hduIndex: Int,
     if (hdu.exists(_.axes.length == 2)) width.toLong * height else 0L
   private var i = -1L
 
-  // chunked decode state: `chunk` holds pixels [chunkStart, chunkStart+n)
+  // chunked decode state: `chunk` holds pixels [chunkStart, chunkStart+chunkLen)
   private val chunkPixels = math.max(1, (1 << 20) / bytesPerPx)
   private var chunk: java.nio.ByteBuffer = null
   private var chunkStart = 0L
+  private var chunkLen = 0L
   private def refill(px: Long): Unit = {
     val n = math.min(chunkPixels.toLong, total - px).toInt
     val bytes = new Array[Byte](n * bytesPerPx)
@@ -177,9 +178,14 @@ private class FitsPartitionReader(file: String, hduIndex: Int,
     chunk = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     chunkStart = px
+    chunkLen = n
   }
   private def decode(px: Long): Double = {
-    if (chunk == null || px >= chunkStart + chunkPixels || px < chunkStart)
+    // the guard uses the LOADED length, not the nominal chunk size: the
+    // final partial chunk is shorter, and a non-sequential access (pushed
+    // filters, reordered reads) past it must trigger a refill, not an
+    // out-of-bounds read of the short buffer
+    if (chunk == null || px >= chunkStart + chunkLen || px < chunkStart)
       refill(px)
     val o = ((px - chunkStart) * bytesPerPx).toInt
     val raw = bitpix match {

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.US_ASCII
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col}
 
 /** REAL `write_pdf` (p_io.py:64-101): the reference's diagnostic report —
   * one page per epoch frame (zscale + sqrt-stretch normalized), an
@@ -174,21 +174,34 @@ object Pdf {
     b.finish(path, catalogId)
   }
 
-  /** Gather report frames from long-form pixels — the same driver-side
+  /** Gather report frames from long-form pixels — the driver-side
     * materialization the reference performs when handing `im_data` arrays
-    * to matplotlib (psf_phot.py:55). Report frames only; never a bulk
-    * data path. */
-  def frameImages(pixels: DataFrame, width: Int, height: Int): Seq[GrayImage] = {
-    val rows = pixels.select(col("img_id"), col("y"), col("x"), col("v"))
+    * to matplotlib (psf_phot.py:55). Frames larger than `maxSide` are
+    * bin-averaged DISTRIBUTED (one grouped aggregate) before the gather:
+    * a report page renders at ~500 px anyway, and collecting a native
+    * 4096² frame would drag ~50 M Row objects (GBs of driver heap) into
+    * the driver for pixels the PDF can't show. The collected grid is
+    * ≤ maxSide² cells per image regardless of frame size. */
+  def frameImages(pixels: DataFrame, width: Int, height: Int,
+      maxSide: Int = 512): Seq[GrayImage] = {
+    val f = math.max(1,
+      math.ceil(math.max(width, height).toDouble / maxSide).toInt)
+    val bw = (width + f - 1) / f
+    val bh = (height + f - 1) / f
+    val rows = pixels
+      .select(col("img_id"), (col("y") / f).cast("long").as("by"),
+        (col("x") / f).cast("long").as("bx"), col("v"))
+      .groupBy(col("img_id"), col("by"), col("bx"))
+      .agg(avg(col("v")).as("v"))
       .collect()
     rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (id, rs) =>
-      val px = new Array[Double](width * height)
+      val px = new Array[Double](bw * bh)
       rs.foreach { r =>
         val y = r.getLong(1).toInt; val x = r.getLong(2).toInt
-        if (y >= 0 && y < height && x >= 0 && x < width)
-          px(y * width + x) = r.getDouble(3)
+        if (y >= 0 && y < bh && x >= 0 && x < bw)
+          px(y * bw + x) = r.getDouble(3)
       }
-      GrayImage(s"image $id", width, height, px)
+      GrayImage(s"image $id", bw, bh, px)
     }
   }
 

@@ -64,6 +64,31 @@ class PdfSpec extends SparkSpec {
     assert(s.contains("(flux 100.00)") && s.contains("(flux 300.00)"))
   }
 
+  test("frameImages bins oversize frames distributed before the gather") {
+    // 2048² frame built distributed; v encodes the 4×4 bin id so the
+    // binned average must reproduce it exactly
+    val side = 2048
+    val px = spark.range(side.toLong * side).select(
+      lit(1L).as("img_id"),
+      (col("id") / side).cast("long").as("y"),
+      (col("id") % side).as("x"))
+      .withColumn("v",
+        ((col("y") / 4).cast("long") * 512 + (col("x") / 4).cast("long"))
+          .cast("double"))
+    val frames = Pdf.frameImages(px, side, side)
+    assert(frames.length === 1)
+    val f = frames.head
+    // 2048 / 512 = factor 4: the gathered grid is 512², never native size
+    assert(f.width === 512 && f.height === 512)
+    assert(f.pixels.length === 512 * 512)
+    assert(f.pixels(0) === 0.0)
+    assert(f.pixels(512 * 511 + 511) === (511.0 * 512 + 511))
+    // small frames pass through at native resolution with exact values
+    val small = Pdf.frameImages(px.filter(col("y") < 48 && col("x") < 48), 48, 48)
+    assert(small.head.width === 48 && small.head.pixels.length === 48 * 48)
+    assert(small.head.pixels(47) === 11.0) // y=0,x=47 -> bin id 11
+  }
+
   test("cutoutImages keeps only full squares from the DataFrame boundary") {
     val df = Seq(
       (1, 500.0, 25L, (1 to 25).map(_.toDouble), (1 to 25).map(_ => 0.0)),
