@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract — schema, partitioning, batch shape, feature
   * vector signature — is real and tested. Decode dispatches on the payload
-  * magic bytes: PGM images and PCM WAV audio decode for REAL via
-  * [[Codecs]] (pure-JVM implementations of the public specs — image
-  * features are decoded-luminance histograms, audio features are
-  * duration/RMS/peak/zero-crossings); entropy-coded formats (JPEG/MP3/
-  * H.264) have no codec in this container and fall back to the documented
-  * deterministic STUB (byte histogram). Swapping in more codecs changes
-  * no schema and no partitioning.
+  * magic bytes: PGM images, baseline JPEG images ([[Jpeg]], hand-rolled
+  * from ITU T.81 including Huffman entropy decode) and PCM WAV audio
+  * decode for REAL via pure-JVM implementations of the public specs —
+  * image features are decoded-luminance histograms, audio features are
+  * duration/RMS/peak/zero-crossings. Remaining entropy-coded formats
+  * (MP3/H.264, progressive JPEG) have no codec in this container and fall
+  * back to the documented deterministic STUB (byte histogram). Swapping
+  * in more codecs changes no schema and no partitioning.
   */
 object Multimodal {
 
@@ -55,19 +56,24 @@ object Multimodal {
   /** The fixed feature length shared by every modality. */
   val FeatureLen = 16
 
+  private def lumHistogram(px: Array[Double]): Array[Double] = {
+    val hist = new Array[Double](FeatureLen)
+    px.foreach { v =>
+      hist(math.min((v * FeatureLen).toInt, FeatureLen - 1)) += 1.0
+    }
+    hist.map(_ / math.max(px.length, 1))
+  }
+
   /** REAL per-payload feature extraction, dispatched on magic bytes:
-    *   - PGM image → 16-bin histogram of DECODED luminance (L1-normalized);
-    *   - PCM WAV   → [duration s, RMS, peak, zero-crossing rate, 0…];
+    *   - PGM image  → 16-bin histogram of DECODED luminance (L1-normalized);
+    *   - JPEG image → same histogram over the baseline-decoded luminance
+    *                  ([[Jpeg]], hand-rolled from ITU T.81);
+    *   - PCM WAV    → [duration s, RMS, peak, zero-crossing rate, 0…];
     *   - anything else → the byte-histogram stub.
     * All variants return exactly [[FeatureLen]] doubles. */
   def features(payload: Array[Byte]): Array[Double] =
-    Codecs.decodePgm(payload) match {
-      case Some((_, _, px)) =>
-        val hist = new Array[Double](FeatureLen)
-        px.foreach { v =>
-          hist(math.min((v * FeatureLen).toInt, FeatureLen - 1)) += 1.0
-        }
-        hist.map(_ / math.max(px.length, 1))
+    decodeAnyImage(payload) match {
+      case Some((_, _, px)) => lumHistogram(px)
       case None => Codecs.decodeWav(payload) match {
         case Some((rate, s)) =>
           val out = new Array[Double](FeatureLen)
@@ -114,11 +120,16 @@ object Multimodal {
     out
   }
 
-  /** Decode a payload to a luminance grid: real PGM decode when the magic
-    * matches (dimensions come from the FILE, overriding metadata), stub
-    * cycling otherwise. */
+  /** Real image decode by magic dispatch: PGM or baseline JPEG. */
+  private def decodeAnyImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    Codecs.decodePgm(payload).orElse(
+      Jpeg.decode(payload).map(d => (d.width, d.height, d.luminance)))
+
+  /** Decode a payload to a luminance grid: real PGM / baseline-JPEG
+    * decode when the magic matches (dimensions come from the FILE,
+    * overriding metadata), stub cycling otherwise. */
   def decodeImage(payload: Array[Byte], metaW: Int, metaH: Int): (Int, Int, Array[Double]) =
-    Codecs.decodePgm(payload) match {
+    decodeAnyImage(payload) match {
       case Some((w, h, px)) => (w, h, px)
       case None => (metaW, metaH, decodeGridStub(payload, metaW, metaH))
     }

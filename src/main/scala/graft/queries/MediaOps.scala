@@ -94,5 +94,50 @@ object MediaOps {
         ROUND(CAST(SUM(flip) AS DOUBLE) / ns, 6) AS zcr
       FROM a GROUP BY doc_id, ns"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105)
+  /** q115: baseline-JPEG round-trip under the hash gate. Doc d carries an
+    * 8×8-block-constant mosaic (block (bx,by) = (7bx + 13by + d) mod 256):
+    * such an image has ONLY DC energy, the DC quantizes exactly at step 1,
+    * and the IDCT of a DC-only block is flat to ~1e-13 — so the encode →
+    * entropy-decode → IDCT round trip reproduces every sample EXACTLY and
+    * the DuckDB oracle can state the decoded image in closed form. The
+    * Huffman/marker machinery this exercises (T.81 [[graft.multimodal.Jpeg]])
+    * is the same code path general images take; their ±1-sample bound is
+    * JpegSpec's cross-validation against the JDK codec. */
+  private val q115 = NamedQuery(
+    "q115_jpeg_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), ((col("n_chars") % 3 + 2) * 8).as("w"),
+          ((col("doc_id") % 3 + 2) * 8).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            ((bx * 7 + by * 13 + id) % 256).toDouble / 255.0
+          }
+          val payload = graft.multimodal.Jpeg.encodeGray(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val n = dec.length
+          (id, dw.toLong, dh.toLong, payload.length.toLong,
+            dec.sum / n, math.sqrt(dec.map(v => v * v).sum / n))
+        })
+        .toDF("doc_id", "w", "h", "n_bytes", "mean_lum", "rms_lum")
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("mean_lum"), 6).as("mean_lum"),
+          round(col("rms_lum"), 6).as("rms_lum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, (n_chars % 3 + 2) * 8 AS w,
+        (doc_id % 3 + 2) * 8 AS h FROM documents),
+      g AS (SELECT d.doc_id, d.w, d.h,
+              CAST(((xx.x // 8) * 7 + (yy.y // 8) * 13 + d.doc_id) % 256
+                AS DOUBLE) / 255.0 AS v
+            FROM d, UNNEST(generate_series(0, d.h - 1)) AS yy(y),
+                 UNNEST(generate_series(0, d.w - 1)) AS xx(x))
+      SELECT doc_id, w, h, ROUND(AVG(v), 6) AS mean_lum,
+        ROUND(SQRT(AVG(v * v)), 6) AS rms_lum
+      FROM g GROUP BY 1, 2, 3"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115)
 }
