@@ -110,7 +110,15 @@ object Similarity {
     * model object, collected like the EPSF grid. Linear in corpus size,
     * no pairwise shuffle: the k-means-style scale path of IVF training. */
   def trainCells(corpus: DataFrame, id: String, vec: String, nCells: Int,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    trainCellsWithCentroids(corpus, id, vec, nCells, iters)._1
+
+  /** As [[trainCells]], additionally returning the trained centroids —
+    * the coarse-quantizer MODEL. The assignment is one argmax scan under
+    * exactly these centroids (not a re-derived per-cell mean, which would
+    * be an extra half-Lloyd-step the probe-side ranking never saw). */
+  def trainCellsWithCentroids(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(id).as("vid"),
@@ -127,8 +135,8 @@ object Similarity {
       .select(col("e")).as[Seq[Double]].collect()
     // empty corpus: empty assignment, not a seed-selection crash
     if (pool.isEmpty)
-      return c.select(col("vid").as("vec_id"),
-        lit(0).cast("int").as("cell")).limit(0)
+      return (c.select(col("vid").as("vec_id"),
+        lit(0).cast("int").as("cell")).limit(0), Seq.empty)
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -162,26 +170,7 @@ object Similarity {
       cents = cents.map { case (i, old) => (i, recomputed.getOrElse(i, old)) }
       round += 1
     }
-    assign().select(col("vid").as("vec_id"), col("cell"))
-  }
-
-  /** As [[trainCells]], additionally returning the final centroids (the
-    * coarse-quantizer model a probe needs to rank cells). */
-  def trainCellsWithCentroids(corpus: DataFrame, id: String, vec: String,
-      nCells: Int, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val assign = trainCells(corpus, id, vec, nCells, iters)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val c = corpus.select(col(id).as("vid"),
-      normalized(toDouble(col(vec))).as("e"))
-    val cents = assign.withColumnRenamed("vec_id", "vid").join(c, Seq("vid"))
-      .select(col("cell"), posexplode(col("e")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-    (assign, cents)
+    (assign().select(col("vid").as("vec_id"), col("cell")), cents)
   }
 
   /** Persist the corpus as an on-disk IVF index: parquet PARTITIONED BY
@@ -195,22 +184,20 @@ object Similarity {
       nCells: Int, iters: Int = 2, spill: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (assign, cents) = trainCellsWithCentroids(corpus, id, vec, nCells, iters)
-    val raw = corpus.select(col(id).as("vec_id"), toDouble(col(vec)).as("embedding"))
-    val placed =
-      if (spill <= 1) raw.join(assign, Seq("vec_id"))
-      else {
-        // redundant assignment on disk: a vector's row is written into its
-        // `spill` closest cell partitions, trading ×spill index size for
-        // boundary-point recall; listing-time pruning is unchanged
-        val base = raw.join(assign, Seq("vec_id"))
-          .select(col("vec_id"), col("cell"), normalized(col("embedding")).as("e"))
-        raw.join(
-          spillAssign(base, cents.toDF("cell", "centroid"), spill)
-            .select(col("vec_id"), col("cell")),
-          Seq("vec_id"))
-      }
-    placed
+    // placement derives from the centroid MODEL alone: top-1 cell is the
+    // assignment, top-`spill` is redundant placement (a vector's row in
+    // its spill closest cell partitions — ×spill index size for
+    // boundary-point recall; listing-time pruning unchanged), so the
+    // training assignment pass is never re-run here
+    val cents = trainCellsWithCentroids(corpus, id, vec, nCells, iters)._2
+    val raw = corpus.select(col(id).as("vec_id"),
+      toDouble(col(vec)).as("embedding"))
+    val base = raw.select(col("vec_id"), lit(0).as("cell"),
+      normalized(col("embedding")).as("e"))
+    raw.join(
+        spillAssign(base, cents.toDF("cell", "centroid"), math.max(1, spill))
+          .select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
       // co-locate each cell before the partitioned write: one writer task
       // per cell directory instead of every task spraying every cell
       .repartition(nCells, col("cell"))

