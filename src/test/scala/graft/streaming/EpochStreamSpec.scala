@@ -58,4 +58,35 @@ class EpochStreamSpec extends SparkSpec {
       assert(store(1L)._2.length === before._2.length)
     } finally q.stop()
   }
+
+  test("sink-backed epoch stream: keyed parquet upsert, redelivery wins") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, Long, Double)]
+    val dir = graft.TempDirs.create("epoch-sink")
+    val q = EpochStream.startToSink(
+      stream.toDF().toDF("epoch_id", "img_id", "y", "x", "v"),
+      size, size, minStars = 1, dir)
+    try {
+      stream.addData(epochRows(1L, starless = false))
+      q.processAllAvailable()
+      stream.addData(epochRows(2L, starless = true))
+      q.processAllAvailable()
+      // re-delivery of epoch 1 lands in a later generation and wins
+      stream.addData(epochRows(1L, starless = false))
+      q.processAllAvailable()
+      val rows = EpochStream.readEpochCatalogs(spark, dir)
+        .orderBy("epoch_id")
+        .as[(Long, String, Seq[(Double, Double, Double)])].collect()
+      assert(rows.map(r => (r._1, r._2)).toSeq ===
+        Seq((1L, "ok"), (2L, "aborted_no_fwhm")))
+      val stars = rows(0)._3
+      assert(stars.length >= planted.length)
+      planted.foreach { case (sx, sy, _) =>
+        assert(stars.exists(m =>
+          math.abs(m._1 - sx) < 1.5 && math.abs(m._2 - sy) < 1.5),
+          s"star ($sx,$sy) missing from sink-backed epoch")
+      }
+      assert(rows(1)._3.isEmpty)
+    } finally q.stop()
+  }
 }
