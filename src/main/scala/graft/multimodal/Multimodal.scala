@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract — schema, partitioning, batch shape, feature
   * vector signature — is real and tested. Decode dispatches on the payload
-  * magic bytes: PGM images, baseline JPEG images ([[Jpeg]], hand-rolled
-  * from ITU T.81 including Huffman entropy decode) and PCM WAV audio
+  * magic bytes: PGM images, PNG images ([[Png]], the lossless format —
+  * all five scanline filters, palette/gray/RGB/alpha at depths 8/16),
+  * baseline JPEG images ([[Jpeg]], hand-rolled from ITU T.81 including
+  * Huffman entropy decode) and PCM WAV audio
   * decode for REAL via pure-JVM implementations of the public specs —
   * image features are decoded-luminance histograms, audio features are
   * duration/RMS/peak/zero-crossings. Remaining entropy-coded formats
@@ -120,10 +122,11 @@ object Multimodal {
     out
   }
 
-  /** Real image decode by magic dispatch: PGM or baseline JPEG. */
+  /** Real image decode by magic dispatch: PGM, PNG or baseline JPEG. */
   private def decodeAnyImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
-    Codecs.decodePgm(payload).orElse(
-      Jpeg.decode(payload).map(d => (d.width, d.height, d.luminance)))
+    Codecs.decodePgm(payload)
+      .orElse(Png.decode(payload).map(d => (d.width, d.height, d.luminance)))
+      .orElse(Jpeg.decode(payload).map(d => (d.width, d.height, d.luminance)))
 
   /** Decode a payload to a luminance grid: real PGM / baseline-JPEG
     * decode when the magic matches (dimensions come from the FILE,

@@ -1,0 +1,226 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** PNG codec implemented from the public W3C/ISO specification (RFC 2083):
+  * the LOSSLESS image modality — unlike JPEG, every decoded sample is
+  * bit-exact, so round-trip certificates hold for arbitrary images.
+  *
+  *   - DECODER: signature + chunk walk (CRC-checked), IHDR, PLTE, tRNS
+  *     ignored-safely, concatenated IDAT through the JDK Inflater (zlib is
+  *     in-JVM, like the PDF writer's Deflater), all five scanline filters
+  *     (None/Sub/Up/Average/Paeth), bit depths 8 and 16, color types
+  *     grayscale / RGB / palette / gray+alpha / RGBA. Interlaced (Adam7)
+  *     images return None honestly.
+  *   - ENCODER: 8-bit grayscale, filter None, one IDAT — enough to
+  *     certify the decoder end to end (q116) and cross-validate against
+  *     the JDK ImageIO codec in both directions.
+  */
+object Png {
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && b.take(8).sameElements(Signature)
+
+  /** Decoded image: per-channel planes at full resolution, samples scaled
+    * to 0–255 (16-bit sources take the high byte, per the spec's sample
+    * depth scaling). */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      planes: Array[Array[Int]]) {
+    /** Luminance in [0,1]: BT.601 luma for color, the gray plane
+      * otherwise (alpha ignored). */
+    def luminance: Array[Double] = {
+      val n = width * height
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          (if (channels >= 3)
+            0.299 * planes(0)(i) + 0.587 * planes(1)(i) + 0.114 * planes(2)(i)
+          else planes(0)(i).toDouble) / 255.0
+        i += 1
+      }
+      out
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Option[Decoded] = {
+    if (!isPng(bytes)) return None
+    try decodeInner(bytes) catch { case _: Exception => None }
+  }
+
+  private def decodeInner(bytes: Array[Byte]): Option[Decoded] = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    var p = 8
+    var width = 0; var height = 0
+    var bitDepth = 0; var colorType = 0; var interlace = 0
+    var palette: Array[Int] = null // packed RGB
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenIend = false
+    while (p + 8 <= bytes.length && !seenIend) {
+      val len = u32(p).toInt
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > bytes.length) return None
+      // CRC covers type + data (spec 3.4); corrupt chunks invalidate
+      val crc = new CRC32()
+      crc.update(bytes, p + 4, 4 + len)
+      if (crc.getValue != u32(p + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          width = u32(p + 8).toInt; height = u32(p + 12).toInt
+          bitDepth = bytes(p + 16) & 0xff
+          colorType = bytes(p + 17) & 0xff
+          if ((bytes(p + 18) & 0xff) != 0 || (bytes(p + 19) & 0xff) != 0)
+            return None // compression/filter methods: only 0 defined
+          interlace = bytes(p + 20) & 0xff
+        case "PLTE" =>
+          palette = Array.tabulate(len / 3)(i =>
+            ((bytes(p + 8 + 3 * i) & 0xff) << 16) |
+              ((bytes(p + 9 + 3 * i) & 0xff) << 8) |
+              (bytes(p + 10 + 3 * i) & 0xff))
+        case "IDAT" => idat.write(bytes, p + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      p += 12 + len
+    }
+    if (width <= 0 || height <= 0 || interlace != 0) return None
+    if (bitDepth != 8 && bitDepth != 16) return None
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => return None
+    }
+    if (colorType == 3 && (palette == null || bitDepth != 8)) return None
+
+    // inflate the full scanline stream
+    val bytesPerSample = bitDepth / 8
+    val bpp = channels * bytesPerSample // filter step (≥1 byte by depths)
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      off += n
+    }
+    inf.end()
+    if (off < raw.length) return None
+
+    // un-filter in place, row by row (spec 6: each row starts with a
+    // filter-type byte; reconstruction references the PRIOR reconstructed
+    // row and the left/up-left samples at distance bpp)
+    val img = new Array[Int](height * stride) // reconstructed bytes 0-255
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rowOff = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val left = if (x >= bpp) img(y * stride + x - bpp) else 0
+        val up = if (y > 0) img((y - 1) * stride + x) else 0
+        val upLeft = if (y > 0 && x >= bpp) img((y - 1) * stride + x - bpp) else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            // Paeth predictor (spec 6.6)
+            val pa = math.abs(up - upLeft)
+            val pb = math.abs(left - upLeft)
+            val pc = math.abs(left + up - 2 * upLeft)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        img(y * stride + x) = rec & 0xff
+        x += 1
+      }
+      y += 1
+    }
+
+    // split into per-channel planes at 8-bit depth
+    val outChannels = if (colorType == 3) 3 else channels
+    val planes = Array.fill(outChannels)(new Array[Int](width * height))
+    var i = 0
+    while (i < width * height) {
+      if (colorType == 3) {
+        val rgb = palette(img(i)) // bpp == 1 for 8-bit palette indices
+        planes(0)(i) = (rgb >> 16) & 0xff
+        planes(1)(i) = (rgb >> 8) & 0xff
+        planes(2)(i) = rgb & 0xff
+      } else {
+        var c = 0
+        while (c < channels) {
+          // 16-bit samples scale to 8 by the high byte
+          planes(c)(i) = img(i * bpp + c * bytesPerSample)
+          c += 1
+        }
+      }
+      i += 1
+    }
+    Some(Decoded(width, height, outChannels, planes))
+  }
+
+  /** Encode an 8-bit grayscale image (values [0,1], half-up quantized
+    * like the PGM/JPEG encoders): IHDR + one filter-None IDAT + IEND. */
+  def encodeGray(w: Int, h: Int, px: Array[Double]): Array[Byte] = {
+    require(px.length == w * h, "pixel count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def b32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      b32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32()
+      crc.update(tb); crc.update(data)
+      b32(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >> 24).toByte; a(o + 1) = (v >> 16).toByte
+      a(o + 2) = (v >> 8).toByte; a(o + 3) = v.toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // grayscale
+    // compression 0, filter 0, interlace 0 already zero
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter None
+      var x = 0
+      while (x < w) {
+        val q = math.floor(px(y * w + x) * 255.0 + 0.5).toInt
+        raw(y * (w + 1) + 1 + x) = math.max(0, math.min(255, q)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(raw); def_.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}

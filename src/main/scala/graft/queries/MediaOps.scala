@@ -139,5 +139,45 @@ object MediaOps {
         ROUND(SQRT(AVG(v * v)), 6) AS rms_lum
       FROM g GROUP BY 1, 2, 3"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105, q115)
+  /** q116: PNG round-trip under the hash gate. PNG is LOSSLESS, so unlike
+    * q115's DC-only mosaics the planted image is arbitrary hash noise —
+    * every byte of the deflate→filter→reconstruct path must be exact for
+    * the closed-form oracle to match. */
+  private val q116 = NamedQuery(
+    "q116_png_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 24 + 5).as("w"),
+          (col("doc_id") % 19 + 5).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((x * 2654435761L + y * 40503L + id) % 256).toDouble / 255.0
+          }
+          val payload = graft.multimodal.Png.encodeGray(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val n = dec.length
+          (id, dw.toLong, dh.toLong, dec.sum / n,
+            math.sqrt(dec.map(v => v * v).sum / n))
+        })
+        .toDF("doc_id", "w", "h", "mean_lum", "rms_lum")
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("mean_lum"), 6).as("mean_lum"),
+          round(col("rms_lum"), 6).as("rms_lum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 24 + 5 AS w,
+        doc_id % 19 + 5 AS h FROM documents),
+      g AS (SELECT d.doc_id, d.w, d.h,
+              CAST((xx.x * 2654435761 + yy.y * 40503 + d.doc_id) % 256
+                AS DOUBLE) / 255.0 AS v
+            FROM d, UNNEST(generate_series(0, d.h - 1)) AS yy(y),
+                 UNNEST(generate_series(0, d.w - 1)) AS xx(x))
+      SELECT doc_id, w, h, ROUND(AVG(v), 6) AS mean_lum,
+        ROUND(SQRT(AVG(v * v)), 6) AS rms_lum
+      FROM g GROUP BY 1, 2, 3"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116)
 }
