@@ -76,7 +76,7 @@ object Multimodal {
   def features(payload: Array[Byte]): Array[Double] =
     decodeAnyImage(payload) match {
       case Some((_, _, px)) => lumHistogram(px)
-      case None => Codecs.decodeWav(payload) match {
+      case None => decodeAnyAudio(payload) match {
         case Some((rate, s)) =>
           val out = new Array[Double](FeatureLen)
           val n = math.max(s.length, 1)
@@ -89,6 +89,22 @@ object Multimodal {
         case None => decodeStub(payload)
       }
     }
+
+  /** Real audio decode by magic dispatch: PCM WAV or FLAC (channels
+    * average to mono, 16-bit normalization — same contract as WAV). */
+  private def decodeAnyAudio(payload: Array[Byte]): Option[(Int, Array[Double])] =
+    Codecs.decodeWav(payload).orElse(Flac.decode(payload).map { d =>
+      val n = d.samples(0).length
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        d.samples.foreach(ch => s += ch(i) / 32768.0)
+        mono(i) = s / d.samples.length
+        i += 1
+      }
+      (d.sampleRate, mono)
+    })
 
   /** Feature extraction over partition batches. Repartitioning by doc_id
     * spreads decode work evenly; each task processes its batch without

@@ -179,5 +179,46 @@ object MediaOps {
         ROUND(SQRT(AVG(v * v)), 6) AS rms_lum
       FROM g GROUP BY 1, 2, 3"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116)
+  /** q117: FLAC round-trip under the hash gate. Doc d carries a sawtooth
+    * of period (d mod 50 + 150) — piecewise-linear, so the encoder's cost
+    * search picks a FIXED predictor and the gate runs the Rice residual
+    * entropy decode, not just VERBATIM. FLAC is lossless: the decoded
+    * samples are bit-equal and the DuckDB oracle states them in closed
+    * form. */
+  private val q117 = NamedQuery(
+    "q117_flac_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 100).as("ns"),
+          (col("doc_id") % 50 + 150).as("p"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, p) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            ((t % p.toInt) * 20 - 2000))
+          val payload = graft.multimodal.Flac.encode(8000, Array(samples))
+          val f = Multimodal.features(payload)
+          (id, f(0), f(1), f(2), f(3))
+        })
+        .toDF("doc_id", "duration", "rms", "peak", "zcr")
+        .select(col("doc_id"), round(col("duration"), 6).as("duration"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"),
+          round(col("zcr"), 6).as("zcr"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 100 AS ns,
+        doc_id % 50 + 150 AS p FROM documents),
+      s AS (SELECT d.doc_id, d.ns, tt.t,
+              CAST((tt.t % d.p) * 20 - 2000 AS DOUBLE) / 32768.0 AS v
+            FROM d, UNNEST(generate_series(0, d.ns - 1)) AS tt(t)),
+      a AS (SELECT doc_id, ns, t, v,
+              CASE WHEN LAG(v) OVER w IS NOT NULL
+                    AND (v >= 0) <> (LAG(v) OVER w >= 0) THEN 1 ELSE 0 END AS flip
+            FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY t))
+      SELECT doc_id, ROUND(CAST(ns AS DOUBLE) / 8000.0, 6) AS duration,
+        ROUND(SQRT(AVG(v * v)), 6) AS rms,
+        ROUND(MAX(ABS(v)), 6) AS peak,
+        ROUND(CAST(SUM(flip) AS DOUBLE) / ns, 6) AS zcr
+      FROM a GROUP BY doc_id, ns"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117)
 }
