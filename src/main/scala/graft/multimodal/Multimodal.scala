@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * Huffman entropy decode) and PCM WAV audio
   * decode for REAL via pure-JVM implementations of the public specs —
   * image features are decoded-luminance histograms, audio features are
-  * duration/RMS/peak/zero-crossings. Remaining entropy-coded formats
+  * duration/RMS/peak/zero-crossings. FLAC audio decodes for real too
+  * ([[Flac]], all subframe types). Remaining entropy-coded formats
   * (MP3/H.264, progressive JPEG) have no codec in this container and fall
   * back to the documented deterministic STUB (byte histogram). Swapping
   * in more codecs changes no schema and no partitioning.

@@ -10,8 +10,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *     ignored-safely, concatenated IDAT through the JDK Inflater (zlib is
   *     in-JVM, like the PDF writer's Deflater), all five scanline filters
   *     (None/Sub/Up/Average/Paeth), bit depths 8 and 16, color types
-  *     grayscale / RGB / palette / gray+alpha / RGBA. Interlaced (Adam7)
-  *     images return None honestly.
+  *     grayscale / RGB / palette / gray+alpha / RGBA, and Adam7
+  *     interlacing (seven independently-filtered sub-images scattered
+  *     by the spec's pass geometry).
   *   - ENCODER: 8-bit grayscale, filter None, one IDAT — enough to
   *     certify the decoder end to end (q116) and cross-validate against
   *     the JDK ImageIO codec in both directions.
@@ -88,7 +89,7 @@ object Png {
       }
       p += 12 + len
     }
-    if (width <= 0 || height <= 0 || interlace != 0) return None
+    if (width <= 0 || height <= 0 || interlace > 1) return None
     if (bitDepth != 8 && bitDepth != 16) return None
     val channels = colorType match {
       case 0 => 1 // grayscale
@@ -104,7 +105,22 @@ object Png {
     val bytesPerSample = bitDepth / 8
     val bpp = channels * bytesPerSample // filter step (≥1 byte by depths)
     val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    // Adam7 pass geometry (spec 8.2): (x0, y0, dx, dy) per pass
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx),
+        math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+    }.sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -116,38 +132,33 @@ object Png {
     inf.end()
     if (off < raw.length) return None
 
-    // un-filter in place, row by row (spec 6: each row starts with a
-    // filter-type byte; reconstruction references the PRIOR reconstructed
-    // row and the left/up-left samples at distance bpp)
+    // un-filter each (sub-)image independently and scatter it into the
+    // full-resolution byte grid; for non-interlaced images there is one
+    // pass covering everything
     val img = new Array[Int](height * stride) // reconstructed bytes 0-255
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      val rowOff = y * (stride + 1) + 1
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowOff + x) & 0xff
-        val left = if (x >= bpp) img(y * stride + x - bpp) else 0
-        val up = if (y > 0) img((y - 1) * stride + x) else 0
-        val upLeft = if (y > 0 && x >= bpp) img((y - 1) * stride + x - bpp) else 0
-        val rec = ft match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 =>
-            // Paeth predictor (spec 6.6)
-            val pa = math.abs(up - upLeft)
-            val pb = math.abs(left - upLeft)
-            val pc = math.abs(left + up - 2 * upLeft)
-            cur + (if (pa <= pb && pa <= pc) left
-                   else if (pb <= pc) up else upLeft)
-          case _ => return None
+    var rawOff = 0
+    passes.foreach { p =>
+      val (x0, y0, dx, dy) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val pStride = pw * bpp
+        val rec = unfilter(raw, rawOff, ph, pStride, bpp).getOrElse(return None)
+        rawOff += ph * (1 + pStride)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < bpp) {
+              img((y0 + j * dy) * stride + (x0 + i * dx) * bpp + c) =
+                rec(j * pStride + i * bpp + c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
         }
-        img(y * stride + x) = rec & 0xff
-        x += 1
       }
-      y += 1
     }
 
     // split into per-channel planes at 8-bit depth
@@ -171,6 +182,46 @@ object Png {
       i += 1
     }
     Some(Decoded(width, height, outChannels, planes))
+  }
+
+  /** Un-filter `rows` scanlines of `stride` bytes (each preceded by its
+    * filter-type byte) starting at raw(off) — spec 6: reconstruction
+    * references the PRIOR reconstructed row of the SAME (sub-)image and
+    * the left/up-left bytes at distance bpp. None on an unknown filter
+    * type. */
+  private def unfilter(raw: Array[Byte], off: Int, rows: Int, stride: Int,
+      bpp: Int): Option[Array[Int]] = {
+    val rec = new Array[Int](rows * stride)
+    var y = 0
+    while (y < rows) {
+      val ft = raw(off + y * (stride + 1)) & 0xff
+      val rowOff = off + y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val left = if (x >= bpp) rec(y * stride + x - bpp) else 0
+        val up = if (y > 0) rec((y - 1) * stride + x) else 0
+        val upLeft = if (y > 0 && x >= bpp) rec((y - 1) * stride + x - bpp) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            // Paeth predictor (spec 6.6)
+            val pa = math.abs(up - upLeft)
+            val pb = math.abs(left - upLeft)
+            val pc = math.abs(left + up - 2 * upLeft)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        rec(y * stride + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(rec)
   }
 
   /** Encode an 8-bit grayscale image (values [0,1], half-up quantized

@@ -80,6 +80,30 @@ class PngSpec extends AnyFunSuite {
       assert(decA.planes(3)(y * w + x) === 128 + x, s"alpha at ($x,$y)")
   }
 
+  test("Adam7 interlaced PNGs from the JDK progressive writer decode exactly") {
+    for ((w, h) <- Seq((20, 14), (7, 5), (64, 33), (8, 8))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 13 + y * 31) % 256)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      val bytes = bos.toByteArray
+      assert((bytes(28) & 0xff) === 1, "JDK did not write interlaced") // IHDR interlace flag
+      val dec = Png.decode(bytes).get
+      assert(dec.width === w && dec.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.planes(0)(y * w + x) === (x * 13 + y * 31) % 256,
+          s"${w}x$h mismatch at ($x,$y)")
+    }
+  }
+
   test("multimodal dispatch routes PNG payloads to the real decoder") {
     val w = 12; val h = 10
     val px = noisy(w, h, 11)
