@@ -1,15 +1,20 @@
 package graft.multimodal
 
-/** Baseline JPEG codec implemented from the public ITU-T T.81 (1992)
+/** JPEG codec implemented from the public ITU-T T.81 (1992)
   * specification — the entropy-coded image modality that was a documented
   * stub in earlier rounds, now real and pure-JVM:
   *
-  *   - DECODER: baseline + extended sequential DCT (SOF0/SOF1), canonical
-  *     Huffman entropy decode (spec §F.2.2.3), any number of components
-  *     with arbitrary 1–4 h/v sampling factors (4:4:4, 4:2:2, 4:2:0 …),
-  *     interleaved MCUs, byte unstuffing (FF 00), restart markers
-  *     (DRI + RSTn with DC-predictor reset), dequantize → inverse zigzag →
-  *     separable 8×8 IDCT → level shift → clamp. Progressive (SOF2) and
+  *   - DECODER: baseline, extended sequential AND progressive DCT
+  *     (SOF0/SOF1/SOF2), canonical Huffman entropy decode (spec
+  *     §F.2.2.3), any number of components with arbitrary 1–4 h/v
+  *     sampling factors (4:4:4, 4:2:2, 4:2:0 …), interleaved MCUs, byte
+  *     unstuffing (FF 00), restart markers (DRI + RSTn with DC-predictor
+  *     reset), dequantize → inverse zigzag → separable 8×8 IDCT → level
+  *     shift → clamp. The decoder is scan-generic: every scan
+  *     accumulates into per-component coefficient buffers (progressive
+  *     spectral selection + successive approximation with EOBn runs and
+  *     AC refinement, spec §G.1.2; baseline is the one-scan special
+  *     case) and reconstruction runs once at EOI. Hierarchical and
   *     arithmetic-coded frames are out of scope and return None.
   *   - ENCODER: grayscale baseline with the spec's Annex K typical
   *     luminance Huffman tables, selectable quantization table and
@@ -173,13 +178,19 @@ object Jpeg {
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Decode a baseline/extended-sequential JPEG. None for non-JPEG bytes,
-    * progressive/arithmetic frames, or structurally broken streams. */
+  /** Decode a baseline, extended-sequential or PROGRESSIVE JPEG
+    * (SOF0/SOF1/SOF2). None for non-JPEG bytes, hierarchical/arithmetic
+    * frames, or structurally broken streams. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     if (!isJpeg(bytes)) return None
     try decodeInner(bytes) catch { case _: Exception => None }
   }
 
+  /** The decoder is scan-generic: every scan — a baseline interleaved
+    * scan, a progressive DC/AC first scan, or a successive-approximation
+    * refinement — accumulates into per-component COEFFICIENT buffers, and
+    * dequantize+IDCT run once at EOI. Baseline is simply the one-scan
+    * special case (Ss=0, Se=63, Ah=Al=0). */
   private def decodeInner(bytes: Array[Byte]): Option[Decoded] = {
     val quant = Array.ofDim[Int](4, 64) // zigzag order, as stored
     val dcTabs = new Array[HuffTable](4)
@@ -187,14 +198,25 @@ object Jpeg {
     var comps: Array[Comp] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var maxH = 1; var maxV = 1
+    var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null // padded block grid dims per component
+    var blocksH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // 64 per block, natural order
+    var sawScan = false
     var p = 2
     def u8(i: Int) = bytes(i) & 0xff
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
 
-    while (p + 3 < bytes.length) {
+    while (p + 1 < bytes.length) {
       if (u8(p) != 0xff) return None
       val marker = u8(p + 1)
-      if (marker == 0xd9) return None // EOI before any scan
+      if (marker == 0xd9) { // EOI: reconstruct from the coefficient state
+        if (!sawScan) return None
+        return Some(reconstruct(comps, quant, coefs, blocksW, blocksH,
+          width, height, maxH, maxV))
+      }
+      if (p + 3 >= bytes.length) return None
       val len = u16(p + 2)
       val seg = p + 4
       marker match {
@@ -222,32 +244,53 @@ object Jpeg {
             if (tc == 0) dcTabs(th) = t else acTabs(th) = t
             q += 17 + total
           }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
           if (u8(seg) != 8) return None // 8-bit samples only
           height = u16(seg + 1); width = u16(seg + 3)
+          if (width <= 0 || height <= 0) return None
           val n = u8(seg + 5)
           comps = Array.tabulate(n) { i =>
             val o = seg + 6 + 3 * i
             Comp(u8(o), u8(o + 1) >> 4, u8(o + 1) & 0x0f, u8(o + 2))
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+          mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+          mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+          blocksW = comps.map(c => mcusX * c.h)
+          blocksH = comps.map(c => mcusY * c.v)
+          coefs = comps.indices.map(i =>
+            new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // progressive / hierarchical / arithmetic: unsupported
+          return None // lossless / hierarchical / arithmetic: unsupported
         case 0xdd => restartInterval = u16(seg)
         case 0xda => // SOS: scan header then entropy-coded data
           if (comps == null) return None
           val ns = u8(seg)
+          val scanComps = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cid = u8(seg + 1 + 2 * i)
             val tabs = u8(seg + 2 + 2 * i)
-            comps.find(_.id == cid).foreach { c =>
-              c.dc = tabs >> 4; c.ac = tabs & 0x0f
-            }
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) return None
+            comps(ci).dc = tabs >> 4
+            comps(ci).ac = tabs & 0x0f
+            scanComps(i) = ci
             i += 1
           }
-          return decodeScan(bytes, p + 2 + len, quant, dcTabs, acTabs,
-            comps, width, height, restartInterval)
+          val ss = u8(seg + 1 + 2 * ns)
+          val se = u8(seg + 2 + 2 * ns)
+          val ah = u8(seg + 3 + 2 * ns) >> 4
+          val al = u8(seg + 3 + 2 * ns) & 0x0f
+          if (ss > 63 || se > 63 || se < ss) return None
+          val scanEnd = decodeScanData(bytes, p + 2 + len, comps, scanComps,
+            dcTabs, acTabs, coefs, blocksW, blocksH, mcusX, mcusY,
+            width, height, maxH, maxV, ss, se, ah, al, restartInterval)
+          sawScan = true
+          // scanEnd is the terminating marker; offset the loop's shared
+          // `p += 2 + len` advance so the next iteration lands on it
+          p = scanEnd - (2 + len)
         case _ => () // APPn / COM / others: skip
       }
       p += 2 + len
@@ -255,78 +298,208 @@ object Jpeg {
     None
   }
 
-  private def decodeScan(bytes: Array[Byte], scanStart: Int,
-      quant: Array[Array[Int]], dcTabs: Array[HuffTable],
-      acTabs: Array[HuffTable], comps: Array[Comp], width: Int, height: Int,
-      restartInterval: Int): Option[Decoded] = {
-    if (width <= 0 || height <= 0 || comps.isEmpty) return None
-    val maxH = comps.map(_.h).max
-    val maxV = comps.map(_.v).max
-    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded planes at the component's native resolution
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planeH = comps.map(c => mcusY * c.v * 8)
-    val planes = comps.indices.map(i =>
-      new Array[Int](planeW(i) * planeH(i))).toArray
+  /** Decode one scan's entropy-coded data into the coefficient buffers;
+    * returns the byte offset of the marker that terminated the scan. */
+  private def decodeScanData(bytes: Array[Byte], dataStart: Int,
+      comps: Array[Comp], scanComps: Array[Int], dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable], coefs: Array[Array[Int]],
+      blocksW: Array[Int], blocksH: Array[Int], mcusX: Int, mcusY: Int,
+      width: Int, height: Int, maxH: Int, maxV: Int,
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    val r = new BitReader(bytes, dataStart)
     val preds = new Array[Int](comps.length)
-    val r = new BitReader(bytes, scanStart)
-    val coeff = new Array[Int](64)
-    val tmp = Array.ofDim[Double](8, 8)
-    var mcu = 0
-    val nMcus = mcusX * mcusY
-    while (mcu < nMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+    var eobrun = 0
+
+    // one block of one component; `off` is the block's 64-coef offset
+    def block(ci: Int, off: Int): Unit = {
+      val coef = coefs(ci)
+      if (ss == 0 && ah == 0) {
+        // DC first (baseline DC is the Al=0 case)
+        val dcT = dcTabs(comps(ci).dc)
+        val t = huffDecode(r, dcT)
+        preds(ci) += extend(r.receive(t), t)
+        coef(off) = preds(ci) << al
+        // baseline/sequential scans continue straight into AC
+        if (se > 0) acFirst(ci, off, 1)
+      } else if (ss == 0 && ah > 0) {
+        // DC refinement: one more magnitude bit (two's complement OR)
+        if (r.receive(1) == 1) coef(off) |= 1 << al
+      } else if (ah == 0) {
+        acFirst(ci, off, ss)
+      } else {
+        acRefine(ci, off)
+      }
+    }
+
+    // AC first pass (also the baseline AC path at al=0): run/size with
+    // progressive EOBn run lengths (spec G.1.2.2)
+    def acFirst(ci: Int, off: Int, from: Int): Unit = {
+      val coef = coefs(ci)
+      if (eobrun > 0) { eobrun -= 1; return }
+      val acT = acTabs(comps(ci).ac)
+      var k = from
+      var done = false
+      while (!done && k <= se) {
+        val rs = huffDecode(r, acT)
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            // EOBn: (1<<run)-1 additional all-done blocks follow
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.receive(run).toInt
+            done = true
+          }
+        } else {
+          k += run
+          if (k <= se) {
+            coef(off + ZigZag(k)) = extend(r.receive(size), size) << al
+            k += 1
+          } else done = true
+        }
+      }
+    }
+
+    // AC successive-approximation refinement (spec G.1.2.3): newly
+    // nonzero coefficients arrive as ±1<<al; already-nonzero ones take
+    // one correction bit each as the scan passes over them
+    def acRefine(ci: Int, off: Int): Unit = {
+      val coef = coefs(ci)
+      val acT = acTabs(comps(ci).ac)
+      val p1 = 1 << al
+      def correct(k: Int): Unit = {
+        val zi = off + ZigZag(k)
+        if (r.receive(1) == 1 && (math.abs(coef(zi)) & p1) == 0)
+          coef(zi) += (if (coef(zi) >= 0) p1 else -p1)
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = huffDecode(r, acT)
+          var run = rs >> 4
+          val size = rs & 0x0f
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) {
+              eobrun = (1 << run) - 1
+              if (run > 0) eobrun += r.receive(run).toInt
+              done = true // rest of the block joins the EOB refinement
+            }
+            // run == 15: skip 16 zero-history positions
+          } else {
+            newVal = if (r.receive(1) == 1) p1 else -p1
+          }
+          if (!done) {
+            // advance over `run` zero-history coefficients, correcting
+            // every nonzero coefficient passed on the way
+            var placed = false
+            while (!placed && k <= se) {
+              val zi = off + ZigZag(k)
+              if (coef(zi) != 0) correct(k)
+              else {
+                if (run == 0) {
+                  if (newVal != 0) coef(zi) = newVal
+                  placed = true
+                } else run -= 1
+              }
+              k += 1
+            }
+          }
+        }
+      } else eobrun -= 1
+      // EOB refinement: correction bits for every remaining nonzero
+      // coefficient of this block
+      while (k <= se) {
+        if (coef(off + ZigZag(k)) != 0) correct(k)
+        k += 1
+      }
+    }
+
+    val interleaved = scanComps.length > 1
+    val nUnits =
+      if (interleaved) mcusX * mcusY
+      else {
+        val c = comps(scanComps(0))
+        val cw = (width * c.h + maxH - 1) / maxH
+        val ch = (height * c.v + maxV - 1) / maxV
+        ((cw + 7) / 8) * ((ch + 7) / 8)
+      }
+    var unit = 0
+    while (unit < nUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
         r.restart()
         java.util.Arrays.fill(preds, 0)
+        eobrun = 0
       }
-      val my = mcu / mcusX; val mx = mcu % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val q = quant(c.tq)
-        val dcT = dcTabs(c.dc); val acT = acTabs(c.ac)
-        if (dcT == null || acT == null) return None
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            java.util.Arrays.fill(coeff, 0)
-            // DC: category + EXTENDed difference, predicted per component
-            val t = huffDecode(r, dcT)
-            preds(ci) += extend(r.receive(t), t)
-            coeff(0) = preds(ci) * q(0)
-            // AC: run/size pairs, ZRL, EOB (spec F.2.2.2)
-            var k = 1
-            var done = false
-            while (!done && k < 64) {
-              val rs = huffDecode(r, acT)
-              val run = rs >> 4; val size = rs & 0x0f
-              if (size == 0) {
-                if (run == 15) k += 16 else done = true
-              } else {
-                k += run
-                if (k < 64) {
-                  coeff(ZigZag(k)) = extend(r.receive(size), size) * q(k)
-                  k += 1
-                } else done = true
-              }
+      if (interleaved) {
+        val my = unit / mcusX; val mx = unit % mcusX
+        var s = 0
+        while (s < scanComps.length) {
+          val ci = scanComps(s)
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              block(ci, ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64)
+              bx += 1
             }
-            idctBlock(coeff, tmp, planes(ci), planeW(ci),
-              (my * c.v + by) * 8, (mx * c.h + bx) * 8)
-            bx += 1
+            by += 1
           }
-          by += 1
+          s += 1
         }
-        ci += 1
+      } else {
+        val ci = scanComps(0)
+        val c = comps(ci)
+        val cw = (width * c.h + maxH - 1) / maxH
+        val bw = (cw + 7) / 8
+        block(ci, ((unit / bw) * blocksW(ci) + unit % bw) * 64)
       }
-      mcu += 1
+      unit += 1
     }
-    // upsample every component to full resolution by sample replication
-    val full = comps.indices.map { ci =>
+    // locate the marker that ends this scan (skip pad bytes)
+    var q = r.pos
+    while (q + 1 < bytes.length && !((bytes(q) & 0xff) == 0xff &&
+      (bytes(q + 1) & 0xff) != 0)) q += 1
+    // RSTn markers trailing the last restart segment belong to the scan
+    while (q + 1 < bytes.length && (bytes(q) & 0xff) == 0xff && {
+      val m = bytes(q + 1) & 0xff; m >= 0xd0 && m <= 0xd7
+    }) {
+      q += 2
+      while (q + 1 < bytes.length && !((bytes(q) & 0xff) == 0xff &&
+        (bytes(q + 1) & 0xff) != 0)) q += 1
+    }
+    q
+  }
+
+  /** Dequantize + IDCT every block, then upsample each component to full
+    * resolution by sample replication. */
+  private def reconstruct(comps: Array[Comp], quant: Array[Array[Int]],
+      coefs: Array[Array[Int]], blocksW: Array[Int], blocksH: Array[Int],
+      width: Int, height: Int, maxH: Int, maxV: Int): Decoded = {
+    val tmp = Array.ofDim[Double](8, 8)
+    val deq = new Array[Int](64)
+    val planes = comps.indices.map { ci =>
       val c = comps(ci)
-      if (c.h == maxH && c.v == maxV && planeW(ci) == width &&
-          planeH(ci) == height) planes(ci).take(width * height)
+      val q = quant(c.tq)
+      val pw = blocksW(ci) * 8
+      val plane = new Array[Int](pw * blocksH(ci) * 8)
+      var b = 0
+      val nBlocks = blocksW(ci) * blocksH(ci)
+      while (b < nBlocks) {
+        val off = b * 64
+        var k = 0
+        while (k < 64) { // k runs in zigzag order like the quant table
+          deq(ZigZag(k)) = coefs(ci)(off + ZigZag(k)) * q(k)
+          k += 1
+        }
+        idctBlock(deq, tmp, plane, pw,
+          (b / blocksW(ci)) * 8, (b % blocksW(ci)) * 8)
+        b += 1
+      }
+      if (c.h == maxH && c.v == maxV && pw == width &&
+          blocksH(ci) * 8 == height) plane.take(width * height)
       else {
         val out = new Array[Int](width * height)
         var y = 0
@@ -334,7 +507,7 @@ object Jpeg {
           val sy = y * c.v / maxV
           var x = 0
           while (x < width) {
-            out(y * width + x) = planes(ci)(sy * planeW(ci) + x * c.h / maxH)
+            out(y * width + x) = plane(sy * pw + x * c.h / maxH)
             x += 1
           }
           y += 1
@@ -342,7 +515,7 @@ object Jpeg {
         out
       }
     }.toArray
-    Some(Decoded(width, height, comps.length, full))
+    Decoded(width, height, comps.length, planes)
   }
 
   private def huffDecode(r: BitReader, t: HuffTable): Int = {

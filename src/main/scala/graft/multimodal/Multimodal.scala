@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * decode for REAL via pure-JVM implementations of the public specs —
   * image features are decoded-luminance histograms, audio features are
   * duration/RMS/peak/zero-crossings. FLAC audio decodes for real too
-  * ([[Flac]], all subframe types). Remaining entropy-coded formats
-  * (MP3/H.264, progressive JPEG) have no codec in this container and fall
-  * back to the documented deterministic STUB (byte histogram). Swapping
-  * in more codecs changes no schema and no partitioning.
+  * ([[Flac]], all subframe types), and JPEG covers baseline AND
+  * progressive frames. The remaining entropy-coded formats (MP3/H.264)
+  * have no codec in this container and fall back to the documented
+  * deterministic STUB (byte histogram). Swapping in more codecs changes
+  * no schema and no partitioning.
   */
 object Multimodal {
 

@@ -155,15 +155,70 @@ class JpegSpec extends AnyFunSuite {
     assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
   }
 
-  test("graceful None: truncated, progressive-marker and non-JPEG bytes") {
+  test("graceful None: truncated, arithmetic-coded and non-JPEG bytes") {
     val good = Jpeg.encodeGray(16, 16, mosaic(16, 16, 2))
     assert(Jpeg.decode(good.take(20)).isEmpty)
     assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
-    // flip SOF0 (C0) to SOF2 (C2, progressive): must refuse, not garble
-    val prog = good.clone()
-    val sofAt = prog.indices.find(i =>
-      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.decode(prog).isEmpty)
+    // flip SOF0 (C0) to SOF9 (C9, arithmetic-coded): must refuse
+    val arith = good.clone()
+    val sofAt = arith.indices.find(i =>
+      (arith(i) & 0xff) == 0xff && (arith(i + 1) & 0xff) == 0xc0).get
+    arith(sofAt + 1) = 0xc9.toByte
+    assert(Jpeg.decode(arith).isEmpty)
+  }
+
+  test("PROGRESSIVE (SOF2) from the JDK writer decodes: gray and color") {
+    def progressiveBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      val bytes = bos.toByteArray
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2), "no SOF2 emitted")
+      bytes
+    }
+    // grayscale: spectral-selection + successive-approximation scans
+    val w = 40; val h = 28
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0,
+        (128 + 90 * math.sin(x / 4.0) * math.cos(y / 5.0)).toInt)
+    val gbytes = progressiveBytes(gray)
+    val gdec = Jpeg.decode(gbytes).get
+    assert(gdec.width === w && gdec.height === h)
+    // their own decode of the same bytes is the reference
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes))
+    var gMax = 0
+    for (y <- 0 until h; x <- 0 until w)
+      gMax = math.max(gMax, math.abs(
+        gref.getRaster.getSample(x, y, 0) - gdec.planes(0)(y * w + x)))
+    assert(gMax <= 1, s"progressive gray differs from JDK by $gMax")
+    // color with default subsampling: interleaved DC scan + per-component
+    // AC scans + refinements
+    val cimg = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      cimg.setRGB(x, y, ((x * 5) << 16) | ((y * 7) << 8) | ((x + 2 * y) & 0xff))
+    val cbytes = progressiveBytes(cimg)
+    val cdec = Jpeg.decode(cbytes).get
+    assert(cdec.nComponents === 3)
+    val cref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cbytes))
+    val refLum = Array.tabulate(48 * 32) { i =>
+      val rp = cref.getRGB(i % 48, i / 48)
+      0.299 * ((rp >> 16) & 0xff) + 0.587 * ((rp >> 8) & 0xff) +
+        0.114 * (rp & 0xff)
+    }
+    val lumErr = refLum.zip(cdec.planes(0))
+      .map { case (a, b) => math.abs(a - b) }
+    assert(lumErr.sum / lumErr.length <= 2.0,
+      s"progressive color mean luminance err ${lumErr.sum / lumErr.length}")
   }
 }
