@@ -9,10 +9,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *   - DECODER: signature + chunk walk (CRC-checked), IHDR, PLTE, tRNS
   *     ignored-safely, concatenated IDAT through the JDK Inflater (zlib is
   *     in-JVM, like the PDF writer's Deflater), all five scanline filters
-  *     (None/Sub/Up/Average/Paeth), bit depths 8 and 16, color types
-  *     grayscale / RGB / palette / gray+alpha / RGBA, and Adam7
-  *     interlacing (seven independently-filtered sub-images scattered
-  *     by the spec's pass geometry).
+  *     (None/Sub/Up/Average/Paeth), every legal bit depth (1/2/4-bit
+  *     packed grayscale and palette, 8, and 16 taking the high byte),
+  *     color types grayscale / RGB / palette / gray+alpha / RGBA, and
+  *     Adam7 interlacing (seven independently-filtered sub-images
+  *     scattered by the spec's pass geometry).
   *   - ENCODER: 8-bit grayscale, filter None, one IDAT — enough to
   *     certify the decoder end to end (q116) and cross-validate against
   *     the JDK ImageIO codec in both directions.
@@ -90,7 +91,6 @@ object Png {
       p += 12 + len
     }
     if (width <= 0 || height <= 0 || interlace > 1) return None
-    if (bitDepth != 8 && bitDepth != 16) return None
     val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
@@ -99,12 +99,18 @@ object Png {
       case 6 => 4 // RGBA
       case _ => return None
     }
-    if (colorType == 3 && (palette == null || bitDepth != 8)) return None
+    // legal depths per color type (spec 11.2.2): sub-byte only for
+    // grayscale and palette
+    val depthOk = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(bitDepth)
+      case 3 => Seq(1, 2, 4, 8).contains(bitDepth)
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
+    if (colorType == 3 && palette == null) return None
 
-    // inflate the full scanline stream
-    val bytesPerSample = bitDepth / 8
-    val bpp = channels * bytesPerSample // filter step (≥1 byte by depths)
-    val stride = width * bpp
+    val bitsPerPx = channels * bitDepth
+    val bpp = math.max(1, bitsPerPx / 8) // filter step, ≥1 byte (spec 6.2)
     // Adam7 pass geometry (spec 8.2): (x0, y0, dx, dy) per pass
     val passes: Seq[(Int, Int, Int, Int)] =
       if (interlace == 0) Seq((0, 0, 1, 1))
@@ -115,9 +121,10 @@ object Png {
       (math.max(0, (width - x0 + dx - 1) / dx),
         math.max(0, (height - y0 + dy - 1) / dy))
     }
+    def passStride(pw: Int): Int = (pw * bitsPerPx + 7) / 8
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + passStride(pw).toLong)
     }.sum
     if (rawLen > Int.MaxValue) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -132,16 +139,17 @@ object Png {
     inf.end()
     if (off < raw.length) return None
 
-    // un-filter each (sub-)image independently and scatter it into the
-    // full-resolution byte grid; for non-interlaced images there is one
-    // pass covering everything
-    val img = new Array[Int](height * stride) // reconstructed bytes 0-255
+    // un-filter each (sub-)image independently, extract its samples
+    // (bit-packed for depths <8, high byte for 16) and scatter them into
+    // the full-resolution sample grid; non-interlaced images are the
+    // single pass covering everything
+    val samples = new Array[Int](width * height * channels) // raw samples
     var rawOff = 0
     passes.foreach { p =>
       val (x0, y0, dx, dy) = p
       val (pw, ph) = passDims(p)
       if (pw > 0 && ph > 0) {
-        val pStride = pw * bpp
+        val pStride = passStride(pw)
         val rec = unfilter(raw, rawOff, ph, pStride, bpp).getOrElse(return None)
         rawOff += ph * (1 + pStride)
         var j = 0
@@ -149,9 +157,16 @@ object Png {
           var i = 0
           while (i < pw) {
             var c = 0
-            while (c < bpp) {
-              img((y0 + j * dy) * stride + (x0 + i * dx) * bpp + c) =
-                rec(j * pStride + i * bpp + c)
+            while (c < channels) {
+              val v = bitDepth match {
+                case 8 => rec(j * pStride + i * channels + c)
+                case 16 => rec(j * pStride + (i * channels + c) * 2)
+                case d => // sub-byte (channels == 1): MSB-first packing
+                  val bitOff = i * d
+                  (rec(j * pStride + bitOff / 8) >>
+                    (8 - d - bitOff % 8)) & ((1 << d) - 1)
+              }
+              samples(((y0 + j * dy) * width + (x0 + i * dx)) * channels + c) = v
               c += 1
             }
             i += 1
@@ -161,21 +176,27 @@ object Png {
       }
     }
 
-    // split into per-channel planes at 8-bit depth
+    // resolve to per-channel planes at 8-bit depth: palette lookup, or
+    // sample-depth scaling (v·255/(2^d−1); 16-bit already took the high
+    // byte, 8-bit is the identity)
     val outChannels = if (colorType == 3) 3 else channels
     val planes = Array.fill(outChannels)(new Array[Int](width * height))
+    val maxVal = (1 << math.min(bitDepth, 8)) - 1
     var i = 0
     while (i < width * height) {
       if (colorType == 3) {
-        val rgb = palette(img(i)) // bpp == 1 for 8-bit palette indices
+        val idx = samples(i)
+        if (idx >= palette.length) return None
+        val rgb = palette(idx)
         planes(0)(i) = (rgb >> 16) & 0xff
         planes(1)(i) = (rgb >> 8) & 0xff
         planes(2)(i) = rgb & 0xff
       } else {
         var c = 0
         while (c < channels) {
-          // 16-bit samples scale to 8 by the high byte
-          planes(c)(i) = img(i * bpp + c * bytesPerSample)
+          planes(c)(i) =
+            if (maxVal == 255) samples(i * channels + c)
+            else samples(i * channels + c) * 255 / maxVal
           c += 1
         }
       }

@@ -104,6 +104,70 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-byte depths from the JDK: 1-bit binary and 4-bit indexed") {
+    val w = 37; val h = 11 // deliberately not byte-aligned at 1 bit/px
+    val bw = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bw.getRaster.setSample(x, y, 0, (x * 3 + y * 5) % 7 % 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bw, "png", bos))
+    val bytes = bos.toByteArray
+    assert((bytes(24) & 0xff) === 1, "JDK did not write bit depth 1")
+    val dec = Png.decode(bytes).get
+    assert(dec.width === w && dec.height === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if (bw.getRaster.getSample(x, y, 0) == 1) 255 else 0
+      assert(dec.planes(0)(y * w + x) === want, s"1-bit at ($x,$y)")
+    }
+    // 4-bit palette: 16-color IndexColorModel
+    val cmap = Array.tabulate(16)(i => (i * 17) << 16 | (255 - i * 17) << 8 | i * 8)
+    val icm = new java.awt.image.IndexColorModel(4, 16,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    val idx = new java.awt.image.BufferedImage(23, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 9; x <- 0 until 23)
+      idx.getRaster.setSample(x, y, 0, (x + y * 3) % 16)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(idx, "png", bos2))
+    val bytes2 = bos2.toByteArray
+    assert((bytes2(24) & 0xff) === 4, "JDK did not write bit depth 4")
+    assert((bytes2(25) & 0xff) === 3, "JDK did not write palette type")
+    val dec2 = Png.decode(bytes2).get
+    assert(dec2.channels === 3)
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val c = cmap((x + y * 3) % 16); val i = y * 23 + x
+      assert(dec2.planes(0)(i) === ((c >> 16) & 0xff), s"R at ($x,$y)")
+      assert(dec2.planes(1)(i) === ((c >> 8) & 0xff), s"G at ($x,$y)")
+      assert(dec2.planes(2)(i) === (c & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("interlaced 1-bit PNG decodes (sub-byte pass strides)") {
+    val w = 21; val h = 13
+    val bw = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bw.getRaster.setSample(x, y, 0, ((x * x + y) / 2) % 2)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(bw, null, null), param)
+    writer.dispose()
+    val bytes = bos.toByteArray
+    assert((bytes(28) & 0xff) === 1 && (bytes(24) & 0xff) === 1,
+      "want interlaced 1-bit")
+    val dec = Png.decode(bytes).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if (bw.getRaster.getSample(x, y, 0) == 1) 255 else 0
+      assert(dec.planes(0)(y * w + x) === want, s"at ($x,$y)")
+    }
+  }
+
   test("multimodal dispatch routes PNG payloads to the real decoder") {
     val w = 12; val h = 10
     val px = noisy(w, h, 11)
