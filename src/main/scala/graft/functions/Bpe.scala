@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding — the REAL merge-learning tokenizer a training
+  * pipeline runs over its corpus (q66's regex tokenizer measures counts;
+  * this one builds and applies an actual vocabulary).
+  *
+  * Scale shape, the standard one: the corpus-sized work is ONE
+  * distributed word-frequency aggregation (pre-tokenization splits on
+  * `\S+|\s+` runs, so whitespace is itself tokenized and detokenization
+  * is exact concatenation); the merge loop then runs driver-side over the
+  * frequency-capped word table (top `maxWords` by count — the table is a
+  * bounded model object, and rare tail words contribute nothing to pair
+  * counts that matters at vocabulary scale). Encoding broadcasts the
+  * ranked merge list and runs embarrassingly parallel per partition.
+  *
+  * Determinism: merge selection tie-breaks (count desc, pair lexicographic),
+  * and the word-table cap tie-breaks (count desc, word) — same corpus,
+  * same merges, every run.
+  */
+object Bpe {
+
+  final case class Merges(ranked: Seq[(String, String)]) {
+    /** pair → rank, lower merges first. */
+    lazy val rank: Map[(String, String), Int] =
+      ranked.zipWithIndex.toMap
+  }
+
+  /** Pre-tokenize: alternating non-space/space runs — concatenation of
+    * the pieces reproduces the text byte-for-byte. */
+  private[graft] def pretokenize(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < text.length) {
+      val ws = Character.isWhitespace(text.charAt(i))
+      var j = i + 1
+      while (j < text.length && Character.isWhitespace(text.charAt(j)) == ws)
+        j += 1
+      out += text.substring(i, j)
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from the corpus: one distributed word count,
+    * then the classic frequency-table merge loop on the driver. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 50000): Merges = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words: Array[(String, Long)] = docs
+      .select(col(textCol).as[String])
+      .flatMap(t => if (t == null) Nil else pretokenize(t))
+      .groupByKey(identity)
+      .count()
+      // bounded model table: top maxWords by (count desc, word) — the
+      // deterministic cap that keeps the driver loop driver-sized
+      .orderBy(col("count(1)").desc, col("key"))
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    // driver loop over symbolized words
+    var table: Array[(Array[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var it = 0
+    while (it < nMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      table.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) it = nMerges
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        table = table.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) { out += joined; i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        it += 1
+      }
+    }
+    Merges(merges.toSeq)
+  }
+
+  /** Encode one string: greedy lowest-rank-first pair merging per
+    * pre-token (the standard BPE apply algorithm). */
+  def encodeText(text: String, merges: Merges): Seq[String] =
+    pretokenize(text).flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          merges.rank.get((syms(i), syms(i + 1))).foreach { r =>
+            if (r < bestRank) { bestRank = r; bestAt = i }
+          }
+          i += 1
+        }
+        if (bestAt < 0) done = true
+        else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+          syms.drop(bestAt + 2)
+      }
+      syms
+    }
+
+  /** Tokenize a corpus: merge ranks broadcast by closure, one pass per
+    * partition, no shuffle. Output rows: (id, tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Merges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, String)] =
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    ds.mapPartitions(_.map { case (id, text) =>
+      (id, if (text == null) Seq.empty[String] else encodeText(text, merges))
+    }).toDF(idCol, "tokens")
+  }
+}

@@ -178,5 +178,27 @@ object TrainingOps {
         ${graft.functions.SpatialKeys.deinterleaveYSql("z")} AS y_back
       FROM zt"""))
 
-  val all: Seq[NamedQuery] = Seq(q100, q101, q102, q103, q108, q111)
+  /** q118: REAL BPE tokenization under the hash gate. Merges are trained
+    * on the corpus itself (one distributed word count + the driver-side
+    * merge loop over the bounded frequency table), every document is
+    * encoded with the broadcast ranks, and the certificate is
+    * LOSSLESSNESS: concatenating each document's tokens must reproduce
+    * its text byte-for-byte (the oracle simply selects the original).
+    * Compression/merge quality is BpeSpec's planted-corpus territory —
+    * this gate pins the end-to-end tokenize→detokenize contract on real
+    * data. */
+  private val q118 = NamedQuery(
+    "q118_bpe_roundtrip",
+    (s, d) => {
+      val merges = graft.functions.Bpe.train(
+        Tables.documents(s, d), "text", nMerges = 100, maxWords = 20000)
+      graft.functions.Bpe.encode(Tables.documents(s, d), "doc_id", "text",
+          merges)
+        .select(col("doc_id"),
+          concat_ws("", col("tokens")).as("reconstructed"))
+    },
+    Some("SELECT doc_id, text AS reconstructed FROM documents"))
+
+  val all: Seq[NamedQuery] =
+    Seq(q100, q101, q102, q103, q108, q111, q118)
 }
