@@ -53,6 +53,9 @@ object Bpe {
     val words: Array[(String, Long)] = docs
       .select(col(textCol).as[String])
       .flatMap(t => if (t == null) Nil else pretokenize(t))
+      // blob guard: tokens past the merge cap never merge, so keeping
+      // them in the table would only slow every pair-count iteration
+      .filter((w: String) => w.length <= MaxMergeTokenLen)
       .groupByKey(identity)
       .count()
       // bounded model table: top maxWords by (count desc, word) — the
@@ -102,27 +105,36 @@ object Bpe {
     Merges(merges.toSeq)
   }
 
+  /** Pre-tokens longer than this bypass merging (emitted whole — still
+    * lossless): the greedy apply is O(len²) per token, and real corpora
+    * contain unbroken base64/URL blobs that would stall an executor;
+    * no useful vocabulary merge lives in them anyway. */
+  val MaxMergeTokenLen = 1000
+
   /** Encode one string: greedy lowest-rank-first pair merging per
     * pre-token (the standard BPE apply algorithm). */
   def encodeText(text: String, merges: Merges): Seq[String] =
     pretokenize(text).flatMap { w =>
-      var syms = w.map(_.toString).toVector
-      var done = false
-      while (!done && syms.length > 1) {
-        var bestRank = Int.MaxValue
-        var bestAt = -1
-        var i = 0
-        while (i < syms.length - 1) {
-          merges.rank.get((syms(i), syms(i + 1))).foreach { r =>
-            if (r < bestRank) { bestRank = r; bestAt = i }
+      if (w.length > MaxMergeTokenLen) Seq(w)
+      else {
+        var syms = w.map(_.toString).toVector
+        var done = false
+        while (!done && syms.length > 1) {
+          var bestRank = Int.MaxValue
+          var bestAt = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            merges.rank.get((syms(i), syms(i + 1))).foreach { r =>
+              if (r < bestRank) { bestRank = r; bestAt = i }
+            }
+            i += 1
           }
-          i += 1
+          if (bestAt < 0) done = true
+          else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+            syms.drop(bestAt + 2)
         }
-        if (bestAt < 0) done = true
-        else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
-          syms.drop(bestAt + 2)
+        syms
       }
-      syms
     }
 
   /** Tokenize a corpus: merge ranks broadcast by closure, one pass per

@@ -39,6 +39,12 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeText("ab", m) === Seq("ab"))
     assert(Bpe.encodeText("日本語 text", m).mkString === "日本語 text")
     assert(Bpe.encodeText("x", m) === Seq("x"))
+    // unbroken blobs past the merge cap pass through whole (lossless,
+    // no quadratic merge walk)
+    val blob = "a" * (Bpe.MaxMergeTokenLen + 50)
+    assert(Bpe.encodeText(s"pre $blob post", m).mkString ===
+      s"pre $blob post")
+    assert(Bpe.encodeText(blob, m) === Seq(blob))
   }
 
   test("distributed encode: lossless over a corpus, merges applied") {
