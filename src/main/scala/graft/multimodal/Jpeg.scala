@@ -248,6 +248,10 @@ object Jpeg {
           if (u8(seg) != 8) return None // 8-bit samples only
           height = u16(seg + 1); width = u16(seg + 3)
           if (width <= 0 || height <= 0) return None
+          // cap header-declared size: coefficient buffers allocate before
+          // any entropy data validates, and an OutOfMemoryError would
+          // escape the Exception guard and kill the task
+          if (width.toLong * height > (1L << 26)) return None
           val n = u8(seg + 5)
           comps = Array.tabulate(n) { i =>
             val o = seg + 6 + 3 * i
@@ -523,7 +527,8 @@ object Jpeg {
     var code = r.readBit()
     while (code > t.maxCode(len)) {
       len += 1
-      if (len > 16) return 0
+      if (len > 16) // no 16-bit code matches: the stream is corrupt —
+        throw new IllegalArgumentException("huffman code overflow")
       code = (code << 1) | r.readBit()
     }
     t.values(t.valPtr(len) + code - t.minCode(len))

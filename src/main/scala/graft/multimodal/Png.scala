@@ -91,6 +91,10 @@ object Png {
       p += 12 + len
     }
     if (width <= 0 || height <= 0 || interlace > 1) return None
+    // header-declared dimensions allocate buffers BEFORE any pixel data
+    // validates: cap them so a crafted tiny payload can't OOM the task
+    // (an Error would escape the decode() Exception guard)
+    if (width.toLong * height > (1L << 26)) return None
     val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
@@ -133,7 +137,9 @@ object Png {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
+      // n == 0 covers truncation AND stalls (e.g. an FDICT preset
+      // dictionary, illegal in PNG): bail instead of spinning forever
+      if (n == 0) return None
       off += n
     }
     inf.end()

@@ -70,12 +70,15 @@ object Similarity {
     val c = if (spill <= 1) base else spillAssign(base, cents, spill)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
-    c.join(broadcast(probeCells), Seq("cell"))
+    val joined = c.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      // a spilled vector can be met through several probed cells; the
-      // cosine is pair-deterministic so one candidate row survives
       .select(col("q_id"), col("qe"), col("vec_id"), col("e"))
-      .dropDuplicates("q_id", "vec_id")
+    // only a spilled vector can be met through several probed cells;
+    // without spill the dedup would be a pure extra exchange. The cosine
+    // is pair-deterministic, so one candidate row survives.
+    val cands =
+      if (spill > 1) joined.dropDuplicates("q_id", "vec_id") else joined
+    cands
       .withColumn("cos_raw", dot(col("qe"), col("e")) / norm(col("qe")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

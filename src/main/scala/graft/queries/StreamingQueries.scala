@@ -44,7 +44,7 @@ object StreamingQueries {
     * replay is roughly chronological — realistic, but NOT load-bearing:
     * correctness holds for any file order because nothing can be late. */
   private def stage(s: SparkSession, d: String, nFiles: Int): String =
-    staged.getOrElseUpdate((System.identityHashCode(s), d, "plain"), {
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"plain-$nFiles"), {
       val dir = TempDirs.create("graft_stream_events")
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -59,7 +59,7 @@ object StreamingQueries {
     * pushes the final watermark past every real session's close. Its own
     * session can never close and is filtered by consumers. */
   private def stageWithSentinel(s: SparkSession, d: String, nFiles: Int): String =
-    staged.getOrElseUpdate((System.identityHashCode(s), d, "sentinel"), {
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"sentinel-$nFiles"), {
       import s.implicits._
       val dir = TempDirs.create("graft_stream_events_sentinel")
       Tables.events(s, d)

@@ -43,20 +43,33 @@ object KeyedParquetSink {
       .drop("rn", "bid")
   }
 
-  /** Offline compaction: rewrite the table as a single `bid=0` generation
-    * so the read-side merge stops growing with micro-batch count. The
-    * resolved table is materialized into a sibling directory first and
-    * swapped in with a filesystem rename — readers see the old or the new
-    * generation, never a half state. Correctness never depends on WHEN
-    * this runs (the merge-on-read view is the contract); a deployment
-    * schedules it like any table-maintenance job. */
+  /** Offline compaction: drop every DOMINATED row (a key's non-winning
+    * generations) so the read-side merge stops growing with micro-batch
+    * count. Each surviving row keeps its ORIGINAL batch id — compaction
+    * garbage-collects, it never renumbers: renumbering (e.g. folding into
+    * a fresh `bid=0`) would let a crash-redelivered old batch outrank the
+    * compacted generation and resurrect superseded values. With original
+    * ids preserved, a redelivered batch rewrites exactly the partition it
+    * always owned and still loses to every key's winner.
+    *
+    * The rewrite lands in a sibling directory and swaps in via two
+    * renames (a brief not-found window exists between them — this is
+    * offline table maintenance for quiesced logs, like any maintenance
+    * job, not a concurrent-reader protocol). */
   def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
     val tmp = dir + "_compacting"
-    read(spark, dir, keys).write.mode("overwrite").parquet(s"$tmp/bid=0")
+    val old = dir + "_compacted_old"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bid").desc)
+    spark.read.parquet(dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .write.mode("overwrite").partitionBy("bid").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
+    fs.rename(target, new org.apache.hadoop.fs.Path(old))
     fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
   }
 }

@@ -50,7 +50,7 @@ object RecallTune {
     }
     // registered q112 on-disk config
     {
-      val dir = java.nio.file.Files.createTempDirectory("tune_ivf").toString
+      val dir = graft.TempDirs.create("tune_ivf")
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
         nCells = 16, iters = 3, spill = 2)
       val r = recallOf(exact, Similarity.probeIvfIndex(spark, dir, probes,

@@ -350,7 +350,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("on-disk IVF spill: rows duplicated across cells, probe dedups") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spill").toString
+    val dir = graft.TempDirs.create("graft-ivf-spill")
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
       nCells = 4, iters = 2, spill = 2)
     // every vector is indexed in exactly `spill` cell partitions
@@ -382,7 +382,7 @@ class SimilaritySpec extends SparkSpec {
       val c = centers(i % 3)
       (i.toLong, c.map(v => (v + crnd.nextGaussian() * 0.3).toFloat))
     }.toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val dir = graft.TempDirs.create("graft-ivf-index")
     Similarity.writeIvfIndex(clustered, "vec_id", "embedding", dir, nCells = 3)
     // physical layout: one directory per cell + the centroid sidecar
     val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)

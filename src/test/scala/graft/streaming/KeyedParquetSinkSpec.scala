@@ -30,7 +30,7 @@ class KeyedParquetSinkSpec extends SparkSpec {
     assert(table(dir) === Seq(("a", 1L), ("b", 2L), ("c", 2L)))
   }
 
-  test("compact collapses generations without changing the table") {
+  test("compact drops dominated rows; winners keep their original bid") {
     val dir = graft.TempDirs.create("sink-compact")
     (0L to 5L).foreach { bid =>
       KeyedParquetSink.upsertBatch(
@@ -39,13 +39,17 @@ class KeyedParquetSinkSpec extends SparkSpec {
     val before = table(dir)
     assert(before === Seq(("k0", 3L), ("k1", 4L), ("k2", 5L)))
     KeyedParquetSink.compact(spark, dir, Seq("k"))
-    // one generation remains on disk; contents identical
+    // only the winning generations survive, under their ORIGINAL ids
     val gens = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("bid=")).toSeq
-    assert(gens === Seq("bid=0"))
+      .map(_.getName).filter(_.startsWith("bid=")).toSeq.sorted
+    assert(gens === Seq("bid=3", "bid=4", "bid=5"))
     assert(table(dir) === before)
-    // upserts keep working after compaction (new generations stack on)
-    KeyedParquetSink.upsertBatch(Seq(("k0", 9L)).toDF("k", "v"), 1L, dir)
+    // crash-redelivery of an OLD batch must NOT resurrect superseded
+    // values: bid=0's content (k0 -> 0) still loses to k0's winner bid=3
+    KeyedParquetSink.upsertBatch(Seq(("k0", 0L)).toDF("k", "v"), 0L, dir)
+    assert(table(dir) === before)
+    // genuinely NEW generations still win
+    KeyedParquetSink.upsertBatch(Seq(("k0", 9L)).toDF("k", "v"), 6L, dir)
     assert(table(dir) === Seq(("k0", 9L), ("k1", 4L), ("k2", 5L)))
   }
 }
