@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  final case class Merges(ranked: Seq[(String, String)]) {
+  final case class Merges(ranked: Seq[(String, String)],
+      /** Distinct characters of the training table — the vocabulary's
+        * base alphabet (merge pairs alone never cover symbols that never
+        * merged, e.g. single spaces). */
+      chars: Seq[String] = Seq.empty) {
     /** pair → rank, lower merges first. */
     lazy val rank: Map[(String, String), Int] =
       ranked.zipWithIndex.toMap
@@ -102,7 +106,8 @@ object Bpe {
         it += 1
       }
     }
-    Merges(merges.toSeq)
+    Merges(merges.toSeq,
+      words.flatMap(_._1.map(_.toString)).distinct.sorted.toSeq)
   }
 
   /** Pre-tokens longer than this bypass merging (emitted whole — still
@@ -148,5 +153,36 @@ object Bpe {
     ds.mapPartitions(_.map { case (id, text) =>
       (id, if (text == null) Seq.empty[String] else encodeText(text, merges))
     }).toDF(idCol, "tokens")
+  }
+
+  /** Deterministic vocabulary over a merge list: every merge product in
+    * rank order, preceded by the id-0 unknown marker — base characters
+    * and capped blobs fall through to UNK, the standard closed-vocab
+    * contract (a byte-level vocab would enumerate the 256 base symbols
+    * instead; the id assignment stays reproducible either way). */
+  final case class Vocab(idOf: Map[String, Int]) {
+    val UnkId = 0
+    def id(token: String): Int = idOf.getOrElse(token, UnkId)
+    def size: Int = idOf.size + 1
+  }
+
+  def vocabOf(merges: Merges, baseSymbols: Seq[String] = Seq.empty): Vocab =
+    Vocab((baseSymbols ++ merges.ranked.map { case (a, b) => a + b })
+      .distinct.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+
+  /** Corpus → (id, token_ids): the training-batch shape. The trained
+    * character alphabet seeds the vocabulary, so only characters the
+    * training table never saw map to UNK. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Merges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = vocabOf(merges, merges.chars)
+    val ds: Dataset[(Long, String)] =
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    ds.mapPartitions(_.map { case (id, text) =>
+      (id, if (text == null) Seq.empty[Int]
+           else encodeText(text, merges).map(vocab.id))
+    }).toDF(idCol, "token_ids")
   }
 }

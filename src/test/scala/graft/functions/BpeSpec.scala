@@ -47,6 +47,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeText(blob, m) === Seq(blob))
   }
 
+  test("vocabulary ids: deterministic, UNK for unseen, round-trip by id") {
+    val docs = (1L to 40L).map(i => (i, "abab cdcd abab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", nMerges = 4)
+    // trained alphabet covers everything seen, including the space run
+    assert(m.chars.contains(" "))
+    val v = Bpe.vocabOf(m, m.chars)
+    // ids dense, deterministic, UNK reserved at 0
+    assert(v.UnkId === 0)
+    assert(v.idOf.values.min === 1)
+    assert(v.idOf.values.toSeq.distinct.length === v.idOf.size)
+    assert(Bpe.vocabOf(m, m.chars).idOf === v.idOf)
+    // unseen symbol maps to UNK; known merge products don't
+    assert(v.id("zzz-never-seen") === 0)
+    assert(v.id(m.ranked.head._1 + m.ranked.head._2) > 0)
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", m)
+      .select(col("token_ids")).as[Seq[Int]].head()
+    assert(ids.nonEmpty && ids.forall(_ > 0), s"unexpected UNK in $ids")
+  }
+
   test("distributed encode: lossless over a corpus, merges applied") {
     val docs = (1L to 200L).map(i =>
       (i, s"the cat sat on the mat ${i % 7} times, the end"))
