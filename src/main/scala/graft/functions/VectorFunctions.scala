@@ -37,4 +37,23 @@ object VectorFunctions {
     val n = norm(v)
     transform(v, x => x / n)
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the storage path a
+    * 100 TB embedding corpus actually ships (4× smaller than float32,
+    * cosine nearly preserved): scale = max|v|/127, q_i = half-up
+    * round(v_i/scale) ∈ [−127, 127]. Zero vectors quantize to zeros with
+    * scale 0. Pure expression tree (HOF fold + transform — codegen'd, no
+    * UDF), with an exact ANSI SQL mirror so the round trip sits under the
+    * hash gate (q119). */
+  def quantizeScale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Quantized codes as ints, given the vector and its scale. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => when(scale === 0.0, lit(0))
+      .otherwise(floor(x / scale + 0.5).cast("int")))
+
+  /** Dequantized copy: q·scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -144,5 +144,46 @@ object VectorOps {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91, q112)
+  /** q119: int8 scalar quantization round trip under the hash gate — the
+    * embedding STORAGE path (4× smaller than float32). Per vector: the
+    * symmetric scale, the cosine between the original and its
+    * dequantized copy (the number that tells you retrieval survives
+    * quantization), and the max reconstruction error (bounded by
+    * scale/2 by construction). Every step is an explicit formula
+    * (half-up FLOOR quantizer, HOF folds) mirrored 1:1 in SQL. */
+  private val q119 = NamedQuery(
+    "q119_embedding_quantization",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("scale", quantizeScale(col("e")))
+        .withColumn("dq",
+          dequantizeInt8(quantizeInt8(col("e"), col("scale")), col("scale")))
+      e.select(col("vec_id"), r6(col("scale")).as("scale"),
+        r6(cosine(col("e"), col("dq"))).as("cos_rt"),
+        r6(aggregate(
+          transform(arrays_zip(col("e"), col("dq")),
+            p => abs(p.getField("e") - p.getField("dq"))),
+          lit(0.0), (acc, x) => greatest(acc, x))).as("max_err"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+              list_reduce(list_prepend(0.0, list_transform(e, x -> ABS(x))),
+                (a, b) -> GREATEST(a, b)) / 127.0 AS scale
+            FROM v),
+      q AS (SELECT vec_id, e, scale,
+              list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+                ELSE FLOOR(x / scale + 0.5) * scale END) AS dq
+            FROM s)
+      SELECT vec_id, ROUND(scale, 6) AS scale,
+        ROUND(list_dot_product(e, dq) /
+          (SQRT(list_dot_product(e, e)) * SQRT(list_dot_product(dq, dq))), 6)
+          AS cos_rt,
+        ROUND(list_reduce(list_prepend(0.0,
+            list_transform(list_zip(e, dq),
+              p -> ABS(p[1] - p[2]))),
+          (a, b) -> GREATEST(a, b)), 6) AS max_err
+      FROM q"""))
+
+  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119)
 }
