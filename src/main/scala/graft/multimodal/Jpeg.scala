@@ -262,6 +262,12 @@ object Jpeg {
           mcusY = (height + 8 * maxV - 1) / (8 * maxV)
           blocksW = comps.map(c => mcusX * c.h)
           blocksH = comps.map(c => mcusY * c.v)
+          // cap the TOTAL coefficient allocation, not just the pixel
+          // count: the component count is an unvalidated u8 and sampling
+          // factors multiply the padded block grids
+          val totalCoefs = comps.indices
+            .map(i => blocksW(i).toLong * blocksH(i) * 64).sum
+          if (totalCoefs > (1L << 27)) return None
           coefs = comps.indices.map(i =>
             new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |

@@ -112,6 +112,11 @@ object Png {
     }
     if (!depthOk) return None
     if (colorType == 3 && palette == null) return None
+    // second cap with the now-known channel count and sample width: a
+    // 16-bit RGBA declaration multiplies the raw/sample/plane buffers 8×
+    // over the grayscale case the pixel cap alone assumed
+    if (width.toLong * height * channels * math.max(1, bitDepth / 8) >
+        (1L << 27)) return None
 
     val bitsPerPx = channels * bitDepth
     val bpp = math.max(1, bitsPerPx / 8) // filter step, ≥1 byte (spec 6.2)

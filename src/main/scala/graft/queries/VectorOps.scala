@@ -162,8 +162,7 @@ object VectorOps {
       e.select(col("vec_id"), r6(col("scale")).as("scale"),
         r6(cosine(col("e"), col("dq"))).as("cos_rt"),
         r6(aggregate(
-          transform(arrays_zip(col("e"), col("dq")),
-            p => abs(p.getField("e") - p.getField("dq"))),
+          zip_with(col("e"), col("dq"), (a, b) => abs(a - b)),
           lit(0.0), (acc, x) => greatest(acc, x))).as("max_err"))
     },
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

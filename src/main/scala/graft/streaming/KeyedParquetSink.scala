@@ -31,17 +31,25 @@ object KeyedParquetSink {
       batch.write.mode("overwrite").parquet(s"$dir/bid=$batchId")
   }
 
-  /** Read the table's current contents: one row per key, the latest
-    * emission (highest batch id) winning — Update-mode streams emit at
-    * most one row per key per batch, so the result is exactly the final
-    * state of every key. */
-  def read(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+  /** Winner-per-key resolution (the merge-on-read rule, shared by reads
+    * and compaction so the two can never diverge): one row per key, the
+    * latest emission — highest batch id — winning. `bid` stays in the
+    * output. */
+  private def resolve(spark: SparkSession, dir: String,
+      keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bid").desc)
     spark.read.parquet(dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "bid")
+      .drop("rn")
   }
+
+  /** Read the table's current contents: one row per key, the latest
+    * emission (highest batch id) winning — Update-mode streams emit at
+    * most one row per key per batch, so the result is exactly the final
+    * state of every key. */
+  def read(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame =
+    resolve(spark, dir, keys).drop("bid")
 
   /** Offline compaction: drop every DOMINATED row (a key's non-winning
     * generations) so the read-side merge stops growing with micro-batch
@@ -57,19 +65,23 @@ object KeyedParquetSink {
     * offline table maintenance for quiesced logs, like any maintenance
     * job, not a concurrent-reader protocol). */
   def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
-    val tmp = dir + "_compacting"
-    val old = dir + "_compacted_old"
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bid").desc)
-    spark.read.parquet(dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-      .write.mode("overwrite").partitionBy("bid").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(conf)
-    fs.rename(target, new org.apache.hadoop.fs.Path(old))
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + "_compacted_old")
+    // clear leftovers of a previously crashed compaction FIRST: Hadoop
+    // rename onto an existing directory nests the source inside it,
+    // which would corrupt the live table
+    fs.delete(old, true)
+    resolve(spark, dir, keys)
+      .write.mode("overwrite").partitionBy("bid").parquet(tmp.toString)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"compact: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // restore the live table before failing
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
   }
 }
