@@ -209,10 +209,14 @@ object Fits {
     * (p_io.py:43-56, via the engine's Barycenter model), then serialize
     * the composite image as a primary-HDU FITS file (BITPIX=-64).
     *
-    * The composite is one frame (a model-object-sized result of the
-    * median combine), so the byte assembly is a driver-side readback —
-    * the same boundary the reference crosses when astropy materializes
-    * `data`. Returns (avgAirmass, bjd, mergedHeader) like the reference. */
+    * A single-file FITS sink must serialize centrally, but it streams:
+    * pixels are range-sorted by (y, x) and pulled through
+    * `toLocalIterator`, so the driver holds one shuffle partition of rows
+    * at a time (~total/32 rows) instead of the whole frame — a 4096²
+    * composite (16.7 M rows) writes under a bounded driver heap. Missing
+    * positions zero-fill (same as the dense-array path it replaces);
+    * duplicate positions keep the last sorted value.
+    * Returns (avgAirmass, bjd, mergedHeader) like the reference. */
   def writeFits(pixels: DataFrame, width: Int, height: Int,
       imHeaders: Seq[Map[String, String]], wcsHeader: Map[String, String],
       raDeg: Double, decDeg: Double, path: String): (Double, Double, Map[String, String]) = {
@@ -234,12 +238,6 @@ object Fits {
     val merged = merged0 +
       ("AIRMASS" -> avgAirmass.toString) + ("BJD" -> bjd.toString)
 
-    val v = new Array[Double](width * height)
-    pixels.select(col("y"), col("x"), col("v")).collect().foreach { r =>
-      val y = r.getLong(0).toInt; val x = r.getLong(1).toInt
-      if (y >= 0 && y < height && x >= 0 && x < width)
-        v(y * width + x) = r.getDouble(2)
-    }
     val cards = Seq.newBuilder[Array[Byte]]
     cards += fitsCard("SIMPLE", "T")
     cards += fitsCard("BITPIX", "-64")
@@ -258,13 +256,42 @@ object Fits {
     val headerBytes = cards.result().flatten.toArray
     val headerPadded = headerBytes ++
       Array.fill[Byte]((Block - headerBytes.length % Block) % Block)(' '.toByte)
-    val dataBuf = ByteBuffer.allocate(v.length * 8).order(ByteOrder.BIG_ENDIAN)
-    v.foreach(dataBuf.putDouble)
-    val data = dataBuf.array()
-    val dataPadded = data ++
-      Array.fill[Byte]((Block - data.length % Block) % Block)(0)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      headerPadded ++ dataPadded)
+
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)),
+      1 << 20)
+    try {
+      out.write(headerPadded)
+      val total = width.toLong * height
+      val it = pixels
+        .select(col("y"), col("x"), col("v"))
+        .where(col("y") >= 0 && col("y") < height &&
+          col("x") >= 0 && col("x") < width)
+        .sort("y", "x")
+        .toLocalIterator()
+      val word = new Array[Byte](8)
+      val bb = ByteBuffer.wrap(word).order(ByteOrder.BIG_ENDIAN)
+      val zero = new Array[Byte](8)
+      var cursor = 0L
+      // buffer one cell so duplicate (y, x) rows keep the last value
+      var pendingPos = -1L
+      var pendingV = 0.0
+      def flushPending(): Unit = if (pendingPos >= 0) {
+        while (cursor < pendingPos) { out.write(zero); cursor += 1 }
+        bb.clear(); bb.putDouble(pendingV); out.write(word); cursor += 1
+        pendingPos = -1L
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val pos = r.getLong(0) * width + r.getLong(1)
+        if (pos == pendingPos) pendingV = r.getDouble(2)
+        else { flushPending(); pendingPos = pos; pendingV = r.getDouble(2) }
+      }
+      flushPending()
+      while (cursor < total) { out.write(zero); cursor += 1 }
+      val pad = ((Block - (total * 8) % Block) % Block).toInt
+      if (pad > 0) out.write(new Array[Byte](pad))
+    } finally out.close()
     (avgAirmass, bjd, merged)
   }
 }

@@ -111,6 +111,54 @@ class FitsSpec extends SparkSpec {
     assert(math.abs(hdr("AIRMASS").toDouble - 1.3) < 1e-12)
   }
 
+  test("write_fits streams: sparse zero-fill, bounds filter, duplicate last-wins") {
+    val dir = Files.createTempDirectory("graft-fits-sparse")
+    // 4×3 frame with only 3 cells present, one out-of-bounds row, and a
+    // duplicated position — the streaming writer must zero-fill gaps,
+    // drop out-of-bounds, and keep the last sorted duplicate
+    val px = Seq(
+      (0L, 1L, 2.5), (2L, 3L, 7.0), (1L, 0L, -1.5),
+      (9L, 9L, 99.0), (-1L, 0L, 42.0)).toDF("y", "x", "v")
+    val h = Map("AIRMASS" -> "1.0", "EXPTIME" -> "10.0",
+      "DATE-OBS" -> "2020-01-01T00:00:00.000")
+    val out = dir.resolve("sparse.fits").toString
+    Fits.writeFits(px, 4, 3, Seq(h), Map.empty, 10.0, 20.0, out)
+    val back = Fits.readFits(spark, out, hduIndex = 0)
+    assert(back.count() === 12)
+    val vals = back.orderBy("y", "x").select("v").as[Double].collect().toSeq
+    assert(vals === Seq(0.0, 2.5, 0.0, 0.0, -1.5, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 7.0))
+  }
+
+  test("write_fits streams a 2048-square frame without a full-frame collect") {
+    // 4.2 M pixel rows; the writer pulls range-sorted partitions through
+    // toLocalIterator, so driver-resident rows at any instant are one
+    // shuffle partition (~total/32), not the frame
+    val n = 2048
+    val dir = Files.createTempDirectory("graft-fits-stream")
+    val px = spark.range(n.toLong * n)
+      .select(($"id" / n).cast("long").as("y"), ($"id" % n).cast("long").as("x"),
+        (($"id" % 1000L) * 0.25).as("v"))
+    val h = Map("AIRMASS" -> "1.1", "EXPTIME" -> "30.0",
+      "DATE-OBS" -> "2020-01-01T00:00:00.000")
+    val out = dir.resolve("big.fits").toString
+    Fits.writeFits(px, n, n, Seq(h), Map.empty, 0.0, 0.0, out)
+    assert(Files.size(java.nio.file.Paths.get(out)) >= n.toLong * n * 8)
+    val back = spark.read.format("graft.sources.FitsTableProvider")
+      .option("hdu", "0").load(out)
+    val total = n.toLong * n
+    val cycles = total / 1000; val rem = (total % 1000).toInt
+    val expected = cycles.toDouble * (999.0 * 1000 / 2 * 0.25) +
+      (0 until rem).map(_ * 0.25).sum
+    val agg = back.agg(count(lit(1)), sum(col("v")))
+      .as[(Long, Double)].head()
+    assert(agg._1 === total && agg._2 === expected)
+    val corner = back.filter(col("y") === n - 1 && col("x") === n - 1)
+      .select("v").as[Double].head()
+    assert(corner === ((total - 1) % 1000L) * 0.25)
+    Files.deleteIfExists(java.nio.file.Paths.get(out))
+  }
+
   test("DataSource V2 connector: glob scan, pruning, parity with flatMap reader") {
     val dir = Files.createTempDirectory("graft-fits-dsv2")
     Files.write(dir.resolve("a.fits"), floatImageFits)
