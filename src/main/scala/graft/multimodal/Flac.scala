@@ -152,10 +152,23 @@ object Flac {
       p += 4 + len
     }
     if (!seenInfo || sampleRate <= 0 || total < 0) return None
+    // Allocation cap mirroring Png (1<<26) / Jpeg (1<<27): a 36-bit declared
+    // total from a few-byte header must not drive GB-scale sample buffers —
+    // a crafted STREAMINFO + tiny CONSTANT frames would otherwise expand
+    // unboundedly and the OutOfMemoryError would escape callers'
+    // `catch Exception` guards.
+    val MaxTotalSamples = 1L << 27
+    if (total * channels > MaxTotalSamples) return None
 
     val out = Array.fill(channels)(new scala.collection.mutable.ArrayBuffer[Int]())
     var got = 0L
-    while (got < total) {
+    // total == 0 is spec-legal "unknown length": decode frames until the
+    // data is exhausted (next bytes no longer start with the 14-bit sync).
+    def more: Boolean =
+      if (total > 0) got < total
+      else p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
+        (bytes(p + 1) & 0xfc) == 0xf8
+    while (more) {
       val frameStart = p
       val r = new BitReader(bytes)
       r.pos = p
@@ -203,6 +216,9 @@ object Flac {
       val nCh = if (chanAsgn < 8) chanAsgn + 1 else 2
       if ((chanAsgn < 8 && nCh != channels) || (chanAsgn >= 8 && channels != 2))
         return None
+      // cumulative cap (covers the unknown-length path, where the upfront
+      // STREAMINFO check can't bound the stream)
+      if ((got + blockSize) * channels > MaxTotalSamples) return None
       val chans = Array.ofDim[Int](nCh, blockSize)
       var ch = 0
       while (ch < nCh) {
@@ -224,7 +240,9 @@ object Flac {
       p = r.bytePos
 
       // undo inter-channel decorrelation
-      val take = math.min(blockSize.toLong, total - got).toInt
+      val take =
+        if (total > 0) math.min(blockSize.toLong, total - got).toInt
+        else blockSize
       chanAsgn match {
         case a if a < 8 =>
           var c = 0

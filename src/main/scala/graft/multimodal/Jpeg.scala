@@ -210,12 +210,22 @@ object Jpeg {
 
     while (p + 1 < bytes.length) {
       if (u8(p) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the marker
+      // code — skip them so the code byte, not a fill byte, is interpreted
+      var mk = p + 1
+      while (mk < bytes.length && u8(mk) == 0xff) mk += 1
+      if (mk >= bytes.length) return None
+      p = mk - 1 // re-anchor so the shared p-relative offsets below hold
       val marker = u8(p + 1)
       if (marker == 0xd9) { // EOI: reconstruct from the coefficient state
         if (!sawScan) return None
         return Some(reconstruct(comps, quant, coefs, blocksW, blocksH,
           width, height, maxH, maxV))
       }
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        // TEM / RSTn / stray SOI are parameterless: no length field to read
+        p += 2
+      } else {
       if (p + 3 >= bytes.length) return None
       val len = u16(p + 2)
       val seg = p + 4
@@ -304,6 +314,7 @@ object Jpeg {
         case _ => () // APPn / COM / others: skip
       }
       p += 2 + len
+      }
     }
     None
   }

@@ -70,9 +70,19 @@ object KeyedParquetSink {
     val fs = target.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
     val old = new org.apache.hadoop.fs.Path(dir + "_compacted_old")
-    // clear leftovers of a previously crashed compaction FIRST: Hadoop
-    // rename onto an existing directory nests the source inside it,
-    // which would corrupt the live table
+    // self-heal a run that crashed between the two renames below: the live
+    // dir is absent while `old` (the full pre-compaction log) or `tmp`
+    // (the compacted winners) holds the only copy — reinstall it BEFORE
+    // any destructive step, preferring the full log
+    if (!fs.exists(target)) {
+      val source = if (fs.exists(old)) old else tmp
+      if (!fs.exists(source) || !fs.rename(source, target))
+        throw new java.io.IOException(
+          s"compact: $target missing and no recoverable copy at $old/$tmp")
+    }
+    // clear leftovers of a previously crashed compaction only now that the
+    // live table is verified present: Hadoop rename onto an existing
+    // directory nests the source inside it, which would corrupt the table
     fs.delete(old, true)
     resolve(spark, dir, keys)
       .write.mode("overwrite").partitionBy("bid").parquet(tmp.toString)

@@ -86,6 +86,30 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(bad).isEmpty)
   }
 
+  test("unknown-length stream (STREAMINFO total=0) decodes until data ends") {
+    // total_samples=0 is spec-legal "unknown length"; the decoder must
+    // consume frames until the sync stops matching, not decode 0 samples.
+    // total sits in the low nibble of STREAMINFO body byte 13 + bytes
+    // 14-17 (absolute 21-25 after the 4-byte magic + 4-byte block header)
+    val s = Array.tabulate(2500)(t => (9000 * math.sin(t / 35.0)).toInt)
+    val unk = Flac.encode(8000, Array(s), blockSize = 1024).clone()
+    unk(21) = (unk(21) & 0xf0).toByte
+    unk(22) = 0; unk(23) = 0; unk(24) = 0; unk(25) = 0
+    val dec = Flac.decode(unk).get
+    assert(dec.samples(0).toSeq === s.toSeq)
+  }
+
+  test("allocation cap: absurd declared total rejected before buffering") {
+    // a 36-bit declared total (all ones) from a tiny payload must return
+    // None, mirroring the Png/Jpeg dimension caps — never allocate toward
+    // tens of GB and let the OutOfMemoryError escape Exception guards
+    val hostile = Flac.encode(8000, Array(Array.tabulate(100)(_ * 3))).clone()
+    hostile(21) = (hostile(21) | 0x0f).toByte
+    hostile(22) = 0xff.toByte; hostile(23) = 0xff.toByte
+    hostile(24) = 0xff.toByte; hostile(25) = 0xff.toByte
+    assert(Flac.decode(hostile).isEmpty)
+  }
+
   test("multimodal dispatch routes FLAC to the real decoder") {
     val s = Array.tabulate(800)(t => (10000 * math.sin(t / 25.0)).toInt)
     val payload = Flac.encode(8000, Array(s))

@@ -64,6 +64,25 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(withRst).get.planes(0).toSeq === plain.toSeq)
   }
 
+  test("T.81 fill bytes and parameterless markers decode unchanged") {
+    // B.1.1.2 allows any number of 0xFF fill bytes before a marker code,
+    // and TEM (FF 01) carries no length field — both are legal in real
+    // encoder output and must not derail the marker walk
+    val w = 16; val h = 16
+    val px = mosaic(w, h, 4)
+    val good = Jpeg.encodeGray(w, h, px)
+    val want = Jpeg.decode(good).get.planes(0).toSeq
+    val at = good.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdb)
+    assert(at >= 0)
+    val padded = good.take(at) ++
+      Array[Byte](0xff.toByte, 0x01, 0xff.toByte, 0xff.toByte) ++
+      good.drop(at)
+    val dec = Jpeg.decode(padded)
+    assert(dec.isDefined, "fill bytes / TEM broke the marker walk")
+    assert(dec.get.planes(0).toSeq === want)
+  }
+
   test("coarse quantization stays lossy-but-close (8x8 tables)") {
     val w = 32; val h = 32
     val px = Array.tabulate(w * h) { i =>

@@ -52,4 +52,27 @@ class KeyedParquetSinkSpec extends SparkSpec {
     KeyedParquetSink.upsertBatch(Seq(("k0", 9L)).toDF("k", "v"), 6L, dir)
     assert(table(dir) === Seq(("k0", 9L), ("k1", 4L), ("k2", 5L)))
   }
+
+  test("compact self-heals a run that crashed between the two renames") {
+    val dir = graft.TempDirs.create("sink-heal")
+    (0L to 3L).foreach { bid =>
+      KeyedParquetSink.upsertBatch(
+        Seq((s"k${bid % 2}", bid)).toDF("k", "v"), bid, dir)
+    }
+    val before = table(dir)
+    assert(before === Seq(("k0", 2L), ("k1", 3L)))
+    // simulate the crash window: live dir moved aside to _compacted_old,
+    // the second rename never happened — `old` holds the only copy
+    val live = new java.io.File(dir)
+    val old = new java.io.File(dir + "_compacted_old")
+    assert(live.renameTo(old) && !live.exists())
+    // a rerun must reinstall the log before any destructive step, then
+    // complete the compaction normally
+    KeyedParquetSink.compact(spark, dir, Seq("k"))
+    assert(!old.exists())
+    assert(table(dir) === before)
+    val gens = live.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bid=")).toSeq.sorted
+    assert(gens === Seq("bid=2", "bid=3"))
+  }
 }
