@@ -225,11 +225,11 @@ object Photometry {
       others, "sid", "xcentroid", "ycentroid",
       ref, "ref_id", "rx", "ry", matchRadius)
       .join(others.select(col("sid").as("left_id"), col("img_id")), Seq("left_id"))
-    // np.int(np.round(median)) with banker's rounding (core.py:207-208)
-    val rintUdf = udf((d: Double) => math.rint(d).toLong)
+    // np.int(np.round(median)) with banker's rounding (core.py:207-208);
+    // Spark's rint builtin IS Math.rint — codegen'd, no UDF
     val shifts = matched.groupBy(col("img_id"))
-      .agg(rintUdf(median(negate(col("dx")))).as("shift_x"),
-        rintUdf(median(negate(col("dy")))).as("shift_y"))
+      .agg(expr("CAST(rint(median(-dx)) AS BIGINT)").as("shift_x"),
+        expr("CAST(rint(median(-dy)) AS BIGINT)").as("shift_y"))
     val rolled = pixels.join(broadcast(shifts), Seq("img_id"), "left_outer")
       .withColumn("sx", coalesce(col("shift_x"), lit(0L)))
       .withColumn("sy", coalesce(col("shift_y"), lit(0L)))

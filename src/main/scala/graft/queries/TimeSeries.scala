@@ -253,52 +253,39 @@ object TimeSeries {
         AND value <= (SELECT quantile_cont(value, 0.95) FROM events)"""))
 
   /** Barycentric JD correction (p_io.py:55-56) for the canonical target
-    * (obj_data.py:18-23): the simplified light-travel model of
-    * functions.Barycenter, expressed as the identical formula in both
-    * engines; transcendental outputs rounded. */
+    * (obj_data.py:18-23): the VSOP87-truncated + giant-planet-SSB model of
+    * functions.Barycenter, emitted from ONE coefficient table as both a
+    * codegen'd Column tree (no UDF) and the DuckDB oracle SQL;
+    * transcendental outputs rounded. */
   private val q51 = NamedQuery(
     "q51_barycentric_jd",
     (s, d) => {
       val cfg = graft.pipeline.ObjConfig.canonical
-      val corrUdf = udf((jd: Double) =>
-        graft.functions.Barycenter.bjdCorrectionSeconds(jd, cfg.ra, cfg.dec))
       val jd = (unix_micros(col("ts")).cast(DoubleType) / lit(1e6)) / lit(86400.0) + lit(2440587.5)
+      val corr = graft.functions.Barycenter
+        .bjdCorrectionSecondsColumn(col("jd"), cfg.ra, cfg.dec)
       Tables.events(s, d)
         .select(col("event_id"), jd.as("jd"))
-        .withColumn("bary_corr_sec", round(corrUdf(col("jd")), 6))
+        .withColumn("bary_corr_sec", round(corr, 6))
         // round a small-magnitude offset: ROUND at 1e-6 on a ~2.4e6 value
         // is cross-engine unstable (x*1e6 quantizes to ~5e-4 steps)
         .withColumn("bjd_minus_ref",
-          round(col("jd") - lit(2460000.0) + corrUdf(col("jd")) / lit(86400.0), 6))
+          round(col("jd") - lit(2460000.0) + corr / lit(86400.0), 6))
     },
     Some(s"""WITH j AS (
         SELECT event_id,
           CAST(epoch_us(ts) AS DOUBLE) / 1e6 / 86400.0 + 2440587.5 AS jd
         FROM events),
-      m AS (
+      c AS MATERIALIZED (
         SELECT event_id, jd,
-          fmod(357.529 + 0.98560028 * (jd - 2451545.0), 360.0) * (pi() / 180.0) AS g,
-          fmod(280.459 + 0.98564736 * (jd - 2451545.0), 360.0) * (pi() / 180.0) AS q
-        FROM j),
-      lam AS (
-        SELECT event_id, jd, g,
-          q + 1.915 * (pi() / 180.0) * SIN(g) + 0.020 * (pi() / 180.0) * SIN(2 * g) AS lam,
-          1.00014 - 0.01671 * COS(g) - 0.00014 * COS(2 * g) AS r
-        FROM m),
-      e AS (
-        SELECT event_id, jd,
-          -r * COS(lam) AS ex,
-          -r * SIN(lam) * COS(23.4392911 * (pi() / 180.0)) AS ey,
-          -r * SIN(lam) * SIN(23.4392911 * (pi() / 180.0)) AS ez
-        FROM lam),
-      t AS (
-        SELECT COS(${graft.pipeline.ObjConfig.canonical.dec} * (pi() / 180.0)) * COS(${graft.pipeline.ObjConfig.canonical.ra} * (pi() / 180.0)) AS tx,
-          COS(${graft.pipeline.ObjConfig.canonical.dec} * (pi() / 180.0)) * SIN(${graft.pipeline.ObjConfig.canonical.ra} * (pi() / 180.0)) AS ty,
-          SIN(${graft.pipeline.ObjConfig.canonical.dec} * (pi() / 180.0)) AS tz)
+          ${graft.functions.Barycenter.bjdCorrectionSecondsSql("jd",
+            graft.pipeline.ObjConfig.canonical.ra,
+            graft.pipeline.ObjConfig.canonical.dec)} AS corr
+        FROM j)
       SELECT event_id, jd,
-        ROUND((tx * ex + ty * ey + tz * ez) * 499.004784, 6) AS bary_corr_sec,
-        ROUND(jd - 2460000.0 + (tx * ex + ty * ey + tz * ez) * 499.004784 / 86400.0, 6) AS bjd_minus_ref
-      FROM e, t"""))
+        ROUND(corr, 6) AS bary_corr_sec,
+        ROUND(jd - 2460000.0 + corr / 86400.0, 6) AS bjd_minus_ref
+      FROM c"""))
 
   /** Forward as-of with tolerance: for each purchase, the NEXT click by
     * the same user within 30 minutes (asof_ columns null when the nearest

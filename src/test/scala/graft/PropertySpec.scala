@@ -86,8 +86,60 @@ class PropertySpec extends AnyFunSuite {
       dec <- Gen.chooseNum(-90.0, 90.0)
     } yield (jd, ra, dec)
     check("bary", 300)(Prop.forAll(gen) { case (jd, ra, dec) =>
-      // aphelion is 1.0167 au ≈ 508.3 light-seconds
-      math.abs(Barycenter.bjdCorrectionSeconds(jd, ra, dec)) <= 509.0
+      // aphelion 1.0167 au + ~0.008 au Sun–SSB offset ≈ 512 light-seconds
+      math.abs(Barycenter.bjdCorrectionSeconds(jd, ra, dec)) <= 512.0
+    })
+  }
+
+  test("barycentric VSOP87 model agrees with an independent Kepler model < 1 s") {
+    // Fully independent formulation: Earth from Keplerian elements with
+    // the equation of center to e³ + precession to J2000; giant planets
+    // as CIRCULAR coplanar orbits (period + epoch longitude only). Shares
+    // no series coefficients with the VSOP87 path; residual = neglected
+    // perturbations (~0.1 s) + planet eccentricities (~0.3 s).
+    def kepler(jd: Double, raDeg: Double, decDeg: Double): Double = {
+      val d = jd - 2451545.0
+      val tc = d / 36525.0
+      val g = math.toRadians((357.529 + 0.98560028 * d) % 360.0)
+      val q = math.toRadians((280.459 + 0.98564736 * d) % 360.0)
+      val e = 0.016709
+      val c = (2 * e - e * e * e / 4) * math.sin(g) +
+        1.25 * e * e * math.sin(2 * g) + (13.0 / 12) * e * e * e * math.sin(3 * g)
+      val lamDate = q + c // true longitude of the Sun, equinox of date
+      val lam = lamDate - math.toRadians(5029.0966 * tc / 3600.0) // → J2000
+      val nu = g + c
+      val r = 1.000001018 * (1 - e * e) / (1 + e * math.cos(nu))
+      // Earth heliocentric ecliptic J2000 = −(Sun geocentric)
+      var ex = -r * math.cos(lam)
+      var ey = -r * math.sin(lam)
+      var ez = 0.0
+      // circular giant planets: (a au, period d, L₀ deg at J2000, m/m☉)
+      val planets = Seq(
+        (5.2029, 4332.589, 34.396, 1.0 / 1047.35),
+        (9.5367, 10759.22, 49.954, 1.0 / 3497.9),
+        (19.189, 30685.4, 313.238, 1.0 / 22903.0),
+        (30.070, 60189.0, 304.880, 1.0 / 19412.0))
+      planets.foreach { case (a, per, l0, mu) =>
+        val lp = math.toRadians(l0) + 2 * math.Pi * d / per
+        ex -= mu * a * math.cos(lp)
+        ey -= mu * a * math.sin(lp)
+      }
+      val eps = math.toRadians(23.4392911)
+      val (x, y, z) = (ex, ey * math.cos(eps) - ez * math.sin(eps),
+        ey * math.sin(eps) + ez * math.cos(eps))
+      val ra = math.toRadians(raDeg); val dec = math.toRadians(decDeg)
+      (math.cos(dec) * math.cos(ra) * x + math.cos(dec) * math.sin(ra) * y +
+        math.sin(dec) * z) * 499.004784
+    }
+    val gen = for {
+      jd <- Gen.chooseNum(2450000.0, 2470000.0)
+      ra <- Gen.chooseNum(0.0, 360.0)
+      dec <- Gen.chooseNum(-90.0, 90.0)
+    } yield (jd, ra, dec)
+    check("baryXmodel", 300)(Prop.forAll(gen) { case (jd, ra, dec) =>
+      val v = Barycenter.bjdCorrectionSeconds(jd, ra, dec)
+      val k = kepler(jd, ra, dec)
+      math.abs(v - k) < 1.0
     })
   }
 

@@ -105,13 +105,59 @@ class BarycenterSpec extends SparkSpec {
     val cfg = ObjConfig.canonical
     val corrections = (0 until 365 by 5).map(d =>
       Barycenter.bjdCorrectionSeconds(jd0 + d, cfg.ra, cfg.dec))
-    // bound: aphelion 1.0167 au → ≤ ~507.4 light-seconds
-    assert(corrections.forall(c => math.abs(c) <= 508.0))
+    // bound: aphelion 1.0167 au + ~0.008 au Sun–SSB offset → ≤ ~512 ls
+    assert(corrections.forall(c => math.abs(c) <= 512.0))
     // ecliptic-plane target: correction must swing both signs over a year
     assert(corrections.max > 100 && corrections.min < -100)
     // ~annual periodicity
     val wrap = Barycenter.bjdCorrectionSeconds(jd0 + 365.25, cfg.ra, cfg.dec)
     assert(math.abs(wrap - corrections.head) < 10.0)
+  }
+
+  test("VSOP87 anchors: Meeus 25.b, perihelion and aphelion distances") {
+    // Meeus, Astronomical Algorithms, example 25.b (1992 Oct 13.0 TD =
+    // JDE 2448908.5): Sun geometric longitude (mean equinox of date)
+    // 199°54'26.18" = 199.9072722°, R = 0.99760775 au, β ≈ -0.6"
+    val (l, b, r) = Barycenter.earthLBR(2448908.5)
+    val lonSun = ((math.toDegrees(l) + 180.0) % 360.0 + 360.0) % 360.0
+    assert(math.abs(lonSun - 199.9072722) * 3600 < 5.0,
+      s"longitude off: $lonSun") // truncation budget ~1"
+    assert(math.abs(r - 0.99760775) < 3e-6, s"radius off: $r")
+    assert(math.abs(math.toDegrees(b) * 3600 + 0.62) < 0.5)
+    // 2024 perihelion (Jan 3, 0.98330 au) and aphelion (Jul 5, 1.01673 au)
+    val jan = (0 until 10 * 24).map(h =>
+      Barycenter.earthLBR(2460310.5 + h / 24.0)._3)
+    assert(math.abs(jan.min - 0.98330) < 2e-4, s"perihelion ${jan.min}")
+    val jul = (0 until 10 * 24).map(h =>
+      Barycenter.earthLBR(2460490.5 + h / 24.0)._3)
+    assert(math.abs(jul.max - 1.01673) < 2e-4, s"aphelion ${jul.max}")
+  }
+
+  test("2024 equinox: geometric solar longitude = aberration offset") {
+    // March equinox 2024-03-20 03:06 UTC: APPARENT λ☉ = 0 by definition;
+    // GEOMETRIC λ☉ (what the series gives) must sit ~ +20.5" (annual
+    // aberration) ± nutation (±17")
+    val (l, _, _) = Barycenter.earthLBR(2460389.62941)
+    val lam = ((math.toDegrees(l) + 180.0 + 180.0) % 360.0) - 180.0 // (-180,180]
+    assert(math.abs(lam * 3600 - 20.5) < 40.0, s"equinox lon ${lam * 3600}\"")
+  }
+
+  test("Column tree evaluates bit-identically to the Double model") {
+    import spark.implicits._
+    val cfg = ObjConfig.canonical
+    val jds = Seq(2448908.5, 2460310.5, 2460389.62941, 2465432.1)
+    val got = jds.toDF("jd")
+      .select(Barycenter.bjdCorrectionSecondsColumn(col("jd"), cfg.ra, cfg.dec))
+      .as[Double].collect().toSeq
+    val want = jds.map(Barycenter.bjdCorrectionSeconds(_, cfg.ra, cfg.dec))
+    assert(got === want) // both run through java.lang.Math — exact
+  }
+
+  test("SQL form is well-formed and from the same tables") {
+    val sql = Barycenter.bjdCorrectionSecondsSql("jd", 150.125, -32.5)
+    assert(sql.count(_ == '(') === sql.count(_ == ')'))
+    assert(sql.contains("COS((4.6692568 + (6283.07585 * ")) // main VSOP term
+    assert(!sql.toLowerCase.contains("nan") && !sql.contains("Infinity"))
   }
 
   test("bjd shifts jd by the correction in days") {
