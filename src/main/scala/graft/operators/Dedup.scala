@@ -261,42 +261,91 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"
+    * — the web-scale standard): each round is two grouped min-aggregations
+    * over the edge set, and the round count is O(log n) EVEN on
+    * path-shaped graphs, where plain min-label propagation needs
+    * O(diameter) rounds. Input (src, dst) edges; output (node, label)
+    * with label = the component's min node id. localCheckpoint cuts the
+    * growing lineage every round. Returns the labels and the round count
+    * (the convergence witness the spec asserts on). */
+  private[graft] def starContract(edges0: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    // canonical undirected edge set: a < b, no self-loops
+    var edges = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+
+    // large-star: around every node u, hang all LARGER neighbors off
+    // m = min(Γ(u) ∪ {u}) — long chains fold toward their minimum
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      dir.join(m, Seq("u"))
+        .filter(col("v") > col("u") && col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b")) // m ≤ u < v
+        .distinct()
+    }
+    // small-star: around every node u, rewire all SMALLER neighbors (and
+    // u itself) onto their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("b").as("u"), col("a").as("v")) // v < u
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b")) // m < v
+        .union(m.select(col("m").as("a"), col("u").as("b"))) // m < u
+        .distinct()
+    }
+
+    // fixpoint: edge set stable across a full large+small round. A cheap
+    // scalar witness (count + endpoint sums) gates the loop; when it
+    // claims stability, an exact star-forest check (no hub is also a
+    // member) confirms before exiting — stars whose hubs are hub-only are
+    // provably the per-component minima, since contraction preserves
+    // connectivity round over round
+    def witness(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var w = witness(edges)
+    var rounds = 0
+    var done = w._1 == 0
+    while (!done && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val wNext = witness(next)
+      if (wNext == w)
+        done = next.select(col("a")).distinct()
+          .join(next.select(col("b").as("hub_as_member")),
+            col("a") === col("hub_as_member"), "left_semi")
+          .isEmpty
+      edges = next
+      w = wNext
+      rounds += 1
+    }
+    // at the fixpoint the edges form stars (min → member)
+    val labels = edges.select(col("b").as("node"), col("a").as("label"))
+      .union(edges.select(col("a").as("node"), col("a").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    (labels, rounds)
+  }
+
   /** Cluster resolution over the near-dup pair graph — the dedup endgame:
     * connected components with the component's MIN doc id as the cluster
     * id (canonical survivor), isolated docs forming their own cluster.
-    * Iterative min-label propagation with a driver-side fixpoint loop —
-    * each round is one join + one min-aggregate, and near-dup clusters
-    * have tiny diameter, so rounds stay in the single digits. At web
-    * scale the same loop runs with large-star/small-star contraction;
-    * localCheckpoint cuts the growing lineage every round. */
+    * Runs the large-star/small-star contraction (O(log n) rounds at any
+    * graph shape — the form that survives web-scale dedup graphs);
+    * isolated docs never enter the loop. */
   def nearDupClusters(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, maxIters: Int = 20): DataFrame = {
+      threshold: Double, maxIters: Int = 50): DataFrame = {
     val pairs = ngramJaccardPairs(df, id, text, n, threshold)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").localCheckpoint()
-    // only edge-connected nodes can change labels — isolated docs keep
-    // their own id and stay out of the loop entirely
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
-    // labels only decrease, so the label sum is a strictly decreasing
-    // convergence witness: one cheap scalar agg per round instead of a
-    // join + count comparison against the previous state
-    def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
-    var prevSum = Long.MaxValue
-    var curSum = if (labels.isEmpty) 0L else labelSum()
-    var it = 0
-    while (curSum < prevSum && it < maxIters) {
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-      labels = labels.select(col("node"), col("label")).union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      prevSum = curSum
-      curSum = labelSum()
-      it += 1
-    }
+    val (labels, _) = starContract(pairs.toDF("src", "dst"), maxIters)
     df.select(col(id).as("doc_id")).distinct()
       .join(labels.select(col("node").as("doc_id"), col("label")),
         Seq("doc_id"), "left_outer")

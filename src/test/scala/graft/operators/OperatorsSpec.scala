@@ -241,6 +241,38 @@ class DedupSpec extends SparkSpec {
     assert(capped.keySet.subsetOf(exact.keySet))
   }
 
+  test("star contraction: 1000-node path graph converges in O(log n) rounds") {
+    // the planted worst case for min-label propagation (O(diameter) = 999
+    // rounds); large-star/small-star must fold it logarithmically
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.starContract(edges)
+    assert(rounds <= 16, s"took $rounds rounds — not O(log n)")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall(_._2 == 0L), "every path node labels to the min (0)")
+  }
+
+  test("star contraction labels equal brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val es = (0 until 80)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val present = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOfComp = present.groupBy(v => find(v.toInt))
+      .flatMap { case (_, vs) => vs.map(_ -> vs.min) }
+    val (labels, _) = Dedup.starContract(es.toDF("src", "dst"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === minOfComp.toMap)
+  }
+
   test("simhash: identical docs at hamming 0; pairs symmetric-free (a<b)") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
