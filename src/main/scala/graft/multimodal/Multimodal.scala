@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * decode for REAL via pure-JVM implementations of the public specs —
   * image features are decoded-luminance histograms, audio features are
   * duration/RMS/peak/zero-crossings. FLAC audio decodes for real too
-  * ([[Flac]], all subframe types), and JPEG covers baseline AND
-  * progressive frames. The remaining entropy-coded formats (MP3/H.264)
-  * have no codec in this container and fall back to the documented
-  * deterministic STUB (byte histogram). Swapping in more codecs changes
-  * no schema and no partitioning.
+  * ([[Flac]], all subframe types), JPEG covers baseline AND progressive
+  * frames, and MPEG-1 Layer I audio decodes via [[Mp3]] (spec-exact
+  * bitstream + requantization; derived filterbank windows — see
+  * Mp3Windows). Still stubbed to the deterministic byte histogram:
+  * MPEG Layer II/III (grouped-quantization tables / hybrid MDCT) and
+  * H.264 video. Swapping in more codecs changes no schema and no
+  * partitioning.
   */
 object Multimodal {
 
@@ -92,21 +94,26 @@ object Multimodal {
       }
     }
 
-  /** Real audio decode by magic dispatch: PCM WAV or FLAC (channels
-    * average to mono, 16-bit normalization — same contract as WAV). */
-  private def decodeAnyAudio(payload: Array[Byte]): Option[(Int, Array[Double])] =
-    Codecs.decodeWav(payload).orElse(Flac.decode(payload).map { d =>
-      val n = d.samples(0).length
+  /** Real audio decode by magic dispatch: PCM WAV, FLAC or MPEG-1 Layer I
+    * (channels average to mono, 16-bit normalization — same contract as
+    * WAV). MP3 sits last: its sync-word magic is the weakest. */
+  private def decodeAnyAudio(payload: Array[Byte]): Option[(Int, Array[Double])] = {
+    def toMono(rate: Int, chans: Array[Array[Int]]): (Int, Array[Double]) = {
+      val n = chans(0).length
       val mono = new Array[Double](n)
       var i = 0
       while (i < n) {
         var s = 0.0
-        d.samples.foreach(ch => s += ch(i) / 32768.0)
-        mono(i) = s / d.samples.length
+        chans.foreach(ch => s += ch(i) / 32768.0)
+        mono(i) = s / chans.length
         i += 1
       }
-      (d.sampleRate, mono)
-    })
+      (rate, mono)
+    }
+    Codecs.decodeWav(payload)
+      .orElse(Flac.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+      .orElse(Mp3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+  }
 
   /** Feature extraction over partition batches. Repartitioning by doc_id
     * spreads decode work evenly; each task processes its batch without

@@ -220,5 +220,51 @@ object MediaOps {
         ROUND(CAST(SUM(flip) AS DOUBLE) / ns, 6) AS zcr
       FROM a GROUP BY doc_id, ns"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117)
+  /** q120: MPEG-1 Layer I round-trip under the hash gate. Layer I is
+    * LOSSY (and the filterbank windows are derived, ~51 dB — Mp3Windows),
+    * so unlike q117's bit-exact FLAC gate the certified columns are the
+    * exact stream facts (delay-padded frame grid) plus an SNR-floor
+    * boolean with a >10 dB margin: a broken header walk, allocation
+    * parse, requantizer or filterbank flips the boolean and the hash.
+    * Doc d carries a 0.4-amplitude tone at (d mod 200 + 200) Hz. */
+  private val q120 = NamedQuery(
+    "q120_mp3_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 1500 + 600).as("ns"),
+          (col("doc_id") % 200 + 200).as("freq"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, freq) =>
+          val rate = 32000
+          val n = ns.toInt
+          val tone = Array.tabulate(n)(t =>
+            (0.4 * 32768.0 * math.sin(2 * math.Pi * freq * t / rate)).toInt)
+          val payload = graft.multimodal.Mp3.encode(rate, Array(tone))
+          val dec = graft.multimodal.Mp3.decode(payload)
+          val nFrames = (ns + 481 + 383) / 384
+          val okShape = dec.exists(x => x.sampleRate == rate &&
+            x.channels == 1 && x.samples(0).length == nFrames * 384)
+          val snrOk = dec.exists { x =>
+            val out = x.samples(0)
+            var sig = 0.0; var err = 0.0
+            var i = 0
+            while (i < n - 32) {
+              val want = tone(i) / 32768.0
+              val got = out(481 + i) / 32768.0
+              sig += want * want; err += (got - want) * (got - want)
+              i += 1
+            }
+            sig > 0 && 10.0 * math.log10(sig / math.max(err, 1e-300)) > 40.0
+          }
+          (id, nFrames * 384, okShape && snrOk)
+        })
+        .toDF("doc_id", "n_samples", "roundtrip_ok")
+    },
+    Some("""SELECT doc_id,
+        CAST(((n_chars % 1500 + 600) + 481 + 383) // 384 * 384 AS BIGINT) AS n_samples,
+        TRUE AS roundtrip_ok
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120)
 }
