@@ -43,7 +43,14 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact tail is capped at ~2000 chars, which truncates
+    // the per-query map — persist the full line at a stable path too
+    val out = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -76,6 +76,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"), s"no filter:\n$plan")
   }
 
+  test("no scalar UDF in any oracle-gated query plan") {
+    // scalar UDFs are codegen black boxes that block pushdown and
+    // vectorization; every hash-gated query must plan with native
+    // expressions only (typed Aggregators / mapGroups are fine — they're
+    // deliberate whole-operator extension points, not scalar functions)
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      var found = false
+      df.queryExecution.analyzed.foreach { p =>
+        p.expressions.foreach(_.foreach {
+          case _: ScalaUDF => found = true
+          case _ => ()
+        })
+      }
+      found
+    }
+    assert(offenders.isEmpty, s"scalar UDFs in oracle-gated plans: $offenders")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
