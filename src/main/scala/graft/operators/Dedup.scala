@@ -44,10 +44,13 @@ object Dedup {
   }
 
   private def jaccardFromPairs(pairShingles: DataFrame, counts: DataFrame,
-      threshold: Double): DataFrame = {
-    val common = pairShingles
+      threshold: Double): DataFrame =
+    jaccardFromCommon(pairShingles
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common")), counts, threshold)
+
+  private def jaccardFromCommon(common: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame = {
     common
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
@@ -74,22 +77,52 @@ object Dedup {
     * explosion) are dropped from pair GENERATION only. Membership counts
     * still use the full shingle sets, so reported Jaccard values are
     * exact; pairs whose every common shingle is hot are missed (recall
-    * trade), never mis-scored. dfCap ≤ 0 disables the cap. */
+    * trade), never mis-scored. The hot contribution is recovered by
+    * recounting candidate pairs against ONLY the hot postings (empty when
+    * nothing is hot — the cap costs ~nothing until it actually fires),
+    * never against the full shingle table. dfCap ≤ 0 disables the cap. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, dfCap: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSet(df, id, text, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val genSide =
-      if (dfCap <= 0) sh
-      else {
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select(col("shingle"))
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-          .select(col("doc_id"), col("shingle")) // join key reorders columns
-      }
-    val genPairs = genSide.as[(Long, String)]
+    if (dfCap <= 0) {
+      val genPairs = pairsFromPostings(sh)
+      // exact path: common = per-pair emission count
+      jaccardFromPairs(genPairs, counts, threshold)
+    } else {
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("shingle"))
+      val genSide = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle")) // join key reorders columns
+      val nonHotCommon = pairsFromPostings(genSide)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"))
+      val hotSh = sh.join(broadcast(hot), Seq("shingle"))
+        .select(col("doc_id"), col("shingle"))
+      val hotCommon = nonHotCommon.select(col("id_a"), col("id_b"))
+        .join(hotSh.select(col("doc_id").as("id_a"), col("shingle").as("sa")),
+          Seq("id_a"))
+        .join(hotSh.select(col("doc_id").as("id_b"), col("shingle").as("sb")),
+          Seq("id_b"))
+        .filter(col("sa") === col("sb"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("hot_common"))
+      val common = nonHotCommon
+        .join(hotCommon, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"),
+          (col("common") + coalesce(col("hot_common"), lit(0L))).as("common"))
+      jaccardFromCommon(common, counts, threshold)
+    }
+  }
+
+  /** Inverted-index pair generation: each shingle's sorted posting list
+    * emits its ordered pairs (one shuffle, linear in postings). */
+  private def pairsFromPostings(postings: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col("doc_id"), col("shingle")).as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
         val ds = it.map(_._1).toArray
@@ -100,14 +133,6 @@ object Dedup {
         } yield (ds(i), ds(j))
       }
       .toDF("id_a", "id_b")
-    val pairShingles =
-      if (dfCap <= 0) genPairs // exact path: common = per-pair emission count
-      else genPairs.distinct() // capped path: recount from the FULL sets
-        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
-          col("sa.shingle") === col("sb.shingle"))
-        .select(col("id_a"), col("id_b"))
-    jaccardFromPairs(pairShingles, counts, threshold)
   }
 
   /** Asymmetric n-gram containment (quote/subset duplication):
@@ -125,17 +150,7 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSet(df, id, text, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
-        val ds = it.map(_._1).toArray
-        java.util.Arrays.sort(ds)
-        for {
-          i <- ds.indices.iterator
-          j <- ((i + 1) until ds.length).iterator
-        } yield (ds(i), ds(j))
-      }
-      .toDF("id_a", "id_b")
+    val common = pairsFromPostings(sh)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -335,17 +350,54 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Min-label propagation: one join + one min-aggregate per round,
+    * O(diameter) rounds — the cheap path for the near-dup regime, where
+    * cluster diameters are single digits. The label sum strictly
+    * decreases, so it doubles as the convergence witness. */
+  private def propagateLabels(edges0: DataFrame, maxIters: Int): DataFrame = {
+    val pairs = edges0.select(col("src"), col("dst"))
+    val edges = pairs.union(pairs.select(col("dst"), col("src")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def labelSum(): Long = labels.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = if (labels.isEmpty) 0L else labelSum()
+    var it = 0
+    while (curSum < prevSum && it < maxIters) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.select(col("node"), col("label")).union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labelSum()
+      it += 1
+    }
+    labels
+  }
+
+  /** Edge count above which nearDupClusters switches from min-label
+    * propagation to star contraction: below it, per-round job overhead
+    * dominates and the diameter is small; above it, the O(log n) bound
+    * is what matters. */
+  private[graft] val StarContractEdgeThreshold = 1000000L
+
   /** Cluster resolution over the near-dup pair graph — the dedup endgame:
     * connected components with the component's MIN doc id as the cluster
     * id (canonical survivor), isolated docs forming their own cluster.
-    * Runs the large-star/small-star contraction (O(log n) rounds at any
-    * graph shape — the form that survives web-scale dedup graphs);
-    * isolated docs never enter the loop. */
+    * Gated by graph size: fixture-scale graphs take min-label propagation
+    * (tiny diameter, half the jobs per round); big graphs take the
+    * large-star/small-star contraction whose O(log n) round bound is what
+    * survives web-scale dedup — both produce identical labels. */
   def nearDupClusters(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxIters: Int = 50): DataFrame = {
     val pairs = ngramJaccardPairs(df, id, text, n, threshold)
-      .select(col("id_a"), col("id_b"))
-    val (labels, _) = starContract(pairs.toDF("src", "dst"), maxIters)
+      .select(col("id_a"), col("id_b")).toDF("src", "dst").localCheckpoint()
+    val labels =
+      if (pairs.count() <= StarContractEdgeThreshold)
+        propagateLabels(pairs, maxIters)
+      else starContract(pairs, maxIters)._1
     df.select(col(id).as("doc_id")).distinct()
       .join(labels.select(col("node").as("doc_id"), col("label")),
         Seq("doc_id"), "left_outer")
