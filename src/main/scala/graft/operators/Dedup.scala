@@ -405,6 +405,78 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** All n-token windows of every document: (doc_id, start, window),
+    * start 0-based in token positions; tokenization matches
+    * TextFunctions.tokens. */
+  private def windowsOf(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).as("doc_id"), col(text).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else (0 to toks.length - n).iterator.map(i =>
+          (docId, i.toLong, toks.slice(i, i + n).mkString(" ")))
+      }
+      .toDF("doc_id", "start", "window")
+  }
+
+  /** Merge duplicated window starts into maximal covered regions
+    * (gaps-and-islands per doc): windows at a < b cover contiguous text
+    * iff b ≤ a + n. Emits (doc_id, span_start, span_end, n_windows),
+    * token positions, end exclusive. */
+  private def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    hits
+      .withColumn("prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("start") - col("prev") > n, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + n).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Exact repeated-substring spans — the suffix-array dedup modality of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed as keyed shuffles: every maximal token region
+    * covered by n-token windows occurring MORE THAN ONCE in the corpus
+    * (within or across documents). Exact form: one groupBy over the
+    * window STRINGS (the verbatim-repeat relation, no false positives by
+    * construction), then a per-doc islands merge. This is the oracle
+    * baseline; [[duplicateSpansHashed]] is the form whose shuffle
+    * survives 100 TB. */
+  def duplicateSpans(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val w = windowsOf(df, id, text, n)
+    val dup = w.groupBy(col("window")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("window"))
+    mergeSpans(w.join(dup, Seq("window")).select(col("doc_id"), col("start")), n)
+  }
+
+  /** Scale path for [[duplicateSpans]]: identical pipeline but the
+    * exchange carries (xxhash64(window), doc, start) — 8-byte keys
+    * instead of ~10-token strings, an order of magnitude less shuffle
+    * volume. Accepts 64-bit collision odds (≈ k²/2⁶⁵: ~3·10⁻⁸ at a
+    * million distinct windows), the standard production trade; the exact
+    * form remains the oracle. */
+  def duplicateSpansHashed(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val w = windowsOf(df, id, text, n)
+      .select(col("doc_id"), col("start"), xxhash64(col("window")).as("h"))
+    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    mergeSpans(w.join(dup, Seq("h")).select(col("doc_id"), col("start")), n)
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ threshold, id_a < id_b).
     * All-pairs with a broadcast side here; at corpus scale the same verify
     * runs behind LSH/IVF candidate generation (see Similarity). */

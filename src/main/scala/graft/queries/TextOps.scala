@@ -63,6 +63,33 @@ object TextOps {
       3, 32, 8, 0.9),
     Some(jaccardSql(0.9)))
 
+  /** q121: exact repeated-substring spans (Lee et al. 2022 suffix-array
+    * dedup, re-expressed as keyed shuffles): maximal token regions covered
+    * by 8-token windows occurring more than once in the corpus, merged
+    * per document by gaps-and-islands. The registered form groups the
+    * verbatim window strings (exact); Dedup.duplicateSpansHashed is the
+    * 8-byte-key shuffle that survives 100 TB (spec-pinned equal on
+    * fixtures). */
+  private val q121 = NamedQuery(
+    "q121_duplicate_spans",
+    (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", 8),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      w AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+7], ' ') AS win
+        FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+      d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+      h AS (SELECT w.doc_id, w.start FROM w JOIN d USING (win)),
+      e AS (SELECT doc_id, start,
+              CASE WHEN LAG(start) OVER ws IS NULL
+                     OR start - LAG(start) OVER ws > 8 THEN 1 ELSE 0 END AS brk
+            FROM h WINDOW ws AS (PARTITION BY doc_id ORDER BY start)),
+      g AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM e)
+      SELECT doc_id, MIN(start) AS span_start, MAX(start) + 8 AS span_end,
+        COUNT(*) AS n_windows
+      FROM g GROUP BY doc_id, island"""))
+
   /** SimHash near-dup pairs. xxhash64-based bit votes are not reproducible
     * in the oracle engine → rows-only check; recall/precision covered by
     * ScalaTest against the exact pairs. */
@@ -286,6 +313,6 @@ object TextOps {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5"""))
 
   val all: Seq[NamedQuery] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87, q121,
       q107)
 }

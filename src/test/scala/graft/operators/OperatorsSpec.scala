@@ -273,6 +273,39 @@ class DedupSpec extends SparkSpec {
     assert(got === minOfComp.toMap)
   }
 
+  test("duplicate spans: planted verbatim repeats merge into maximal regions") {
+    // docs 10/11 share a 12-token verbatim passage (planted mid-text);
+    // doc 12 repeats a passage WITHIN itself; doc 13 is all-unique
+    val passage = "zero one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (10L, s"aa bb cc $passage dd ee ff gg hh ii jj kk"),
+      (11L, s"mm nn $passage oo pp qq rr ss tt uu vv ww xx"),
+      (12L, s"s1 s2 s3 s4 rep1 rep2 rep3 rep4 rep5 mid1 mid2 mid3 rep1 rep2 rep3 rep4 rep5 s5 s6 s7 s8"),
+      (13L, (1 to 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val n = 5
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).groupBy(_._1)
+    // cross-doc passage: 12 tokens → one maximal span of length 12 each
+    assert(spans(10L).map(_._2).toSeq === Seq((3L, 15L)))
+    assert(spans(11L).map(_._2).toSeq === Seq((2L, 14L)))
+    // within-doc repeat: the 5-token block at 4 and at 12
+    assert(spans(12L).map(_._2).toSet === Set((4L, 9L), (12L, 17L)))
+    // unique doc: no spans at all
+    assert(!spans.contains(13L))
+  }
+
+  test("hashed duplicate spans equal the exact form on the fixture docs") {
+    val n = 3
+    val exact = Dedup.duplicateSpans(docs, "doc_id", "text", n)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val hashed = Dedup.duplicateSpansHashed(docs, "doc_id", "text", n)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact === hashed)
+    assert(exact.nonEmpty) // docs 1-3 share long verbatim prefixes
+  }
+
   test("simhash: identical docs at hamming 0; pairs symmetric-free (a<b)") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
