@@ -90,6 +90,75 @@ object TextOps {
         COUNT(*) AS n_windows
       FROM g GROUP BY doc_id, island"""))
 
+  /** q122: the corpus-curation funnel END TO END — the composed pipeline a
+    * training-data team actually runs, as one dataflow under one hash
+    * gate: quality gate (≥30 tokens, type-token ratio ≥ 0.3) → exact
+    * dedup (min-id survivor per text) → near-dup drop (3-gram Jaccard ≥
+    * 0.6, greedy keep-smaller-id rule; the transitive-closure variant is
+    * q76's operator) → per-(source, lang) curation summary. Every stage
+    * reuses the registered operator (ngramJaccardPairs runs with its
+    * dfCap guard). The certified first moment is the quality SUM, not the
+    * mean (dyadic-mean rounding-boundary lesson). */
+  private val q122 = NamedQuery(
+    "q122_corpus_curation",
+    (s, d) => {
+      val t = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+      val nTok = size(col("toks"))
+      val ttr = size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))
+      val meanLen = aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (a, x) => a + x).cast(DoubleType) / size(col("toks"))
+      val stopRatio = stopwordHits(col("toks"), Seq("the", "a"))
+        .cast(DoubleType) / size(col("toks"))
+      val quality = ttr * 0.5 + stopRatio * 0.3 + meanLen * 0.05
+      val gated = t.filter(nTok >= 30 && ttr >= 0.3)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          nTok.cast(LongType).as("n_tokens"), quality.as("quality"))
+      val survivors = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val base = gated.join(survivors, Seq("doc_id"))
+      val pairs = Dedup.ngramJaccardPairs(
+        base.select(col("doc_id"), col("text")), "doc_id", "text", 3, 0.6,
+        dfCap = 1000)
+      val keep = base.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      keep.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("quality")), 6).as("sum_quality"))
+    },
+    Some(s"""WITH t AS MATERIALIZED (
+        SELECT doc_id, text, source, lang, $toksSql AS toks FROM documents),
+      q AS MATERIALIZED (
+        SELECT doc_id, text, source, lang,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+            + (CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks)) * 0.3
+            + (CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / len(toks)) * 0.05 AS quality
+        FROM t
+        WHERE len(toks) >= 30
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+      e AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+      base AS MATERIALIZED (SELECT q.* FROM q JOIN e USING (doc_id)),
+      bt AS MATERIALIZED (
+        SELECT t.doc_id, t.toks FROM t JOIN base ON t.doc_id = base.doc_id),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM bt, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+      c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      drops AS (
+        SELECT DISTINCT id_b FROM p
+        JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.6),
+      keep AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT id_b FROM drops))
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        ROUND(SUM(quality), 6) AS sum_quality
+      FROM keep GROUP BY source, lang"""))
+
   /** SimHash near-dup pairs. xxhash64-based bit votes are not reproducible
     * in the oracle engine → rows-only check; recall/precision covered by
     * ScalaTest against the exact pairs. */
@@ -313,6 +382,7 @@ object TextOps {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5"""))
 
   val all: Seq[NamedQuery] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87, q121,
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
+      q121, q122,
       q107)
 }
