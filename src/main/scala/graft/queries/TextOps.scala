@@ -115,7 +115,9 @@ object TextOps {
           nTok.cast(LongType).as("n_tokens"), quality.as("quality"))
       val survivors = gated.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val base = gated.join(survivors, Seq("doc_id"))
+      // base feeds three consumers (shingling, the near-dup anti-join and
+      // the summary) — pin it so tokenize+gate runs once
+      val base = gated.join(survivors, Seq("doc_id")).localCheckpoint()
       val pairs = Dedup.ngramJaccardPairs(
         base.select(col("doc_id"), col("text")), "doc_id", "text", 3, 0.6,
         dfCap = 1000)
