@@ -17,6 +17,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")
 
+  /** Scala-side replica of [[tokens]] for typed flatMap operators
+    * (shingling, substring windows): SQL `trim` strips SPACES only, and
+    * the collapse-then-split keeps leading/trailing empty tokens — a plain
+    * `String.trim.split("\\s+")` diverges on text with leading/trailing
+    * non-space whitespace and would shift oracle-visible positions. */
+  def tokenizeLikeSql(text: String): Array[String] = {
+    val collapsed = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("^ +| +$", "")
+      .replaceAll("\\s+", " ")
+    collapsed.split(" ", -1)
+  }
+
   /** Word n-gram shingles (space-joined), as an array; distinct-ified by
     * callers that need set semantics. element_at composition instead of
     * slice+concat_ws: no per-shingle array allocation in the lambda. */

@@ -125,6 +125,8 @@ object Mp3 {
       }
       v
     }
+    /** First byte NOT fully consumed yet. */
+    def bytesConsumedTo: Int = if (bit > 0) pos + 1 else pos
   }
 
   /** 2.4.3.2 Layer I requantization: code c of nb bits →
@@ -300,6 +302,10 @@ object Mp3 {
             synths(c).push(sb, pcm(c), g * 32)
           }
         }
+        // a frame whose allocation demands more bits than its slot holds
+        // is malformed — without this bound the reader would silently
+        // consume the NEXT frame's bytes as sample data
+        if (r.bytesConsumedTo > p + slotBytes) return None
         for (c <- 0 until nch; i <- 0 until 384) {
           val v = math.round(pcm(c)(i) * 32768.0).toInt
           out(c) += math.max(-32768, math.min(32767, v))

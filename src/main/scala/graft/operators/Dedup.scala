@@ -28,15 +28,16 @@ object Dedup {
   /** Distinct word-n-gram shingle set per document: (doc_id, shingle).
     * Typed flatMap (JVM sliding window) rather than the interpreted
     * higher-order-function lambda — measured ~8× faster on the shingle
-    * materialization. Tokenization matches TextFunctions.tokens exactly:
-    * trim → lowercase → split on whitespace runs. */
+    * materialization. Tokenization is the SQL-exact replica of
+    * TextFunctions.tokens (space-only trim, empty-token edge cases kept)
+    * so the oracle never sees shifted shingles on exotic whitespace. */
   def shingleSet(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id).as("doc_id"), col(text).as("text"))
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
-        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val toks = graft.functions.TextFunctions.tokenizeLikeSql(t)
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(s => (docId, s.mkString(" "))).toSet.iterator
       }
@@ -343,6 +344,11 @@ object Dedup {
       w = wNext
       rounds += 1
     }
+    // never ship labels off a half-contracted graph: 50 rounds covers any
+    // physically possible input (2^50 nodes), so non-convergence means a
+    // bug or corruption — fail loudly
+    require(done,
+      s"starContract did not reach the star-forest fixpoint in $rounds rounds")
     // at the fixpoint the edges form stars (min → member)
     val labels = edges.select(col("b").as("node"), col("a").as("label"))
       .union(edges.select(col("a").as("node"), col("a").as("label")))
@@ -353,8 +359,12 @@ object Dedup {
   /** Min-label propagation: one join + one min-aggregate per round,
     * O(diameter) rounds — the cheap path for the near-dup regime, where
     * cluster diameters are single digits. The label sum strictly
-    * decreases, so it doubles as the convergence witness. */
-  private def propagateLabels(edges0: DataFrame, maxIters: Int): DataFrame = {
+    * decreases, so it doubles as the convergence witness. Returns None
+    * when the round budget ran out before the fixpoint (diameter larger
+    * than expected — e.g. a chain of incremental edits): the caller must
+    * fall back to star contraction rather than ship truncated labels. */
+  private def propagateLabels(edges0: DataFrame,
+      maxIters: Int): Option[DataFrame] = {
     val pairs = edges0.select(col("src"), col("dst"))
     val edges = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst").localCheckpoint()
@@ -374,7 +384,7 @@ object Dedup {
       curSum = labelSum()
       it += 1
     }
-    labels
+    if (curSum == prevSum || curSum == 0L) Some(labels) else None
   }
 
   /** Edge count above which nearDupClusters switches from min-label
@@ -394,10 +404,13 @@ object Dedup {
       threshold: Double, maxIters: Int = 50): DataFrame = {
     val pairs = ngramJaccardPairs(df, id, text, n, threshold)
       .select(col("id_a"), col("id_b")).toDF("src", "dst").localCheckpoint()
+    // small graphs try cheap propagation first, but a deep-diameter graph
+    // (edge count says nothing about diameter) falls through to the
+    // contraction rather than returning truncated labels
     val labels =
-      if (pairs.count() <= StarContractEdgeThreshold)
+      (if (pairs.count() <= StarContractEdgeThreshold)
         propagateLabels(pairs, maxIters)
-      else starContract(pairs, maxIters)._1
+      else None).getOrElse(starContract(pairs, maxIters)._1)
     df.select(col(id).as("doc_id")).distinct()
       .join(labels.select(col("node").as("doc_id"), col("label")),
         Seq("doc_id"), "left_outer")
@@ -406,8 +419,9 @@ object Dedup {
   }
 
   /** All n-token windows of every document: (doc_id, start, window),
-    * start 0-based in token positions; tokenization matches
-    * TextFunctions.tokens. */
+    * start 0-based in token positions; tokenization is the SQL-exact
+    * replica of TextFunctions.tokens so start indices line up with the
+    * oracle on any whitespace. */
   private def windowsOf(df: DataFrame, id: String, text: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession
@@ -415,7 +429,7 @@ object Dedup {
     df.select(col(id).as("doc_id"), col(text).as("text"))
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
-        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val toks = graft.functions.TextFunctions.tokenizeLikeSql(t)
         if (toks.length < n) Iterator.empty
         else (0 to toks.length - n).iterator.map(i =>
           (docId, i.toLong, toks.slice(i, i + n).mkString(" ")))

@@ -226,10 +226,12 @@ object Photometry {
       ref, "ref_id", "rx", "ry", matchRadius)
       .join(others.select(col("sid").as("left_id"), col("img_id")), Seq("left_id"))
     // np.int(np.round(median)) with banker's rounding (core.py:207-208);
-    // Spark's rint builtin IS Math.rint — codegen'd, no UDF
+    // Spark's rint builtin IS Math.rint — codegen'd, no UDF. nanvl keeps
+    // the old UDF's NaN→0 (no shift) semantics: under ANSI mode a bare
+    // CAST(NaN AS BIGINT) would throw instead of degrading gracefully
     val shifts = matched.groupBy(col("img_id"))
-      .agg(expr("CAST(rint(median(-dx)) AS BIGINT)").as("shift_x"),
-        expr("CAST(rint(median(-dy)) AS BIGINT)").as("shift_y"))
+      .agg(expr("CAST(rint(nanvl(median(-dx), 0d)) AS BIGINT)").as("shift_x"),
+        expr("CAST(rint(nanvl(median(-dy), 0d)) AS BIGINT)").as("shift_y"))
     val rolled = pixels.join(broadcast(shifts), Seq("img_id"), "left_outer")
       .withColumn("sx", coalesce(col("shift_x"), lit(0L)))
       .withColumn("sy", coalesce(col("shift_y"), lit(0L)))

@@ -43,14 +43,34 @@ object TextOps {
   /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). Registered
     * WITH the dfCap hot-shingle guard — the 100 TB-safe form: a stop-phrase
     * shingle's posting list k²/2-explodes pair generation without it.
-    * Scores stay exact under the cap (membership recounts from full sets);
-    * fixture document frequencies top out near 7 (sf0.01) so the df > 1000
-    * cap provably leaves the oracle result untouched. */
+    * Scores stay exact under the cap (membership recounts from full sets).
+    * The oracle mirrors the CAPPED semantics (candidates need ≥1 non-hot
+    * shared shingle; counts from full sets), so the gate stays valid at
+    * any scale factor — not just ones whose max df happens to sit under
+    * the cap (sf0.01 tops out near 7). */
   private val q61 = NamedQuery(
     "q61_ngram_jaccard_pairs",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6,
       dfCap = 1000),
-    Some(jaccardSql(0.6)))
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+      gen AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle NOT IN (SELECT shingle FROM hot)),
+      c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      p AS (SELECT g.id_a, g.id_b, COUNT(*) AS common
+            FROM gen g
+            JOIN sh a ON a.doc_id = g.id_a
+            JOIN sh b ON b.doc_id = g.id_b AND a.shingle = b.shingle
+            GROUP BY 1, 2)
+      SELECT id_a, id_b, common,
+        CAST(common AS DOUBLE)/(ca.n_sh + cb.n_sh - common) AS jaccard
+      FROM p JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+      WHERE CAST(common AS DOUBLE)/(ca.n_sh + cb.n_sh - common) >= 0.6"""))
 
   /** MinHash+LSH near-dup pairs, exact-verified at J ≥ 0.9. The oracle is
     * the exact-Jaccard SQL: at J ≥ 0.9 with k=32, b=8, r=4 the banding miss
@@ -147,9 +167,16 @@ object TextOps {
       sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM bt, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+      hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+      gen AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle NOT IN (SELECT shingle FROM hot)),
       c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      p AS (SELECT g.id_a, g.id_b, COUNT(*) AS common
+            FROM gen g
+            JOIN sh a ON a.doc_id = g.id_a
+            JOIN sh b ON b.doc_id = g.id_b AND a.shingle = b.shingle
             GROUP BY 1, 2),
       drops AS (
         SELECT DISTINCT id_b FROM p

@@ -94,6 +94,16 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.decode(badLayer).isEmpty)
   }
 
+  test("over-allocated frame is rejected, not decoded from neighbor bytes") {
+    // force the first 16 allocation nibbles to 14 (nb=15): the demanded
+    // sample bits blow past the frame's slot, and without the payload
+    // bound the reader would silently consume the next frame's bytes
+    val good = Mp3.encode(48000, Array(tone(2000, 440.0, 48000)))
+    val bad = good.clone()
+    for (i <- 4 until 12) bad(i) = 0xee.toByte
+    assert(Mp3.decode(bad).isEmpty)
+  }
+
   test("multimodal dispatch routes Layer I payloads to the real decoder") {
     val rate = 32000
     val n = 5 * 384

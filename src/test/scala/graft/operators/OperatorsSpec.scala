@@ -273,6 +273,21 @@ class DedupSpec extends SparkSpec {
     assert(got === minOfComp.toMap)
   }
 
+  test("deep near-dup chains exceed propagation rounds and fall back exactly") {
+    // 120 docs, each a 40-token sliding window shifted by 1: at J ≥ 0.9
+    // only ±1/±2 neighbors connect, so the component's diameter (~60)
+    // exceeds the propagation round budget (50) — the cluster op must
+    // fall back to star contraction rather than ship truncated labels
+    val words = (0 until 220).map(i => s"w$i")
+    val chain = (0 until 120).map { i =>
+      (i.toLong + 1, words.slice(i, i + 40).mkString(" "))
+    }.toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(chain, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === 120)
+    assert(clusters.values.toSet === Set(1L), "one chain, min-id label")
+  }
+
   test("duplicate spans: planted verbatim repeats merge into maximal regions") {
     // docs 10/11 share a 12-token verbatim passage (planted mid-text);
     // doc 12 repeats a passage WITHIN itself; doc 13 is all-unique

@@ -115,9 +115,12 @@ class FitsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-fits-sparse")
     // 4×3 frame with only 3 cells present, one out-of-bounds row, and a
     // duplicated position — the streaming writer must zero-fill gaps,
-    // drop out-of-bounds, and keep the last sorted duplicate
+    // drop out-of-bounds, and coalesce duplicates into ONE cell: (1,0)
+    // appears twice (equal values: tie order under sort is
+    // nondeterministic), and the cursor must not advance twice, which
+    // would shift every later pixel
     val px = Seq(
-      (0L, 1L, 2.5), (2L, 3L, 7.0), (1L, 0L, -1.5),
+      (0L, 1L, 2.5), (2L, 3L, 7.0), (1L, 0L, -1.5), (1L, 0L, -1.5),
       (9L, 9L, 99.0), (-1L, 0L, 42.0)).toDF("y", "x", "v")
     val h = Map("AIRMASS" -> "1.0", "EXPTIME" -> "10.0",
       "DATE-OBS" -> "2020-01-01T00:00:00.000")
