@@ -315,7 +315,7 @@ object Mp3 {
       if (out == null || out(0).isEmpty) None
       else Some(Decoded(rate, nch, 16, out.map(_.toArray)))
     } catch {
-      case _: ArrayIndexOutOfBoundsException => None
+      case _: Exception => None // truncation/corruption, like Jpeg/Png/Flac
     }
   }
 }

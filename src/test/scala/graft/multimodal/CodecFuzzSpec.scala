@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input fuzz over every hand-rolled codec: random blobs and
+  * bit-flipped valid streams must decode to None (or a valid Decoded) —
+  * never throw, never hang, never allocate toward the caps. The decode
+  * entry points promise `catch Exception → None`; at 100 TB the media
+  * column WILL contain garbage, and one uncaught throw inside a
+  * mapPartitions batch kills the whole task. Seeded, so failures
+  * reproduce. */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def exercise(b: Array[Byte]): Unit = {
+    Jpeg.decode(b)
+    Png.decode(b)
+    Flac.decode(b)
+    Mp3.decode(b)
+    val f = Multimodal.features(b)
+    assert(f.length === Multimodal.FeatureLen)
+  }
+
+  test("pure random blobs: decoders return, features stay total") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val b = Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(256).toByte)
+      exercise(b)
+    }
+    // magic-byte prefixes grafted onto noise: forces each parser past its
+    // cheap signature check into real header parsing
+    val magics = Seq(
+      Array[Byte](0xff.toByte, 0xd8.toByte), // JPEG SOI
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), // PNG signature
+      "fLaC".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xfe.toByte)) // MP3 Layer I sync
+    for (m <- magics; _ <- 1 to 100) {
+      val tail = Array.fill(rnd.nextInt(300) + 8)(rnd.nextInt(256).toByte)
+      exercise(m ++ tail)
+    }
+  }
+
+  test("bit-flipped valid streams: corruption never escapes as a throw") {
+    val rnd = new scala.util.Random(7)
+    val sine = Array.tabulate(900)(t => (8000 * math.sin(t / 20.0)).toInt)
+    val seeds = Seq(
+      Mp3.encode(32000, Array(sine)),
+      Flac.encode(8000, Array(sine)),
+      Jpeg.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)),
+      Png.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)))
+    for (seed <- seeds; _ <- 1 to 150) {
+      val b = seed.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 0 until flips)
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      exercise(b)
+    }
+    // truncations at every kind of boundary
+    for (seed <- seeds; cut <- Seq(1, 3, 7, seed.length / 3, seed.length - 1))
+      exercise(seed.take(cut))
+  }
+}
