@@ -240,5 +240,50 @@ object StreamingQueries {
       ROUND(STDDEV_POP(value), 6) AS std
       FROM events GROUP BY user_id"""))
 
-  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114)
+  /** q123: STREAM-STREAM interval join ≡ batch range join, under the hash
+    * gate. Purchases and clicks replay as two independent file streams off
+    * the same staged fixture; the inner interval join (same user, click
+    * within the 30-minute look-back) emits each match exactly once as
+    * both sides arrive — with the unbounded harness watermark no state is
+    * evicted, so the final sink equals the batch join REGARDLESS of file
+    * arrival order. Sink keyed by (purchase_id, click_id): idempotent
+    * redelivery. */
+  private val q123 = NamedQuery(
+    "q123_stream_stream_interval_join",
+    (s, d) => {
+      val dir = stage(s, d, nFiles = 4)
+      val table = withStatePartitions(s, 8) {
+        val c = eventStream(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", NeverLate)
+        val p = eventStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", NeverLate)
+        val joined = p.join(c,
+          col("c_user") === col("p_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+          .select(col("purchase_id"), col("click_id"),
+            col("p_user").as("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("c_ts")).as("c_us"), col("value"))
+        runToSink(s, joined, OutputMode.Append(),
+          Seq("purchase_id", "click_id"))
+      }
+      table.select(col("purchase_id"), col("click_id"), col("user_id"),
+        timestamp_micros(col("p_us")).as("p_ts"),
+        timestamp_micros(col("c_us")).as("c_ts"),
+        round(col("value"), 6).as("value"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        p.user_id, p.ts AS p_ts, c.ts AS c_ts, ROUND(p.value, 6) AS value
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE"""))
+
+  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114, q123)
 }
