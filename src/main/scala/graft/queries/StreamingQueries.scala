@@ -84,6 +84,24 @@ object StreamingQueries {
       dir
     })
 
+  /** As [[stage]], but the fixture is written TWICE (second copy in later
+    * files by mod-time), so the replay delivers every event again in later
+    * micro-batches — the duplicate-arrival shape streaming dedup must
+    * absorb across batch boundaries. */
+  private def stageDuplicated(s: SparkSession, d: String, nFiles: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"dup-$nFiles"), {
+      val dir = TempDirs.create("graft_stream_events_dup")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      Thread.sleep(250) // strictly later mod-time: replays after originals
+      ev.repartitionByRange(nFiles, col("ts"))
+        .write.mode("append").parquet(dir)
+      dir
+    })
+
   private def eventStream(s: SparkSession, dir: String): DataFrame =
     s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
@@ -285,5 +303,29 @@ object StreamingQueries {
        AND c.ts <= p.ts
        AND c.ts >= p.ts - INTERVAL 30 MINUTE"""))
 
-  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114, q123)
+  /** q124: STREAMING DEDUP ≡ batch DISTINCT under the hash gate. The
+    * staged replay delivers every event twice (second copy in later
+    * micro-batches), and watermarked dropDuplicates must emit each
+    * event_id exactly once — cross-batch dedup state, not within-batch
+    * distinct. Final sink = the events table itself. */
+  private val q124 = NamedQuery(
+    "q124_streaming_dedup",
+    (s, d) => {
+      val dir = stageDuplicated(s, d, nFiles = 4)
+      val table = withStatePartitions(s, 8) {
+        val out = eventStream(s, dir)
+          .withWatermark("ts", NeverLate)
+          .dropDuplicates("event_id")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+        runToSink(s, out, OutputMode.Append(), Seq("event_id"))
+      }
+      table.select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type,
+      ROUND(value, 6) AS value FROM events"""))
+
+  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114, q123, q124)
 }
