@@ -21,12 +21,27 @@ object TextFunctions {
     * (shingling, substring windows): SQL `trim` strips SPACES only, and
     * the collapse-then-split keeps leading/trailing empty tokens — a plain
     * `String.trim.split("\\s+")` diverges on text with leading/trailing
-    * non-space whitespace and would shift oracle-visible positions. */
+    * non-space whitespace and would shift oracle-visible positions.
+    *
+    * Lowercasing mirrors Spark's `lower()` exactly
+    * (`UTF8String.toLowerCase`, verified against the 4.1.2 bytecode):
+    * full-ASCII strings take a bytewise A–Z path; anything else falls back
+    * to DEFAULT-locale `String.toLowerCase()` — NOT `Locale.ROOT`. Under
+    * e.g. a Turkish default JVM locale, non-ASCII text containing 'I'
+    * lowercases to 'ı' in both the SQL `tokens` column and here, keeping
+    * shingle and window starts aligned; a `Locale.ROOT` replica would
+    * silently diverge from the oracle-visible column. */
   def tokenizeLikeSql(text: String): Array[String] = {
-    val collapsed = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("^ +| +$", "")
-      .replaceAll("\\s+", " ")
-    collapsed.split(" ", -1)
+    var ascii = true
+    var i = 0
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    val lowered =
+      if (ascii) text.toLowerCase(java.util.Locale.ROOT) // == bytewise A–Z
+      else text.toLowerCase() // UTF8String.toLowerCaseSlow: default locale
+    lowered.replaceAll("^ +| +$", "").replaceAll("\\s+", " ").split(" ", -1)
   }
 
   /** Word n-gram shingles (space-joined), as an array; distinct-ified by

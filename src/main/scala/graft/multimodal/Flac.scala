@@ -156,11 +156,13 @@ object Flac {
     // total from a few-byte header must not drive GB-scale sample buffers —
     // a crafted STREAMINFO + tiny CONSTANT frames would otherwise expand
     // unboundedly and the OutOfMemoryError would escape callers'
-    // `catch Exception` guards.
+    // `catch Exception` guards. Samples accumulate in primitive IntVec
+    // buffers (4 B/sample), so the footprint AT the cap is 512 MB of
+    // int[], not multi-GB of boxed Integers.
     val MaxTotalSamples = 1L << 27
     if (total * channels > MaxTotalSamples) return None
 
-    val out = Array.fill(channels)(new scala.collection.mutable.ArrayBuffer[Int]())
+    val out = Array.fill(channels)(new IntVec())
     var got = 0L
     // total == 0 is spec-legal "unknown length": decode frames until the
     // data is exhausted (next bytes no longer start with the 14-bit sync).
@@ -246,7 +248,7 @@ object Flac {
       chanAsgn match {
         case a if a < 8 =>
           var c = 0
-          while (c < nCh) { out(c) ++= chans(c).take(take); c += 1 }
+          while (c < nCh) { out(c).addSlice(chans(c), take); c += 1 }
         case 8 => // left, side = left - right
           var i = 0
           while (i < take) {

@@ -252,7 +252,7 @@ object Mp3 {
       val MaxTotalSamples = 1L << 27
       var p = 0
       var rate = -1; var nch = -1
-      var out: Array[scala.collection.mutable.ArrayBuffer[Int]] = null
+      var out: Array[IntVec] = null
       var synths: Array[Synthesizer] = null
       while (p + 4 <= bytes.length &&
           (bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xf0) == 0xf0) {
@@ -269,7 +269,7 @@ object Mp3 {
         val frameCh = if (mode == 3) 1 else 2
         if (rate < 0) {
           rate = Rates(rIdx); nch = frameCh
-          out = Array.fill(nch)(new scala.collection.mutable.ArrayBuffer[Int]())
+          out = Array.fill(nch)(new IntVec())
           synths = Array.fill(nch)(new Synthesizer)
         } else if (Rates(rIdx) != rate || frameCh != nch) return None
         val slotBytes = 4 * (12 * Bitrates(brIdx) * 1000 / rate + padding)
@@ -312,7 +312,10 @@ object Mp3 {
         }
         p += slotBytes
       }
-      if (out == null || out(0).isEmpty) None
+      // the walk exits at the first non-sync byte; a stream whose tail is
+      // corrupt or replaced with garbage must not decode to partial audio
+      // reported as success — the contract is None on ANYTHING malformed
+      if (out == null || out(0).isEmpty || p != bytes.length) None
       else Some(Decoded(rate, nch, 16, out.map(_.toArray)))
     } catch {
       case _: Exception => None // truncation/corruption, like Jpeg/Png/Flac

@@ -320,10 +320,13 @@ object Dedup {
 
     // fixpoint: edge set stable across a full large+small round. A cheap
     // scalar witness (count + endpoint sums) gates the loop; when it
-    // claims stability, an exact star-forest check (no hub is also a
-    // member) confirms before exiting — stars whose hubs are hub-only are
-    // provably the per-component minima, since contraction preserves
-    // connectivity round over round
+    // claims stability, TWO exact checks confirm before exiting: the edge
+    // sets really are identical (symmetric EXCEPT — a sum-collision on a
+    // non-fixpoint state must not ship labels off a half-contracted
+    // graph, e.g. (1,3),(2,3) would mislabel node 2), and the result is a
+    // star forest (no hub is also a member) — stars whose hubs are
+    // hub-only are provably the per-component minima, since contraction
+    // preserves connectivity round over round
     def witness(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
@@ -336,10 +339,12 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val wNext = witness(next)
       if (wNext == w)
-        done = next.select(col("a")).distinct()
-          .join(next.select(col("b").as("hub_as_member")),
-            col("a") === col("hub_as_member"), "left_semi")
-          .isEmpty
+        done = next.exceptAll(edges).isEmpty &&
+          edges.exceptAll(next).isEmpty &&
+          next.select(col("a")).distinct()
+            .join(next.select(col("b").as("hub_as_member")),
+              col("a") === col("hub_as_member"), "left_semi")
+            .isEmpty
       edges = next
       w = wNext
       rounds += 1

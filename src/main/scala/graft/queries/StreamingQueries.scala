@@ -38,6 +38,30 @@ object StreamingQueries {
     * ([[TempDirs]]). */
   private val staged = TrieMap.empty[(Int, String, String), String]
 
+  /** Data files (not `_SUCCESS`/hidden) currently in a staged directory. */
+  private def dataFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Stamp every data file in `dir` that is not in `before` with an
+    * explicit whole-second modification time strictly later than every
+    * `before` file (and strictly increasing within the new set). The file
+    * source orders micro-batches by mod-time; a `Thread.sleep` gap is not
+    * enough on filesystems with 1-second mtime granularity, where both
+    * writes can land in the same second and the "later" copy silently
+    * collapses into the same micro-batch as the original. */
+  private def stampAfter(dir: String, before: Seq[java.io.File]): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val beforeNames = before.map(_.getName).toSet
+    val base = before.map(_.lastModified()).max / 1000 + 1
+    dataFiles(dir).filterNot(f => beforeNames(f.getName)).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(f.toPath,
+          FileTime.fromMillis((base + 1 + i) * 1000L))
+      }
+  }
+
   /** Stage the batch events table as an n-file parquet directory; the file
     * stream source then replays it as n micro-batches (one file per
     * trigger, oldest modification first). Range-partitioned by `ts` so the
@@ -72,15 +96,15 @@ object StreamingQueries {
       // beyond max ts + watermark delay + gap, with margin
       val sentinelUs = maxTs + (3651L * 86400 + 86400) * 1000000L
       // strictly after the data files so the oldest-first file source
-      // delivers it in the final micro-batch (mod-time ordering; local
-      // filesystems stamp at ms-or-finer granularity, so a 250 ms gap
-      // guarantees strict ordering)
-      Thread.sleep(250)
+      // delivers it in the final micro-batch (mod-time ordering, made
+      // explicit below — no reliance on filesystem timestamp granularity)
+      val before = dataFiles(dir)
       Seq((-1L, sentinelUs, -1L, "sentinel", 0.0))
         .toDF("event_id", "ts_us", "user_id", "event_type", "value")
         .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .write.mode("append").parquet(dir)
+      stampAfter(dir, before)
       dir
     })
 
@@ -96,9 +120,13 @@ object StreamingQueries {
           col("value"))
       ev.repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(dir)
-      Thread.sleep(250) // strictly later mod-time: replays after originals
+      val before = dataFiles(dir)
       ev.repartitionByRange(nFiles, col("ts"))
         .write.mode("append").parquet(dir)
+      // explicit strictly-later mod-times: the replayed copy must arrive in
+      // LATER micro-batches than the originals, or q124 degrades from
+      // cross-batch dedup-state coverage to a plain within-batch distinct
+      stampAfter(dir, before)
       dir
     })
 

@@ -94,6 +94,16 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.decode(badLayer).isEmpty)
   }
 
+  test("trailing garbage after the last frame is malformed, not ignored") {
+    // the frame walk used to exit silently at the first non-sync byte,
+    // reporting a garbage-tailed stream as successfully-decoded partial
+    // audio — the contract is None on ANYTHING malformed
+    val good = Mp3.encode(48000, Array(tone(2000, 440.0, 48000)))
+    assert(Mp3.decode(good).isDefined)
+    assert(Mp3.decode(good ++ "not a frame".getBytes).isEmpty)
+    assert(Mp3.decode(good ++ Array[Byte](0)).isEmpty)
+  }
+
   test("over-allocated frame is rejected, not decoded from neighbor bytes") {
     // force the first 16 allocation nibbles to 14 (nb=15): the demanded
     // sample bits blow past the frame's slot, and without the payload
