@@ -22,12 +22,12 @@ object Mp3 {
   final case class Decoded(sampleRate: Int, channels: Int,
       bitsPerSample: Int, samples: Array[Array[Int]])
 
-  private val Rates = Array(44100, 48000, 32000)
+  private[multimodal] val Rates = Array(44100, 48000, 32000)
   /** Layer I bitrates, kbit/s (header table 2.4.2.3); index 0 = free. */
   private val Bitrates = Array(0, 32, 64, 96, 128, 160, 192, 224,
     256, 288, 320, 352, 384, 416, 448)
   /** Table B.1 scalefactors: idx 0..62 → 2·2^(−idx/3). */
-  private def sfVal(idx: Int): Double = 2.0 * math.pow(2.0, -idx / 3.0)
+  private[multimodal] def sfVal(idx: Int): Double = 2.0 * math.pow(2.0, -idx / 3.0)
 
   private val AnaM = Array.tabulate(32, 64)((k, j) =>
     math.cos((2 * k + 1) * (j - 16) * math.Pi / 64))
@@ -37,7 +37,7 @@ object Mp3 {
   /** 2.4.2.2 analysis dataflow: 512-sample FIFO (newest first), windowed
     * 8-fold partial sums, 32×64 matrixing. One call = 32 input samples →
     * 32 subband samples. */
-  private final class Analyzer {
+  private[multimodal] final class Analyzer {
     private val fifo = new Array[Double](512)
     def push(x: Array[Double], off: Int): Array[Double] = {
       System.arraycopy(fifo, 0, fifo, 32, 480)
@@ -66,7 +66,7 @@ object Mp3 {
   /** Annex A synthesis dataflow: 1024-sample V FIFO, 64×32 matrixing,
     * U remap, windowed 16-fold sums. One call = 32 subband samples →
     * 32 PCM samples at `out(off)`. */
-  private final class Synthesizer {
+  private[multimodal] final class Synthesizer {
     private val v = new Array[Double](1024)
     def push(sb: Array[Double], out: Array[Double], off: Int): Unit = {
       System.arraycopy(v, 0, v, 64, 960)
@@ -96,7 +96,7 @@ object Mp3 {
     }
   }
 
-  private final class BitWriter {
+  private[multimodal] final class BitWriter {
     private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
     private var cur = 0; private var nbits = 0
     def write(v: Int, n: Int): Unit = {
@@ -113,7 +113,7 @@ object Mp3 {
     def result(): Array[Byte] = buf.toArray
   }
 
-  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var bit = 0
     def read(n: Int): Int = {
       var v = 0; var i = 0

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * image features are decoded-luminance histograms, audio features are
   * duration/RMS/peak/zero-crossings. FLAC audio decodes for real too
   * ([[Flac]], all subframe types), JPEG covers baseline AND progressive
-  * frames, and MPEG-1 Layer I audio decodes via [[Mp3]] (spec-exact
-  * bitstream + requantization; derived filterbank windows — see
-  * Mp3Windows). Still stubbed to the deterministic byte histogram:
-  * MPEG Layer II/III (grouped-quantization tables / hybrid MDCT) and
-  * H.264 video. Swapping in more codecs changes no schema and no
+  * frames, and MPEG-1 Layer I audio decodes via [[Mp3]] with Layer II
+  * via [[Mp2]] (spec-exact bitstream + requantization incl. grouped
+  * 3-sample granule codes; derived filterbank windows — see Mp3Windows —
+  * and derived Table 3-B.4 constants). Still stubbed to the
+  * deterministic byte histogram: MPEG Layer III (hybrid MDCT + Huffman)
+  * and H.264 video. Swapping in more codecs changes no schema and no
   * partitioning.
   */
 object Multimodal {
@@ -94,9 +95,9 @@ object Multimodal {
       }
     }
 
-  /** Real audio decode by magic dispatch: PCM WAV, FLAC or MPEG-1 Layer I
-    * (channels average to mono, 16-bit normalization — same contract as
-    * WAV). MP3 sits last: its sync-word magic is the weakest. */
+  /** Real audio decode by magic dispatch: PCM WAV, FLAC or MPEG-1 Layer
+    * I/II (channels average to mono, 16-bit normalization — same contract
+    * as WAV). The MPEG layers sit last: sync-word magic is the weakest. */
   private def decodeAnyAudio(payload: Array[Byte]): Option[(Int, Array[Double])] = {
     def toMono(rate: Int, chans: Array[Array[Int]]): (Int, Array[Double]) = {
       val n = chans(0).length
@@ -113,6 +114,7 @@ object Multimodal {
     Codecs.decodeWav(payload)
       .orElse(Flac.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
       .orElse(Mp3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+      .orElse(Mp2.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
   }
 
   /** Feature extraction over partition batches. Repartitioning by doc_id

@@ -209,6 +209,61 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/_centroids")
   }
 
+  /** Append new vectors to an existing on-disk IVF index WITHOUT
+    * retraining: each vector is placed by the SAVED centroid model (same
+    * top-`spill` placement as [[writeIvfIndex]]) and its rows land as new
+    * files inside the matching `cell=` partition directories — the
+    * KeyedParquetSink shape: an append touches only the cells it writes,
+    * never rewrites history, and listing-time pruning keeps working
+    * because the partition column is unchanged. A 100 TB embedding corpus
+    * grows by micro-batch this way; the centroid model only drifts, so
+    * recall after appends must be re-certified (q127) and a periodic
+    * [[compactIvfIndex]] folds the accumulated small files (optionally
+    * retraining) back into one tight index. */
+  def appendIvfIndex(newVecs: DataFrame, id: String, vec: String,
+      dir: String, spill: Int = 1): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/_centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq
+    val raw = newVecs.select(col(id).as("vec_id"),
+      toDouble(col(vec)).as("embedding"))
+    val base = raw.select(col("vec_id"), lit(0).as("cell"),
+      normalized(col("embedding")).as("e"))
+    raw.join(
+        spillAssign(base, cents.toDF("cell", "centroid"), math.max(1, spill))
+          .select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .repartition(cents.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Compact an appended IVF index into `outDir`: coalesce each cell's
+    * accumulated per-batch files into one writer task per cell and copy
+    * the centroid sidecar unchanged. Writing to a NEW directory is
+    * deliberate — an in-place rewrite would race readers, and on a real
+    * deployment the dir swap is the catalog's atomic pointer flip, not a
+    * filesystem trick. Pass `retrain > 0` to also refit the quantizer
+    * (retrain Lloyd iterations) on the compacted corpus, folding
+    * append-drift back out of the model. */
+  def compactIvfIndex(spark: SparkSession, dir: String, outDir: String,
+      retrain: Int = 0, spill: Int = 1): Unit = {
+    val data = spark.read.parquet(dir)
+    if (retrain > 0) {
+      writeIvfIndex(data.select(col("vec_id"), col("embedding")), "vec_id",
+        "embedding",
+        outDir, nCells = spark.read.parquet(s"$dir/_centroids").count().toInt,
+        iters = retrain, spill = spill)
+    } else {
+      val nCells = spark.read.parquet(s"$dir/_centroids").count().toInt
+      data.repartition(nCells, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+      spark.read.parquet(s"$dir/_centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
+    }
+  }
+
   /** Probe the on-disk IVF index: rank cells by probe↔centroid cosine,
     * then scan ONLY the top `nprobe` cell partitions (the filter is on
     * the partition column, so pruning is a listing-time decision) and

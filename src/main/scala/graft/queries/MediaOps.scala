@@ -266,5 +266,50 @@ object MediaOps {
         TRUE AS roundtrip_ok
       FROM documents"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120)
+  /** q126: MPEG-1 Layer II round-trip under the hash gate — q120's shape
+    * (exact stream facts + SNR-floor boolean with >10 dB margin) over the
+    * Layer II codec: 1152-sample frames, variable-width allocation codes,
+    * scfsi-compressed scalefactors, GROUPED 3/5/9-level granule codes. A
+    * broken grammar walk, grouped digit order, derived C/D requantizer or
+    * filterbank flips the boolean and the hash. */
+  private val q126 = NamedQuery(
+    "q126_mp2_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 4000 + 1800).as("ns"),
+          (col("doc_id") % 200 + 200).as("freq"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, freq) =>
+          val rate = 32000
+          val n = ns.toInt
+          val tone = Array.tabulate(n)(t =>
+            (0.4 * 32768.0 * math.sin(2 * math.Pi * freq * t / rate)).toInt)
+          val payload = graft.multimodal.Mp2.encode(rate, Array(tone))
+          val dec = graft.multimodal.Mp2.decode(payload)
+          val nFrames = (ns + 481 + 1151) / 1152
+          val okShape = dec.exists(x => x.sampleRate == rate &&
+            x.channels == 1 && x.samples(0).length == nFrames * 1152)
+          val snrOk = dec.exists { x =>
+            val out = x.samples(0)
+            var sig = 0.0; var err = 0.0
+            var i = 0
+            while (i < n - 32) {
+              val want = tone(i) / 32768.0
+              val got = out(481 + i) / 32768.0
+              sig += want * want; err += (got - want) * (got - want)
+              i += 1
+            }
+            sig > 0 && 10.0 * math.log10(sig / math.max(err, 1e-300)) > 40.0
+          }
+          (id, nFrames * 1152, okShape && snrOk)
+        })
+        .toDF("doc_id", "n_samples", "roundtrip_ok")
+    },
+    Some("""SELECT doc_id,
+        CAST(((n_chars % 4000 + 1800) + 481 + 1151) // 1152 * 1152 AS BIGINT) AS n_samples,
+        TRUE AS roundtrip_ok
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126)
 }

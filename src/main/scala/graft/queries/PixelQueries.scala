@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{NamedQuery, Tables}
 import graft.Compat._
-import graft.pipeline.{GaussianFit, Photometry}
+import graft.pipeline.{EpochPipeline, GaussianFit, Photometry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -55,9 +55,13 @@ object PixelQueries {
     * corners+center lattice whose minimum pairwise distance (31 px) clears
     * the pipeline's 5·fwhm ≈ 21 px crowding radius, so the mask keeps all
     * of them and the end-to-end epoch query exercises the `ok` branch. */
-  private def renderField(s: SparkSession, d: String): DataFrame = {
+  /** The render's planted star truth — positions and amplitudes exactly as
+    * [[renderField]] draws them (single source for the render AND the q125
+    * accuracy certificate). Supplier key 0 (k = −1) lands off-grid at
+    * (−34,−34) and contributes nothing; certificate consumers filter it. */
+  private def plantedStars(s: SparkSession, d: String): DataFrame = {
     val k = col("s_suppkey") - 1 // 0..4
-    val stars = Tables.supplier(s, d)
+    Tables.supplier(s, d)
       .filter(col("s_suppkey") < 6)
       .select(
         when(k === 4, lit(32.0))
@@ -65,6 +69,10 @@ object PixelQueries {
         when(k === 4, lit(32.0))
           .otherwise(lit(10.0) + floor(k / 2) * 44).cast(DoubleType).as("sy"),
         (col("s_acctbal") % 2000 + 1200).as("amp"))
+  }
+
+  private def renderField(s: SparkSession, d: String): DataFrame = {
+    val stars = plantedStars(s, d)
     val grid = s.range(SIZE.toLong * SIZE).select(
       (col("id") / SIZE).cast(LongType).as("y"),
       (col("id") % SIZE).as("x"))
@@ -255,5 +263,49 @@ object PixelQueries {
       .catalog,
     None)
 
-  val all: Seq[NamedQuery] = Seq(q80, q81, q82, q83)
+  /** q125: planted-truth accuracy CERTIFICATE for the photometry solvers —
+    * the driver-visible analog of the PipelineSpec planted assertions
+    * (reference result columns: core.py:432-434). The rendered field's
+    * stars are exactly known (position lattice, amplitude from the
+    * supplier fixture, σ = 1.8, so true flux = amp·2πσ²), so flux
+    * recovery, position error, and FWHM error are computable in-plan and
+    * returned as deterministic certificate rows like q95–q99 — solver
+    * regressions surface as changed error values in the verify dump, not
+    * only as ScalaTest failures invisible to the driver. Rows-only: the
+    * iterative fit is not ANSI-SQL-expressible. */
+  private val q125 = NamedQuery(
+    "q125_photometry_accuracy",
+    (s, d) => {
+      val sig = 1.8
+      val fwhmTrue = sig * GaussianFit.SigmaToFwhm
+      val fwhmEst = EpochPipeline.findFwhm(s, bgSub(s, d), detected(s, d))
+      val truth = plantedStars(s, d)
+        .filter(col("sx") >= 0) // drop the off-grid k = −1 row
+        .select(col("sx"), col("sy"),
+          (col("amp") * lit(2.0 * math.Pi * sig * sig)).as("true_flux"))
+      // q81's exact configuration; re-detections across iterations are
+      // residual top-ups, so matched flux is summed per planted star
+      val meas = Photometry.iterativePhotometry(s, bgSub(s, d),
+          fwhm = fwhmTrue, nIters = 2, nSigma = 10.0,
+          stats = Some(shiftedStats(s, d)))
+        .select(col("x_fit"), col("y_fit"), col("flux_fit"))
+      truth.join(broadcast(meas),
+          abs(col("x_fit") - col("sx")) < lit(1.5) &&
+            abs(col("y_fit") - col("sy")) < lit(1.5), "left_outer")
+        .groupBy(col("sx"), col("sy"), col("true_flux"))
+        .agg(count(col("flux_fit")).as("n_match"),
+          coalesce(sum(col("flux_fit")), lit(0.0)).as("meas_flux"),
+          min(sqrt((col("x_fit") - col("sx")) * (col("x_fit") - col("sx")) +
+            (col("y_fit") - col("sy")) * (col("y_fit") - col("sy"))))
+            .as("pos_err"))
+        .select(col("sx"), col("sy"), col("n_match"),
+          r6(abs(col("meas_flux") - col("true_flux")) / col("true_flux"))
+            .as("flux_rel_err"),
+          r6(col("pos_err")).as("pos_err_px"),
+          r6(lit(math.abs(fwhmEst - fwhmTrue) / fwhmTrue)).as("fwhm_rel_err"))
+        .orderBy(col("sy"), col("sx"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(q80, q81, q82, q83, q125)
 }

@@ -204,5 +204,51 @@ object RecallQueries {
     },
     None)
 
-  val all: Seq[NamedQuery] = Seq(q95, q96, q97, q98, q99, q106, q109, q110)
+  /** q127: INCREMENTAL IVF index maintenance certificate. A growing
+    * corpus cannot rebuild its ANN index per batch: the index is built on
+    * 75% of the embeddings, the remaining 25% arrives as two appended
+    * micro-batches placed by the SAVED centroid model
+    * (Similarity.appendIvfIndex — new files in existing cell partitions,
+    * no history rewrite), then compacted. The certificate compares, per
+    * probe, recall@5 of (a) the appended+compacted index and (b) a full
+    * rebuild on the same final corpus, both against brute force — the
+    * drift cost of append-only maintenance, made driver-visible. */
+  private val q127 = NamedQuery(
+    "q127_ann_ivf_append_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val appended = graft.TempDirs.create("graft_ivf_appended")
+      Similarity.writeIvfIndex(base, "vec_id", "embedding", appended,
+        nCells = 16, iters = 3, spill = 2)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", appended, spill = 2)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 8 === 4),
+        "vec_id", "embedding", appended, spill = 2)
+      val compacted = graft.TempDirs.create("graft_ivf_compacted")
+      Similarity.compactIvfIndex(s, appended, compacted)
+      val rebuilt = graft.TempDirs.create("graft_ivf_rebuilt")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", rebuilt,
+        nCells = 16, iters = 3, spill = 2)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        probes(s, d), "vec_id", "embedding", 5)
+      val app = topkRecall(exact,
+          Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
+            "embedding", 5, nprobe = 6))
+        .select(col("q_id"), col("n_exact"),
+          col("recall").as("recall_appended"))
+      val reb = topkRecall(exact,
+          Similarity.probeIvfIndex(s, rebuilt, probes(s, d), "vec_id",
+            "embedding", 5, nprobe = 6))
+        .select(col("q_id"), col("recall").as("recall_rebuilt"))
+      app.join(reb, Seq("q_id"))
+        .select(col("q_id"), col("n_exact"), col("recall_appended"),
+          col("recall_rebuilt"),
+          round(col("recall_rebuilt") - col("recall_appended"), 6)
+            .as("drift_cost"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] =
+    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127)
 }

@@ -16,6 +16,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Png.decode(b)
     Flac.decode(b)
     Mp3.decode(b)
+    Mp2.decode(b)
     val f = Multimodal.features(b)
     assert(f.length === Multimodal.FeatureLen)
   }
@@ -32,7 +33,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       Array[Byte](0xff.toByte, 0xd8.toByte), // JPEG SOI
       Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), // PNG signature
       "fLaC".getBytes("US-ASCII"),
-      Array[Byte](0xff.toByte, 0xfe.toByte)) // MP3 Layer I sync
+      Array[Byte](0xff.toByte, 0xfe.toByte), // MP3 Layer I sync
+      Array[Byte](0xff.toByte, 0xfc.toByte)) // MP2 Layer II sync
     for (m <- magics; _ <- 1 to 100) {
       val tail = Array.fill(rnd.nextInt(300) + 8)(rnd.nextInt(256).toByte)
       exercise(m ++ tail)
@@ -44,6 +46,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     val sine = Array.tabulate(900)(t => (8000 * math.sin(t / 20.0)).toInt)
     val seeds = Seq(
       Mp3.encode(32000, Array(sine)),
+      Mp2.encode(32000, Array(sine)),
       Flac.encode(8000, Array(sine)),
       Jpeg.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)),
       Png.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)))

@@ -486,6 +486,52 @@ class SimilaritySpec extends SparkSpec {
     assert(got === brute, "pruned index probe missed true neighbors")
   }
 
+  test("IVF append: saved-model placement, no history rewrite, compact parity") {
+    val dir = graft.TempDirs.create("graft-ivf-append")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir,
+      nCells = 4, iters = 2, spill = 2)
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    val baseFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => d.getName + "/" + f.getName))
+      .toSet
+    Similarity.appendIvfIndex(emb.filter($"vec_id" % 8 === 0),
+      "vec_id", "embedding", dir, spill = 2)
+    Similarity.appendIvfIndex(emb.filter($"vec_id" % 8 === 4),
+      "vec_id", "embedding", dir, spill = 2)
+    // appends only ADD files inside existing cell partitions
+    val afterDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(afterDirs === cellDirs, "append must not invent new cells")
+    val afterFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => d.getName + "/" + f.getName))
+      .toSet
+    assert(baseFiles.subsetOf(afterFiles), "append rewrote history files")
+    // every vector (old and appended) indexed in exactly `spill` cells
+    val indexed = spark.read.parquet(dir)
+    assert(indexed.select("vec_id").distinct().count() === 100)
+    assert(indexed.groupBy("vec_id").count()
+      .filter($"count" =!= 2).count() === 0)
+    // compaction to a fresh dir preserves the (vec_id, cell) multiset and
+    // the centroid sidecar; a probe sees identical candidates
+    val out = graft.TempDirs.create("graft-ivf-compacted")
+    Similarity.compactIvfIndex(spark, dir, out)
+    val a = spark.read.parquet(dir).select("vec_id", "cell")
+      .as[(Long, Int)].collect().sorted
+    val b = spark.read.parquet(out).select("vec_id", "cell")
+      .as[(Long, Int)].collect().sorted
+    assert(a.toSeq === b.toSeq, "compaction changed index contents")
+    val probes = emb.filter($"vec_id" < 3)
+    val pa = Similarity.probeIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", 5, nprobe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pb = Similarity.probeIvfIndex(spark, out, probes,
+      "vec_id", "embedding", 5, nprobe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pa === pb, "compacted probe differs from appended probe")
+  }
+
   test("LSH near-dup pairs: subset of exact pairs with identical cosines") {
     val exact = graft.operators.Dedup
       .embeddingNearDup(emb, "vec_id", "embedding", 0.5)
