@@ -221,6 +221,14 @@ object Fits {
       imHeaders: Seq[Map[String, String]], wcsHeader: Map[String, String],
       raDeg: Double, decDeg: Double, path: String): (Double, Double, Map[String, String]) = {
     require(imHeaders.nonEmpty, "write_fits needs at least one image header")
+    require(width > 0 && height > 0,
+      s"write_fits: frame dims must be positive, got ${width}x$height")
+    // single-FILE sink: absent positions zero-fill, so the write cost is
+    // the VIRTUAL frame area, not the row count — a >2³¹-pixel request
+    // (17 GB of mostly zeros) is a caller bug (Int-overflow-shaped dims),
+    // not a frame; fail fast before emitting a byte
+    require(width.toLong * height <= (1L << 31),
+      s"write_fits: virtual frame ${width}x$height exceeds 2^31 pixels")
     val merged0 = imHeaders.head ++
       wcsHeader.view.filterKeys(k => k != "HISTORY" && k != "COMMENT").toMap
     val airmass = imHeaders.map(_("AIRMASS").toDouble)

@@ -115,12 +115,22 @@ object Pdf {
     val fontId = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val pageIds = ArrayBuffer[Int]()
 
-    def imageXObject(img: GrayImage): Int =
+    def imageXObject(img: GrayImage): Int = {
+      // a declared geometry the sample array can't fill would serialize a
+      // short /Image stream — a structurally corrupt page, not an error a
+      // PDF viewer reports usefully; reject it here
+      require(img.width > 0 && img.height > 0,
+        s"write_pdf: image '${img.label}' has empty dims " +
+          s"${img.width}x${img.height}")
+      require(img.pixels.length == img.width * img.height,
+        s"write_pdf: image '${img.label}' has ${img.pixels.length} samples " +
+          s"for ${img.width}x${img.height}")
       b.addStream(
         s"/Type /XObject /Subtype /Image /Width ${img.width} " +
           s"/Height ${img.height} /ColorSpace /DeviceGray " +
           "/BitsPerComponent 8 /Filter /FlateDecode",
         deflate(normalize(img.pixels)))
+    }
 
     def escape(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
