@@ -277,6 +277,51 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The Bloom-prefilter half of [[bloomContaminationPairs]], exposed so
+    * the certificate spec can measure it: corpus shingles whose probe of
+    * the benchmark Bloom filter answers "maybe" (every true overlap, plus
+    * the filter's false-positive fraction). The filter is built with
+    * `stat.bloomFilter` (bit-OR construction — insertion-order
+    * independent, so the bit array and therefore the candidate set are
+    * deterministic) and shipped once per executor as a broadcast, probed
+    * by a typed filter (the SURVEY §2.11 `mapPartitions`-class kernel:
+    * a sketch probe has no Catalyst-expression form on the public API). */
+  def bloomShingleCandidates(corpus: DataFrame, bench: DataFrame,
+      id: String, text: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val bShingles = shingleSet(bench, id, text, n)
+    // distinct-count sizes the filter; bounded by the benchmark side,
+    // which is the small side by the operator's contract
+    val nDistinct =
+      math.max(bShingles.select(col("shingle")).distinct().count(), 1L)
+    val bloom = bShingles.stat.bloomFilter("shingle", nDistinct, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val c = shingleSet(corpus, id, text, n)
+    c.filter((r: org.apache.spark.sql.Row) =>
+      bc.value.mightContainString(r.getString(1)))
+  }
+
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[contaminationPairs]]. At corpus scale the expensive half of the
+    * exact operator is shuffling EVERY corpus shingle into the
+    * inverted-index join; here the benchmark shingle set is distilled
+    * into a broadcast Bloom filter consulted BEFORE the exchange, so
+    * only true overlaps plus the fp fraction (~fpp of clean shingles)
+    * ever shuffle. False positives die in the exact equi-join that
+    * follows — the Bloom changes the bytes in flight, not the answer,
+    * which is why this query sits under the full hash gate against the
+    * exact SQL oracle. */
+  def bloomContaminationPairs(corpus: DataFrame, bench: DataFrame,
+      id: String, text: String, n: Int, minShared: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val b = shingleSet(bench, id, text, n)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    bloomShingleCandidates(corpus, bench, id, text, n, fpp)
+      .join(broadcast(b), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"
     * — the web-scale standard): each round is two grouped min-aggregations

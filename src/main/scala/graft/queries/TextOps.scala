@@ -410,8 +410,34 @@ object TextOps {
       FROM c JOIN b USING (shingle)
       GROUP BY 1, 2 HAVING COUNT(*) >= 5"""))
 
+  /** q131: Bloom-prefiltered decontamination — the 100 TB scale path of
+    * q87. The benchmark shingle set becomes a broadcast Bloom filter the
+    * corpus consults BEFORE the shuffle, so only overlapping (+ ~1% fp)
+    * shingles enter the exchange; the exact equi-join downstream kills
+    * the false positives, making the result identical to the exact
+    * operator — which is exactly what the oracle checks. Different split
+    * and threshold from q87 (every 16th doc is "benchmark", ≥3 shared
+    * 3-grams) so the two gates exercise different overlap densities. */
+  private val q131 = NamedQuery(
+    "q131_bloom_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomContaminationPairs(
+        docs.filter(col("doc_id") % 16 =!= 0),
+        docs.filter(col("doc_id") % 16 === 0),
+        "doc_id", "text", 3, 3)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      c AS (SELECT * FROM sh WHERE doc_id % 16 != 0),
+      b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 16 = 0)
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM c JOIN b USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
-      q121, q122,
+      q121, q122, q131,
       q107)
 }

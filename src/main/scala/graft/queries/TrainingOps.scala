@@ -199,6 +199,86 @@ object TrainingOps {
     },
     Some("SELECT doc_id, text AS reconstructed FROM documents"))
 
+  /** q129: temperature-weighted mixture sampling — the source-rebalancing
+    * step of a multi-source training mix (weight ∝ √count, i.e.
+    * temperature τ=2 upsampling of small sources relative to their raw
+    * share, the multilingual-mix standard). Integer-exact end to end so
+    * the hash gate holds: per-source weight w = ⌊√n_s⌋, per-source quota
+    * = w·⌊T/2⌋ div Σw over the total T, and each quota takes the docs
+    * with the smallest salted multiplicative hash — a deterministic
+    * reservoir any engine reproduces bit-for-bit. Scale shape: one
+    * count aggregation (a handful of source rows, broadcast back) + one
+    * rank window per source partition; no global sort, no RNG. */
+  private val q129 = NamedQuery(
+    "q129_mixture_sample",
+    (s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * lit(1000003L) + lit(17L)) % 1048576L)
+            .as("bucket"))
+      val bySource = hashed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("w",
+          floor(sqrt(col("n_s").cast(DoubleType))).cast(LongType))
+      val totals = bySource
+        .agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("sum_w"))
+      val quotas = bySource.crossJoin(broadcast(totals))
+        .select(col("source"),
+          expr("w * (n_total div 2) div sum_w").as("quota"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bucket"), col("doc_id"))
+      hashed.join(broadcast(quotas), Seq("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("bucket"), col("rk"),
+          col("quota"))
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+        (doc_id * 1000003 + 17) % 1048576 AS bucket FROM documents),
+      s AS (SELECT source, COUNT(*) AS n_s,
+              CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+            FROM h GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+              CAST(SUM(w) AS BIGINT) AS sum_w FROM s),
+      q AS (SELECT source,
+              CAST(w * (n_total // 2) // sum_w AS BIGINT) AS quota
+            FROM s CROSS JOIN t),
+      r AS (SELECT h.doc_id, h.source, h.bucket, q.quota,
+              ROW_NUMBER() OVER (PARTITION BY h.source
+                ORDER BY h.bucket, h.doc_id) AS rk
+            FROM h JOIN q USING (source))
+      SELECT doc_id, source, bucket, rk, quota FROM r WHERE rk <= quota"""))
+
+  /** q130: deterministic shard assignment — how a 100 TB corpus is
+    * globally "shuffled" without a global sort: a salted multiplicative
+    * hash decorrelates doc order from storage order, shard = h mod 64
+    * bucket-partitions the write (64 independent partitions, each
+    * sortable in memory), and the within-shard position ranks over the
+    * shard partition only. Shard size rides along as a window count so
+    * the balance audit is IN the result, not a side channel. */
+  private val q130 = NamedQuery(
+    "q130_training_shards",
+    (s, d) => {
+      val wPos = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      val wCnt = Window.partitionBy(col("shard"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * lit(2654435761L) + lit(104729L)) % 1048576L)
+            .as("h"))
+        .withColumn("shard", col("h") % 64)
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("shard_size", count(lit(1)).over(wCnt))
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"),
+          col("shard_size"))
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+        (doc_id * 2654435761 + 104729) % 1048576 AS h FROM documents)
+      SELECT doc_id, source, h % 64 AS shard,
+        ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS pos,
+        COUNT(*) OVER (PARTITION BY h % 64) AS shard_size
+      FROM h"""))
+
   val all: Seq[NamedQuery] =
-    Seq(q100, q101, q102, q103, q108, q111, q118)
+    Seq(q100, q101, q102, q103, q108, q111, q118, q129, q130)
 }
