@@ -7,8 +7,15 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Result of a sigma-clipped statistics pass: survivors' count, mean,
-  * median and population standard deviation. */
-final case class ClipStats(n: Long, mean: Double, median: Double, std: Double)
+  * median, population standard deviation, and sum. The sum is the
+  * boundary-safe certificate quantity: fixture values are dyadic, so the
+  * survivors' sum is EXACTLY representable (every partial sum is a
+  * multiple of the same 2^-m granularity) and any engine computes the
+  * identical double — whereas the divided mean is inexact and can land
+  * within 1 ulp of a 6-decimal rounding boundary, flipping ROUND(·,6)
+  * between engines (observed: q25 at sf0.1). */
+final case class ClipStats(n: Long, mean: Double, median: Double, std: Double,
+    sum: Double)
 
 /** Iterative sigma-clipped statistics — the reference's single most-used
   * primitive (`sigma_clipped_stats`, 5 call sites: core.py:70,141,372,438,
@@ -52,7 +59,8 @@ object SigmaClippedStats {
   /** The iterative clip itself, shared by the Aggregator and the
     * TypedImperativeAggregate fast path so both are bit-identical. */
   def clip(values: Array[Double], sigma: Double, maxIters: Int): ClipStats = {
-    if (values.isEmpty) return ClipStats(0L, Double.NaN, Double.NaN, Double.NaN)
+    if (values.isEmpty)
+      return ClipStats(0L, Double.NaN, Double.NaN, Double.NaN, 0.0)
     var vals = values
     var it = 0
     var changed = true
@@ -64,7 +72,8 @@ object SigmaClippedStats {
       if (kept.nonEmpty) vals = kept else changed = false
       it += 1
     }
-    ClipStats(vals.length.toLong, mean(vals), median(vals), stdPop(vals))
+    ClipStats(vals.length.toLong, mean(vals), median(vals), stdPop(vals),
+      kahanSum(vals))
   }
 
   /** Kahan-compensated sum — merge-order independent to ~2·eps. */

@@ -19,11 +19,16 @@ final class IntVec(initialCapacity: Int = 16) {
   def isEmpty: Boolean = n == 0
 
   private def ensure(extra: Int): Unit = {
-    val need = n + extra
+    // long arithmetic: n + extra can overflow Int, and a need above the
+    // max array size must throw (a catchable Exception), not clamp the
+    // doubling loop into a spin that never reaches `need`
+    val need = n.toLong + extra
+    require(need <= Int.MaxValue - 8,
+      s"IntVec: requested $need ints exceeds max array size")
     if (need > arr.length) {
-      var cap = arr.length
-      while (cap < need) cap = math.min(cap.toLong * 2, Int.MaxValue - 8).toInt
-      arr = java.util.Arrays.copyOf(arr, cap)
+      var cap = arr.length.toLong
+      while (cap < need) cap = math.min(cap * 2, (Int.MaxValue - 8).toLong)
+      arr = java.util.Arrays.copyOf(arr, cap.toInt)
     }
   }
 

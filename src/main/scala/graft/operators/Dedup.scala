@@ -287,17 +287,24 @@ object Dedup {
     * by a typed filter (the SURVEY §2.11 `mapPartitions`-class kernel:
     * a sketch probe has no Catalyst-expression form on the public API). */
   def bloomShingleCandidates(corpus: DataFrame, bench: DataFrame,
-      id: String, text: String, n: Int, fpp: Double = 0.01): DataFrame = {
-    val bShingles = shingleSet(bench, id, text, n)
+      id: String, text: String, n: Int, fpp: Double = 0.01): DataFrame =
+    bloomCandidatesFrom(corpus,
+      shingleSet(bench, id, text, n).localCheckpoint(), id, text, n, fpp)
+
+  /** Core of the prefilter, taking an already-materialized benchmark
+    * shingle set so the sizing count, the filter build, and the caller's
+    * equi-join all read ONE tokenize+shingle pass of the bench side. */
+  private def bloomCandidatesFrom(corpus: DataFrame, benchShingles: DataFrame,
+      id: String, text: String, n: Int, fpp: Double): DataFrame = {
     // distinct-count sizes the filter; bounded by the benchmark side,
     // which is the small side by the operator's contract
     val nDistinct =
-      math.max(bShingles.select(col("shingle")).distinct().count(), 1L)
-    val bloom = bShingles.stat.bloomFilter("shingle", nDistinct, fpp)
+      math.max(benchShingles.select(col("shingle")).distinct().count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("shingle", nDistinct, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val c = shingleSet(corpus, id, text, n)
-    c.filter((r: org.apache.spark.sql.Row) =>
-      bc.value.mightContainString(r.getString(1)))
+    shingleSet(corpus, id, text, n)
+      .filter((r: org.apache.spark.sql.Row) =>
+        bc.value.mightContainString(r.getAs[String]("shingle")))
   }
 
   /** Bloom-prefiltered decontamination — the 100 TB shape of

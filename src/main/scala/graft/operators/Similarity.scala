@@ -251,8 +251,13 @@ object Similarity {
       retrain: Int = 0, spill: Int = 1): Unit = {
     val data = spark.read.parquet(dir)
     if (retrain > 0) {
-      writeIvfIndex(data.select(col("vec_id"), col("embedding")), "vec_id",
-        "embedding",
+      // a spill>1 index stores each vector in `spill` cells; refitting on
+      // the raw rows would tie-break every duplicate onto the same top
+      // cell (losing spill placement) and multiply the output spill-fold —
+      // dedup back to the unique corpus first
+      writeIvfIndex(
+        data.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"),
+        "vec_id", "embedding",
         outDir, nCells = spark.read.parquet(s"$dir/_centroids").count().toInt,
         iters = retrain, spill = spill)
     } else {

@@ -118,7 +118,8 @@ object PhotometryRel {
       v2 AS (SELECT v1.g, v1.x FROM v1 JOIN s1 USING (g) WHERE ABS(x - med) <= 2.0 * sd),
       s2 AS (SELECT g, MEDIAN(x) AS med, STDDEV_POP(x) AS sd FROM v2 GROUP BY g),
       v3 AS (SELECT v2.g, v2.x FROM v2 JOIN s2 USING (g) WHERE ABS(x - med) <= 2.0 * sd)
-      SELECT g, COUNT(*) AS n, ROUND(AVG(x), 6) AS mean,
+      SELECT g, COUNT(*) AS n,
+        ROUND(CAST(SUM(x) AS DOUBLE), 6) AS sum_clipped,
         MEDIAN(x) AS median, ROUND(STDDEV_POP(x), 6) AS std
       FROM v3 GROUP BY g"""
 
@@ -132,7 +133,13 @@ object PhotometryRel {
         .select(col("l_suppkey").as("g"), col("l_extendedprice").as("x"))
         .groupBy(col("g"))
         .agg(scs(col("x")).as("s"))
-        .select(col("g"), col("s.n").as("n"), r6(col("s.mean")).as("mean"),
+        // certificate carries the clipped SUM, not the divided mean: the
+        // dyadic fixture makes the survivors' sum exactly representable
+        // (identical in any engine, any order), while mean = sum/n can sit
+        // within 1 ulp of a 6-decimal rounding boundary and flip ROUND
+        // between engines — observed once at sf0.1 (see ClipStats scaladoc)
+        .select(col("g"), col("s.n").as("n"),
+          r6(col("s.sum")).as("sum_clipped"),
           col("s.median").as("median"), r6(col("s.std")).as("std"))
     },
     Some(clipSql("lineitem", "l_suppkey", "l_extendedprice")))

@@ -365,10 +365,11 @@ object StreamingQueries {
   private val CampaignW = 48
   private val campaignStars = Seq((12.0, 14.0, 2400.0), (30.0, 33.0, 2000.0))
 
+  // ONE encoding of the FITS card/block rules repo-wide (Fits.scala owns it)
   private def fitsCard(k: String, v: String): Array[Byte] =
-    (k.padTo(8, ' ') + "= " + v).padTo(80, ' ').getBytes("US-ASCII")
+    graft.sources.Fits.fitsCard(k, v)
   private def fitsPad(b: Array[Byte], fill: Byte): Array[Byte] =
-    b ++ Array.fill[Byte]((2880 - b.length % 2880) % 2880)(fill)
+    graft.sources.Fits.padBlock(b, fill)
 
   private def campaignFrame(seed: Long, shift: (Int, Int)): Array[Byte] = {
     val w = CampaignW

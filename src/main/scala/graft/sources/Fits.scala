@@ -198,10 +198,18 @@ object Fits {
       element_at(col("header"), "SITEID").as("site_id"),
       element_at(col("header"), "FILTER").as("filter"))
 
-  private def fitsCard(k: String, v: String): Array[Byte] = {
+  /** One 80-byte header card. private[graft]: every FITS byte emitter in
+    * the repo (writer, test fixtures, the q128 campaign stager) must share
+    * ONE encoding of the card rules so a format fix reaches them all. */
+  private[graft] def fitsCard(k: String, v: String): Array[Byte] = {
     val key = k.take(8).padTo(8, ' ')
     (key + "= " + v).padTo(Card, ' ').take(Card).getBytes("US-ASCII")
   }
+
+  /** Pad to the 2880-byte FITS block multiple (headers pad with spaces,
+    * data with zeros). Shared for the same reason as [[fitsCard]]. */
+  private[graft] def padBlock(b: Array[Byte], fill: Byte): Array[Byte] =
+    b ++ Array.fill[Byte]((Block - b.length % Block) % Block)(fill)
 
   /** write_fits (p_io.py:19-62): merge the WCS header over the first image
     * header (HISTORY/COMMENT filtered, p_io.py:40-42), set AIRMASS to the
@@ -227,7 +235,7 @@ object Fits {
     // the VIRTUAL frame area, not the row count — a >2³¹-pixel request
     // (17 GB of mostly zeros) is a caller bug (Int-overflow-shaped dims),
     // not a frame; fail fast before emitting a byte
-    require(width.toLong * height <= (1L << 31),
+    require(width.toLong * height < (1L << 31),
       s"write_fits: virtual frame ${width}x$height exceeds 2^31 pixels")
     val merged0 = imHeaders.head ++
       wcsHeader.view.filterKeys(k => k != "HISTORY" && k != "COMMENT").toMap

@@ -48,7 +48,8 @@ case class SigmaClipAggExpr(
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType), StructField("mean", DoubleType),
-    StructField("median", DoubleType), StructField("std", DoubleType)))
+    StructField("median", DoubleType), StructField("std", DoubleType),
+    StructField("sum", DoubleType)))
 
   override def createAggregationBuffer(): DoubleBuf =
     new DoubleBuf(new Array[Double](8), 0)
@@ -65,7 +66,7 @@ case class SigmaClipAggExpr(
 
   override def eval(buffer: DoubleBuf): Any = {
     val s = graft.functions.SigmaClippedStats.clip(buffer.values, sigma, maxIters)
-    InternalRow(s.n, s.mean, s.median, s.std)
+    InternalRow(s.n, s.mean, s.median, s.std, s.sum)
   }
 
   override def serialize(buffer: DoubleBuf): Array[Byte] = {

@@ -530,6 +530,17 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", 5, nprobe = 2)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(pa === pb, "compacted probe differs from appended probe")
+    // retraining compaction: the spill-duplicated rows must collapse back
+    // to the unique corpus before the refit — each vector again lands in
+    // exactly `spill` DISTINCT cells, not spill² copies of its top cell
+    val retrained = graft.TempDirs.create("graft-ivf-retrained")
+    Similarity.compactIvfIndex(spark, dir, retrained, retrain = 2, spill = 2)
+    val rt = spark.read.parquet(retrained)
+    assert(rt.select("vec_id").distinct().count() === 100)
+    assert(rt.groupBy("vec_id").count().filter($"count" =!= 2).count() === 0,
+      "retrained index must hold each vector exactly spill times")
+    assert(rt.select("vec_id", "cell").distinct().count() === 200,
+      "spill placements must be distinct cells, not duplicates of the top cell")
   }
 
   test("LSH near-dup pairs: subset of exact pairs with identical cosines") {

@@ -58,6 +58,14 @@ class WriterFuzzSpec extends SparkSpec {
     }
     assert((System.nanoTime() - t0) < 5e9, "oversize reject was not fast")
     assert(!Files.exists(out))
+    // the boundary itself: exactly 2^31 pixels (17 GB of zero-fill) is
+    // the pathology the guard documents — it must reject, not squeak by
+    val atBoundary = dir.resolve("boundary.fits")
+    intercept[IllegalArgumentException] {
+      Fits.writeFits(px, 65536, 32768, Seq(hdr), Map.empty, 0.0, 0.0,
+        atBoundary.toString)
+    }
+    assert(!Files.exists(atBoundary))
   }
 
   test("write_pdf: NaN/Inf/constant images still produce a well-formed PDF") {

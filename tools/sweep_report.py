@@ -8,6 +8,7 @@ Usage: sweep_report.py small.json big.json data_ratio [out.json]
 Prints a markdown table to stdout; optionally writes the merged JSON.
 """
 import json
+import statistics
 import sys
 
 
@@ -17,6 +18,8 @@ def main() -> None:
     data_ratio = float(sys.argv[3])
     a, b = small["queries"], big["queries"]
     shared = sorted(set(a) & set(b))
+    if not shared:
+        sys.exit("no shared queries between the two bench artifacts")
     rows = [
         {
             "query": k,
@@ -37,7 +40,7 @@ def main() -> None:
         "total_small_sec": round(tot_a, 1),
         "total_big_sec": round(tot_b, 1),
         "total_ratio": round(tot_b / tot_a, 2),
-        "median_slope": rows[len(rows) // 2]["slope"],
+        "median_slope": round(statistics.median(r["slope"] for r in rows), 3),
         "queries": rows,
     }
     if len(sys.argv) > 4:
