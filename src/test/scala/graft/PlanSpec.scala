@@ -76,6 +76,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"), s"no filter:\n$plan")
   }
 
+  test("mixture sampling shuffles only by source; quotas broadcast (q129)") {
+    // the per-source quota table is a handful of rows — it must reach the
+    // corpus as a broadcast, and every exchange must key on source (the
+    // rank window's partition), never a global repartition
+    val plan = finalPlan(q("q129_mixture_sample"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"quota join not broadcast:\n$plan")
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.forall(_.startsWith("source")),
+      s"non-source exchange keys $keys:\n$plan")
+  }
+
+  test("shard assignment shuffles once, keyed on the shard only (q130)") {
+    val plan = finalPlan(q("q130_training_shards"))
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.forall(_.startsWith("shard")),
+      s"non-shard exchange keys $keys:\n$plan")
+  }
+
+  test("bloom decontamination broadcasts the bench side (q131)") {
+    // the corpus side must meet the bench shingles through a broadcast
+    // equi-join — a shuffled join here would defeat the prefilter's point
+    val plan = finalPlan(q("q131_bloom_decontamination"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("no scalar UDF in any oracle-gated query plan") {
     // scalar UDFs are codegen black boxes that block pushdown and
     // vectorization; every hash-gated query must plan with native
