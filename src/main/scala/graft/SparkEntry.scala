@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extras, MediaOps, PhotometryRel, PixelQueries, RecallQueries, Relational, Relational2, StreamingQueries, TextOps, TimeSeries, TrainingOps, VectorOps}
+import graft.queries.{Extras, LayoutOps, MediaOps, PhotometryRel, PixelQueries, RecallQueries, Relational, Relational2, StreamingQueries, TextOps, TimeSeries, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ PhotometryRel.all ++ Extras.all ++
       TimeSeries.all ++ TextOps.all ++ VectorOps.all ++ PixelQueries.all ++
       StreamingQueries.all ++ RecallQueries.all ++ TrainingOps.all ++
-      MediaOps.all
+      MediaOps.all ++ LayoutOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The "epoch photometry catalog" slice (SURVEY.md §7): filter → derived

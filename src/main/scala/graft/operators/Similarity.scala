@@ -92,7 +92,7 @@ object Similarity {
     * vectors sitting near a cell boundary. When the centroids derive from
     * the same assignment, a vector's own cell is its top-1, so spilling
     * strictly widens coverage. */
-  private def spillAssign(base: DataFrame, cents: DataFrame,
+  private[operators] def spillAssign(base: DataFrame, cents: DataFrame,
       spill: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("a_cos").desc, col("a_cell").asc)

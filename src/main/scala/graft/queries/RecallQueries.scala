@@ -249,6 +249,33 @@ object RecallQueries {
     },
     None)
 
+  /** q133: SemDeDup (cluster-partitioned semantic dedup,
+    * Dedup.semanticDedup) vs the exact all-pairs drop set under the same
+    * threshold and keep-lowest-id rule. Every semantic drop is
+    * exact-verified within its cell, so the drop set is a SUBSET of the
+    * exact one — precision must be exactly 1.0; recall is the price of
+    * confining comparisons to cells (|corpus|²/nCells work instead of
+    * |corpus|²), certified driver-visibly like q97's banding tradeoff. */
+  private val q133 = NamedQuery(
+    "q133_semantic_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
+        .select(col("id_b").as("drop_id")).distinct()
+        .withColumn("ex", lit(1))
+      val sem = Dedup.semanticDedup(emb, "vec_id", "embedding",
+          nCells = 8, tau = 0.45)
+        .withColumn("sm", lit(1))
+      exact.join(sem, Seq("drop_id"), "full_outer")
+        .agg(sum(col("ex")).as("n_exact"),
+          sum(col("sm")).as("n_sem"),
+          sum(col("ex") * col("sm")).as("n_inter"))
+        .select(col("n_exact"), col("n_sem"),
+          round(col("n_inter") / col("n_exact"), 6).as("recall"),
+          round(col("n_inter") / col("n_sem"), 6).as("precision"))
+    },
+    None)
+
   val all: Seq[NamedQuery] =
-    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127)
+    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133)
 }
