@@ -38,19 +38,38 @@ object Bench {
       }
       (name, times.map(_._1).min, times.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // the driver's artifact tail is capped at ~2000 chars, which truncates
-    // the per-query map — persist the full line at a stable path too
-    val out = java.nio.file.Paths.get("target/bench_full.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // full-precision, every-query line → bench_full.json at the repo root
+    // (swept into the round snapshot commit), because the driver's
+    // artifact capture keeps only the last ~2000 chars of stdout
+    val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      fullJson.getBytes("UTF-8"))
+    // printed line (what the driver stores as BENCH_r{N}) must PARSE from
+    // that 2000-char tail: per-operator-family rollups always fit, plus as
+    // many of the slowest per-query timings as the budget allows —
+    // ms precision, slowest-first, remainder counted in queries_omitted
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val fams = results
+      .groupBy(r => SparkEntry.family.getOrElse(r._1, "other"))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"$f\":${r3(rs.map(_._2).sum)}" }
+      .mkString("{", ",", "}")
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v, _) => s"\"$k\":${r3(v)}" }
+    def line(take: Int): String = {
+      val qs = entries.take(take).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","failed":$failed,"families":$fams,"queries_omitted":${entries.size - take},"queries":$qs,"full":"bench_full.json"}"""
+    }
+    val budget = 1700
+    var take = entries.size
+    while (take > 0 && line(take).length > budget) take -= 1
+    println(line(take))
     spark.stop()
   }
 }

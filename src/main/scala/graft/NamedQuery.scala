@@ -12,4 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class NamedQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** For oracle-free queries ONLY: why the omission is intentional and
+      * which hash-gated certificate or ScalaTest carries its correctness.
+      * Dumped by Verify as oracle_free.json so unverified queries are
+      * explicitly annotated rather than silently accumulating. */
+    note: Option[String] = None)

@@ -12,11 +12,26 @@ import graft.queries.{Extras, LayoutOps, MediaOps, PhotometryRel, PixelQueries, 
   */
 object SparkEntry {
 
-  private def catalog: Seq[NamedQuery] =
-    Relational.all ++ Relational2.all ++ PhotometryRel.all ++ Extras.all ++
-      TimeSeries.all ++ TextOps.all ++ VectorOps.all ++ PixelQueries.all ++
-      StreamingQueries.all ++ RecallQueries.all ++ TrainingOps.all ++
-      MediaOps.all ++ LayoutOps.all
+  private def modules: Seq[(String, Seq[NamedQuery])] = Seq(
+    "relational" -> Relational.all,
+    "relational2" -> Relational2.all,
+    "photometry_rel" -> PhotometryRel.all,
+    "extras" -> Extras.all,
+    "timeseries" -> TimeSeries.all,
+    "text" -> TextOps.all,
+    "vector" -> VectorOps.all,
+    "pixel" -> PixelQueries.all,
+    "streaming" -> StreamingQueries.all,
+    "recall_certs" -> RecallQueries.all,
+    "training" -> TrainingOps.all,
+    "media" -> MediaOps.all,
+    "layout" -> LayoutOps.all)
+
+  private def catalog: Seq[NamedQuery] = modules.flatMap(_._2)
+
+  /** Query name → operator family, for per-family bench rollups. */
+  def family: Map[String, String] =
+    modules.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The "epoch photometry catalog" slice (SURVEY.md §7): filter → derived
@@ -33,4 +48,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Every query WITHOUT an oracle, with the reason the omission is
+    * intentional and where its correctness is gated instead (a hash-gated
+    * certificate query and/or a planted-truth ScalaTest) — so rows-only
+    * entries in the driver's correctness snapshot are annotated, never
+    * silently unverified. Dumped by Verify as oracle_free.json. */
+  def oracleFree: Map[String, String] =
+    catalog.filter(_.oracle.isEmpty)
+      .map(q => q.name -> q.note.getOrElse("UNANNOTATED")).toMap
 }

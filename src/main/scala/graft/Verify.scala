@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // annotate the intentionally oracle-free queries (ADVICE r6): each
+    // names the hash-gated certificate / ScalaTest carrying its
+    // correctness, so "no_oracle" rows are documented, not accumulating
+    val free = SparkEntry.oracleFree
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_free.json"), free)
     spark.stop()
   }
 }

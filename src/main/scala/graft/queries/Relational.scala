@@ -390,7 +390,10 @@ object Relational {
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-    None)
+    None,
+    note = Some("HLL++ estimates are engine-specific by design; the " +
+      "estimate's accuracy is hash-gated by the q98_hll_rel_error " +
+      "certificate and exactness by q17."))
 
   /** String-function battery, incl. the reference's `name[:22]` set-name
     * truncation (psf_phot.py:48). */

@@ -218,7 +218,10 @@ object TextOps {
   private val q63 = NamedQuery(
     "q63_simhash_pairs",
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3),
-    None)
+    None,
+    note = Some("Banded SimHash candidate pairs are hash-function-" +
+      "specific; completeness vs the exact Hamming scan is hash-gated by " +
+      "the q99_simhash_band_recall certificate (recall exactly 1.0)."))
 
   /** Language-ID heuristic: function-word occurrence ratio (n-gram
     * heuristic surface; the fixture text is synthetic so the signal, not

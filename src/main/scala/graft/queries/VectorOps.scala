@@ -42,7 +42,10 @@ object VectorOps {
     (s, d) => Similarity.ivfTopK(
       Tables.embeddings(s, d), "vec_id", "embedding", "label",
       probes(s, d), "vec_id", "embedding", 5, 4, spill = 2),
-    None)
+    None,
+    note = Some("ANN result sets are approximate by construction; " +
+      "recall@5 vs brute force is hash-gated by the q95_ann_ivf_recall " +
+      "certificate."))
 
   /** Embedding-cosine near-dup pairs. */
   private val q72 = NamedQuery(
@@ -84,7 +87,10 @@ object VectorOps {
       Tables.embeddings(s, d), "vec_id", "embedding",
       probes(s, d), "vec_id", "embedding", 5, dims = 64,
       nBits = 48, nBands = 12),
-    None)
+    None,
+    note = Some("ANN result sets are approximate by construction; " +
+      "recall@5 vs brute force is hash-gated by the q96_ann_lsh_recall " +
+      "certificate."))
 
   /** LSH-banded embedding near-dup (the scale path of q72's exact
     * all-pairs): approximate candidate generation → rows-only check;
@@ -98,7 +104,10 @@ object VectorOps {
     (s, d) => Similarity.lshNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64,
       nBits = 64, nBands = 16),
-    None)
+    None,
+    note = Some("LSH-banded candidate generation is hash-function-" +
+      "specific; recall and precision vs the exact all-pairs set are " +
+      "hash-gated by the q97_neardup_lsh_recall certificate."))
 
   /** Higher-order array functions over the embedding vectors: exists /
     * forall (as filter-length predicates on both engines), fold
@@ -142,7 +151,10 @@ object VectorOps {
       Similarity.probeIvfIndex(s, dir, probes(s, d), "vec_id", "embedding",
         5, nprobe = 6)
     },
-    None)
+    None,
+    note = Some("On-disk IVF probe results are approximate by " +
+      "construction; recall and append/compact maintenance drift are " +
+      "hash-gated by the q127_ann_ivf_append_recall certificate."))
 
   /** q119: int8 scalar quantization round trip under the hash gate — the
     * embedding STORAGE path (4× smaller than float32). Per vector: the

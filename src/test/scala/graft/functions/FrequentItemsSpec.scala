@@ -34,11 +34,12 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
-  test("driver certificate shape: q110 returns only present heavy hitters") {
+  test("driver certificate: q110's containment checks all pass") {
     val rows = graft.SparkEntry.queries("q110_heavy_hitters")(
       spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Boolean)].collect()
-    assert(rows.nonEmpty, "no heavy hitters at fixture scale")
+      .as[(String, Double, Boolean)].collect()
+    assert(rows.map(_._1).toSet ===
+      Set("mg_heavy_hitters_nonempty", "mg_containment"))
     assert(rows.forall(_._3), s"guarantee violated: ${rows.filterNot(_._3).toSeq}")
   }
 }

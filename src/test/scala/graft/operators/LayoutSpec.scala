@@ -50,10 +50,10 @@ class LayoutSpec extends SparkSpec {
       (((i * 2654435761L) >>> 3) % 256, ((i * 40503L) >>> 2) % 256)
     }.toDF("x", "y")
 
-    def overlappingFiles(written: org.apache.spark.sql.DataFrame): Long = {
-      // box predicate [64,96)²: a file can be skipped iff its min/max
-      // envelope misses the box on either dimension
-      written.groupBy(input_file_name().as("f"))
+    def overlappingBuckets(written: org.apache.spark.sql.DataFrame): Long = {
+      // box predicate [64,96)²: a bucket (file group) can be skipped iff
+      // its min/max envelope misses the box on either dimension
+      written.groupBy(col("b"))
         .agg(min("x").as("x0"), max("x").as("x1"),
           min("y").as("y0"), max("y").as("y1"))
         .filter(col("x1") >= 64 && col("x0") < 96 &&
@@ -61,25 +61,26 @@ class LayoutSpec extends SparkSpec {
         .count()
     }
 
+    // 16 explicit layout buckets per scheme (repartitionByRange would
+    // express the same layout, but its range-bound sampling is seeded by
+    // RDD ids, making file boundaries suite-order-sensitive): z buckets
+    // are the Morton key's top 4 bits = 64×64 tiles; x buckets are
+    // 16-wide stripes covering all of y
     val zdir = TempDirs.create("graft_layout_z")
-    df.withColumn("z", Layout.zorderKey(col("x"), col("y"), 8))
-      .repartitionByRange(16, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z")
-      .write.mode("overwrite").parquet(zdir)
+    df.withColumn("b",
+        shiftright(Layout.zorderKey(col("x"), col("y"), 8), 12))
+      .write.partitionBy("b").mode("overwrite").parquet(zdir)
     val xdir = TempDirs.create("graft_layout_x")
-    df.repartitionByRange(16, col("x"))
-      .sortWithinPartitions("x")
-      .write.mode("overwrite").parquet(xdir)
+    df.withColumn("b", shiftright(col("x"), 4))
+      .write.partitionBy("b").mode("overwrite").parquet(xdir)
 
-    val zHit = overlappingFiles(spark.read.parquet(zdir))
-    val xHit = overlappingFiles(spark.read.parquet(xdir))
-    // the box is 1/64 of the plane: a z-ordered write keeps it inside a
-    // handful of square-ish tiles; an x-only sort leaves every x-stripe
-    // covering all y, so ~1/8 of the x-range ⇒ 2 of 16 files minimum,
-    // but crucially z must strictly beat the stripe layout and stay tiny
-    assert(zHit <= 4, s"z-order box overlap: $zHit files of 16")
-    assert(zHit < xHit, s"z-order ($zHit) must prune better than x-sort ($xHit)")
+    val zHit = overlappingBuckets(spark.read.parquet(zdir))
+    val xHit = overlappingBuckets(spark.read.parquet(xdir))
+    // the box is 1/64 of the plane and sits inside ONE 64×64 z-tile
+    // ([64,96)² ⊂ [64,128)²), while the x-stripe layout leaves every
+    // stripe covering all y, so stripes 4 and 5 both overlap
+    assert(zHit === 1, s"z-order box overlap: $zHit buckets of 16")
+    assert(xHit === 2, s"x-stripe box overlap: $xHit buckets of 16")
   }
 
   test("prefixSum equals the single-partition global window") {
