@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -320,6 +320,34 @@ object RecallQueries {
     ("semdedup_recall", 0.50,
       col("n_exact") === 0 || col("n_inter") / col("n_exact") >= 0.50))
 
+  /** q137: product-quantization certificate (q136_pq_topk's configuration). One
+    * trained model backs both halves: (a) refined ADC recall@5 vs brute
+    * force — the codes must shortlist well enough that the exact re-rank
+    * recovers the true neighbors; (b) mean reconstruction error ‖v−v̂‖²
+    * must beat the ~1.0 a trivial single-centroid quantizer leaves on
+    * near-uniform unit vectors — the codebooks demonstrably learned the
+    * corpus. */
+  private val q137 = cert(
+    "q137_pq_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.train(emb, "vec_id", "embedding", nSub = 16,
+        nCodes = 16, iters = 3)
+      val summary = topkSummary(topkRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5),
+        Pq.searchWithModel(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5, model, refine = 16)))
+      val rec = Pq.reconstructionError(emb, "vec_id", "embedding", model)
+        .agg(avg(col("sq_err")).as("mean_sq_err"))
+      summary.join(rec)
+    },
+    ("pq_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("pq_refined_macro_recall_at_5", 0.65, col("macro_recall") >= 0.65),
+    ("pq_refined_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40),
+    ("pq_mean_reconstruction_err_le_0.90", 0.90,
+      col("mean_sq_err") <= 0.90))
+
   val all: Seq[NamedQuery] =
-    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133)
+    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133, q137)
 }

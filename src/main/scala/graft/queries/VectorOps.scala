@@ -3,7 +3,7 @@ package graft.queries
 import graft.{NamedQuery, Tables}
 import graft.Compat._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search operators over the `embeddings` fixture
@@ -196,5 +196,33 @@ object VectorOps {
           (a, b) -> GREATEST(a, b)), 6) AS max_err
       FROM q"""))
 
-  val all: Seq[NamedQuery] = Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119)
+  /** q136: product-quantized ANN — the memory-compression scale path
+    * (64 float dims → 8 int codes per vector) with the standard exact
+    * re-rank of the ADC shortlist (refine×k raw-vector fetches per
+    * probe). Deterministic (seeded codebooks, fixed tie-breaks). */
+  private val q136 = NamedQuery(
+    "q136_pq_topk",
+    (s, d) => Pq.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      probes(s, d), "vec_id", "embedding", 5, nSub = 16, nCodes = 16,
+      iters = 3, refine = 16),
+    None,
+    note = Some("PQ/ADC result sets are approximate by construction; " +
+      "refined recall@5 and reconstruction error are hash-gated by the " +
+      "q137_pq_recall certificate."))
+
+  /** q138: IVF-PQ — coarse cells prune the scan (nprobe of nCells),
+    * PQ codes compress the within-cell ranking; FAISS's IVFPQ layout
+    * minus residual encoding. */
+  private val q138 = NamedQuery(
+    "q138_ivfpq_topk",
+    (s, d) => Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      probes(s, d), "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
+      nSub = 16, nCodes = 16, iters = 3),
+    None,
+    note = Some("IVF-PQ composes the q95/q106-certified cell pruning " +
+      "with the q137-certified PQ codes; planted-cluster retrieval is " +
+      "asserted in PqSpec."))
+
+  val all: Seq[NamedQuery] =
+    Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119, q136, q138)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product quantization planted-truth bars: codebooks train to the
+  * planted cluster structure, encoding is deterministic, ADC ranking
+  * recovers true neighbors, and reconstruction error behaves like a
+  * quantizer (shrinks as the codebook grows; zero for a corpus the
+  * codebook can represent exactly). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planted = {
+    // 4 tight clusters of 12 vectors in 8-D: cluster center ±0.01 jitter,
+    // deterministic from the ids
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield {
+      val id = c * 12 + i
+      val base = Array.tabulate(8)(d =>
+        if (d % 4 == c % 4) 1.0 else if (d < 4) 0.2 * c else 0.1)
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + 0.01 * (((id * 31 + d * 7) % 11) - 5) / 5.0 }
+      (id.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("encode emits one code per subspace, deterministically") {
+    val model = Pq.train(planted, "vec_id", "embedding", nSub = 2,
+      nCodes = 4, iters = 2)
+    assert(model.codebooks.length === 2)
+    assert(model.codebooks.forall(_.length === 4))
+    assert(model.codebooks.forall(_.forall(_.length === 4)))
+    val a = Pq.encode(planted, "vec_id", "embedding", model)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val b = Pq.encode(planted, "vec_id", "embedding", model)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_._2.length === 2))
+  }
+
+  test("ADC top-k recovers planted cluster-mates") {
+    val probes = planted.filter(col("vec_id") % 12 === 0) // one per cluster
+    val top = Pq.pqTopK(planted, "vec_id", "embedding", probes,
+      "vec_id", "embedding", k = 5, nSub = 2, nCodes = 8, iters = 3)
+      .collect()
+    // every retrieved neighbor of probe c*12 must be from cluster c
+    top.foreach { r =>
+      val q = r.getLong(0); val v = r.getLong(1)
+      assert(v / 12 === q / 12,
+        s"probe $q retrieved out-of-cluster $v at rank ${r.getLong(3)}")
+    }
+    assert(top.groupBy(_.getLong(0)).forall(_._2.length === 5))
+  }
+
+  test("IVF-PQ prunes to cells and still recovers cluster-mates") {
+    val probes = planted.filter(col("vec_id") % 12 === 0)
+    val top = Pq.ivfPqTopK(planted, "vec_id", "embedding", probes,
+      "vec_id", "embedding", k = 5, nCells = 4, nprobe = 2, nSub = 2,
+      nCodes = 8, iters = 3).collect()
+    top.foreach { r =>
+      assert(r.getLong(1) / 12 === r.getLong(0) / 12,
+        s"probe ${r.getLong(0)} retrieved out-of-cluster ${r.getLong(1)}")
+    }
+  }
+
+  test("reconstruction error shrinks as the codebook grows") {
+    def meanErr(nCodes: Int): Double = {
+      val model = Pq.train(planted, "vec_id", "embedding", nSub = 2,
+        nCodes = nCodes, iters = 3)
+      Pq.reconstructionError(planted, "vec_id", "embedding", model)
+        .agg(avg("sq_err")).head().getDouble(0)
+    }
+    val coarse = meanErr(1)
+    val fine = meanErr(8)
+    assert(fine < coarse / 2,
+      s"8-code books ($fine) should beat 1-code books ($coarse) by >2x")
+  }
+
+  test("PQ recall@5 vs brute force on the fixture embeddings") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("vec_id"))
+    def recallOf(refine: Int): Double = {
+      val pq = Pq.pqTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", 5, nSub = 8, nCodes = 16, iters = 3,
+        refine = refine)
+        .select(col("q_id"), col("vec_id").as("a_vec"))
+      val hits = exact.join(pq,
+          exact("q_id") === pq("q_id") && col("vec_id") === col("a_vec"))
+        .count()
+      hits.toDouble / exact.count()
+    }
+    assert(exact.count() > 0)
+    val raw = recallOf(0)
+    val refined = recallOf(8)
+    assert(refined >= 0.7, s"refined PQ recall@5 $refined below floor")
+    assert(refined >= raw, s"refine ($refined) must not lose to raw ($raw)")
+  }
+}
