@@ -125,6 +125,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scalar UDFs in oracle-gated plans: $offenders")
   }
 
+  test("PQ ADC scan broadcasts probe LUTs; no cartesian product (q136)") {
+    // the codes-walk side is the corpus scan; the per-probe LUT table is
+    // tiny and must reach it as a broadcast (nested-loop on the
+    // self-exclusion predicate, or hash on the refine re-join) — a
+    // CartesianProduct here would shuffle the corpus against every probe
+    val plan = finalPlan(q("q136_pq_topk"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
