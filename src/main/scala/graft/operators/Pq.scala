@@ -62,65 +62,67 @@ object Pq {
       .select(col("vid"), col("s.m").as("m"), col("s.sub").as("sub"))
   }
 
-  /** Train per-subspace codebooks: deterministic hash-sampled pool →
-    * farthest-point seeds per subspace (driver-side over the bounded
-    * pool), then `iters` Lloyd rounds where ALL subspaces advance in the
-    * SAME two linear jobs (assign = broadcast codebook join + min_by per
-    * (vid, m); update = per-(m, code) elementwise mean). The model is
-    * nSub·nCodes·subDim doubles — a bounded object like the EPSF grid. */
+  /** Train per-subspace codebooks on a BOUNDED deterministic sample —
+    * the FAISS-practice shape for quantizer training at corpus scale: a
+    * 100 TB corpus trains its (tiny) codebooks on a hash-sampled pool,
+    * never with per-iteration full-corpus jobs. ONE distributed scan
+    * collects the pool (≤ 64·nCodes vectors, hash-ordered so the sample
+    * is deterministic and corpus-spread); seeding (farthest-point per
+    * subspace) and `iters` Lloyd rounds then run driver-side over the
+    * pool — exact, loop-free-on-the-cluster, and identical in structure
+    * to the EPSF-grid bounded-model pattern. The full corpus is touched
+    * again only by [[encode]]'s single linear assignment pass. */
   def train(corpus: DataFrame, id: String, vec: String, nSub: Int,
       nCodes: Int, iters: Int = 3): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(id).as("vid"),
-      normalized(toDouble(col(vec))).as("e")).localCheckpoint()
-    val dimsRow = c.select(size(col("e"))).head()
-    val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
-    require(dims > 0 && dims % nSub == 0,
-      s"dims $dims must split evenly into $nSub subspaces")
-    val subDim = dims / nSub
-    // one bounded pool scan seeds every subspace
+      normalized(toDouble(col(vec))).as("e"))
+    // one bounded pool scan seeds and trains every subspace
     val pool: Array[Seq[Double]] = c
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
       .orderBy(col("hk"), col("vid")).limit(64 * nCodes)
       .select(col("e")).as[Seq[Double]].collect()
     require(pool.nonEmpty, "PQ training needs a non-empty corpus")
-    var books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { m =>
-      val subPool = pool.map(_.slice(m * subDim, (m + 1) * subDim)).toArray
+    val dims = pool.head.length
+    require(dims > 0 && dims % nSub == 0,
+      s"dims $dims must split evenly into $nSub subspaces")
+    val subDim = dims / nSub
+    val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { m =>
+      val subPool = pool.map(_.slice(m * subDim, (m + 1) * subDim).toArray)
       val seeds = scala.collection.mutable.ArrayBuffer(subPool.head)
       while (seeds.size < nCodes && seeds.size < subPool.length)
         seeds += subPool.maxBy(p => seeds.map(s => d2(p, s)).min)
-      seeds.map(_.toArray).toArray
-    }
-    val subs = subRows(c, nSub, subDim).localCheckpoint()
-    def assign(): DataFrame = {
-      val bookDf = broadcast(
-        (for (m <- 0 until nSub; j <- 0 until nCodes)
-          yield (m, j, books(m)(j).toSeq)).toDF("m", "code", "cent"))
-      subs.join(bookDf, Seq("m"))
-        // deterministic tie-break toward the lower code id
-        .withColumn("dist",
-          aggregate(zip_with(col("sub"), col("cent"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x) +
-          col("code") * lit(1e-12))
-        .groupBy(col("vid"), col("m"))
-        .agg(min_by(col("code"), col("dist")).as("code"))
-    }
-    var round = 0
-    while (round < iters) {
-      val recomputed = assign().join(subs, Seq("vid", "m"))
-        .select(col("m"), col("code"), posexplode(col("sub")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("v"))
-        .groupBy(col("m"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cent"))
-        .as[(Int, Int, Seq[Double])].collect()
-        .map { case (m, j, cent) => (m, j) -> cent.toArray }.toMap
-      // a code that lost every member keeps its previous centroid
-      books = Array.tabulate(nSub)(m => Array.tabulate(nCodes)(j =>
-        recomputed.getOrElse((m, j), books(m)(j))))
-      round += 1
+      var cents = seeds.toArray
+      var round = 0
+      while (round < iters) {
+        // assign: nearest centroid, tie toward the lower code id
+        val assigned = subPool.map { v =>
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < cents.length) {
+            val dj = d2(v, cents(j))
+            if (dj < bestD) { bestD = dj; best = j }
+            j += 1
+          }
+          best
+        }
+        // update: per-code mean; a code that lost every member keeps its
+        // previous centroid (it can re-acquire points)
+        cents = Array.tabulate(cents.length) { j =>
+          val members = assigned.indices.filter(assigned(_) == j)
+          if (members.isEmpty) cents(j)
+          else {
+            val mean = new Array[Double](subDim)
+            members.foreach { i =>
+              var d = 0
+              while (d < subDim) { mean(d) += subPool(i)(d); d += 1 }
+            }
+            mean.map(_ / members.size)
+          }
+        }
+        round += 1
+      }
+      cents
     }
     PqModel(dims, nSub, books)
   }
