@@ -439,8 +439,57 @@ object TextOps {
       FROM c JOIN b USING (shingle)
       GROUP BY 1, 2 HAVING COUNT(*) >= 3"""))
 
+  /** q139: corpus-trained bigram-LM perplexity scoring — the CCNet-style
+    * quality signal (Wenzek et al. 2020 filter wikipedia-LM perplexity;
+    * here the LM is the corpus's own word-bigram model, the engine-side
+    * analog). Train = ONE linear aggregation (bigram counts, with c(w1)
+    * derived from them — no second pass) + a distinct-token vocabulary
+    * count; score = Laplace-smoothed P(w2|w1) = (c12+1)/(c1+V) joined
+    * back to each document's bigram stream, mean −ln P per doc reported
+    * as bits/bigram and perplexity. Everything is native expressions
+    * (bigrams via sequence/element_at transform — no shuffle until the
+    * count aggregations); the count tables are vocabulary-bounded and
+    * meet the stream through equi-joins (AQE broadcasts them when small,
+    * shuffles when a web-scale vocabulary isn't) — linear at 100 TB. */
+  private val q139 = NamedQuery(
+    "q139_bigram_lm_perplexity",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val bi = t.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val big = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val v = t.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("vsz"))
+      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(v)
+        .select(col("doc_id"),
+          (-log((col("c12") + 1) / (col("c1") + col("vsz")))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(avg(col("nll")) / lit(math.log(2.0))).as("bits_per_bigram"),
+          r6(exp(avg(col("nll")))).as("perplexity"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      b AS (SELECT doc_id, UNNEST(list_zip(toks[:len(toks)-1], toks[2:])) AS bz FROM t WHERE len(toks) >= 2),
+      bi AS (SELECT doc_id, bz[1] AS w1, bz[2] AS w2 FROM b),
+      big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+      uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT w) AS vsz FROM (SELECT UNNEST(toks) AS w FROM t)),
+      nl AS (SELECT bi.doc_id, -LN((big.c12 + 1) / (uni.c1 + v.vsz)) AS nll
+             FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(AVG(nll) / LN(2), 6) AS bits_per_bigram,
+        ROUND(EXP(AVG(nll)), 6) AS perplexity
+      FROM nl GROUP BY doc_id"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107)
+      q107, q139)
 }
