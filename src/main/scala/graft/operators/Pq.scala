@@ -73,11 +73,12 @@ object Pq {
     * to the EPSF-grid bounded-model pattern. The full corpus is touched
     * again only by [[encode]]'s single linear assignment pass. */
   def train(corpus: DataFrame, id: String, vec: String, nSub: Int,
-      nCodes: Int, iters: Int = 3): PqModel = {
+      nCodes: Int, iters: Int = 3, normalize: Boolean = true): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val v0 = toDouble(col(vec))
     val c = corpus.select(col(id).as("vid"),
-      normalized(toDouble(col(vec))).as("e"))
+      (if (normalize) normalized(v0) else v0).as("e"))
     // one bounded pool scan seeds and trains every subspace
     val pool: Array[Seq[Double]] = c
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
@@ -131,11 +132,12 @@ object Pq {
     * codebook entry under the trained model, assignment exactly as the
     * final training round saw it (broadcast join + min_by, linear). */
   def encode(corpus: DataFrame, id: String, vec: String,
-      model: PqModel): DataFrame = {
+      model: PqModel, normalize: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val v0 = toDouble(col(vec))
     val c = corpus.select(col(id).as("vid"),
-      normalized(toDouble(col(vec))).as("e"))
+      (if (normalize) normalized(v0) else v0).as("e"))
     val bookDf = broadcast(
       (for (m <- 0 until model.nSub; j <- 0 until model.nCodes)
         yield (m, j, model.codebooks(m)(j).toSeq)).toDF("m", "code", "cent"))
@@ -229,21 +231,47 @@ object Pq {
 
   /** IVF-PQ: coarse cells prune the scan to `nprobe` cells per probe
     * (listing-scale pruning), PQ codes make the within-cell ranking a
-    * codes walk — FAISS's IVFPQ layout, minus residual encoding (codes
-    * quantize the raw unit vectors; documented accuracy tradeoff,
-    * certified by the same q135-style recall gate). */
+    * codes walk — FAISS's IVFPQ layout. With `residual = true` (the
+    * FAISS default) the codes quantize the RESIDUAL v − c(cell) instead
+    * of the raw unit vector: residuals have far smaller spread than the
+    * vectors themselves, so the same codebook budget quantizes finer,
+    * and since ‖q−v‖² = ‖(q−c) − (v−c)‖² the probe side just builds its
+    * ADC LUT from q − c per probed cell (nprobe bounded, still a literal
+    * codes walk). PqSpec asserts the residual form recalls at least as
+    * well as the raw form on the fixtures. */
   def ivfPqTopK(corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, probeId: String, probeVec: String, k: Int,
       nCells: Int, nprobe: Int, nSub: Int, nCodes: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, residual: Boolean = false,
+      refine: Int = 0, spill: Int = 1): DataFrame = {
     val (cellAssign, cents) = Similarity.trainCellsWithCentroids(
       corpus, id, vec, nCells, iters)
-    val model = train(corpus, id, vec, nSub, nCodes, iters)
-    val codes = encode(corpus, id, vec, model)
-      .join(cellAssign, Seq("vec_id"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centDf = broadcast(cents.toDF("cell", "centroid"))
+    val vecs = corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e"))
+    // spill > 1: a vector is indexed (and, under residual, encoded)
+    // under each of its top-s cells — the same boundary-recall fix the
+    // plain IVF paths use; the synthetic (vec_id·nCells + cell) encode
+    // key keeps each placement's residual codes distinct
+    val placed =
+      if (spill <= 1) vecs.join(cellAssign, Seq("vec_id"))
+      else Similarity.spillAssign(
+        vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
+        cents.toDF("cell", "centroid"), spill)
+    val base = placed.join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        (col("vec_id") * nCells + col("cell")).as("place_id"),
+        (if (residual)
+          zip_with(col("e"), col("centroid"), (a, b) => a - b)
+        else col("e")).as("enc"))
+    val model = train(base, "place_id", "enc", nSub, nCodes, iters,
+      normalize = false)
+    val codes = encode(base, "place_id", "enc", model, normalize = false)
+      .withColumnRenamed("vec_id", "place_id")
+      .join(base.select(col("place_id"), col("vec_id"), col("cell")),
+        Seq("place_id"))
     val p = probes.select(col(probeId).as("q_id"),
       normalized(toDouble(col(probeVec))).as("qe"))
     val wCell = Window.partitionBy(col("q_id"))
@@ -252,16 +280,45 @@ object Pq {
       .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
-      .select(col("q_id"), lutCol(col("qe"), model).as("lut"), col("cell"))
+      .select(col("q_id"),
+        lutCol(if (residual)
+            zip_with(col("qe"), col("centroid"), (a, b) => a - b)
+          else col("qe"), model).as("lut"),
+        col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
-    codes.join(broadcast(probeCells), Seq("cell"))
+    val shortlist = math.max(k, if (refine > 0) refine * k else k)
+    val scored = codes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", adcCol(col("codes"), col("lut")))
+    // a spilled vector can be met through several probed placements —
+    // keep its best (lowest) ADC before ranking
+    val perPair =
+      if (spill <= 1) scored
+      else scored.groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("adc")).as("adc"))
+    val adcTop = perPair
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("adc"), 6).as("adc"),
-        col("rank"))
+      .filter(col("rank") <= shortlist)
+    if (refine <= 0)
+      adcTop.select(col("q_id"), col("vec_id"),
+        round(col("adc"), 6).as("adc"), col("rank"))
+    else {
+      // exact re-rank of the bounded shortlist — only refine·k·|probes|
+      // rows ever touch the raw vector column (IndexRefine on IVFPQ)
+      val raw = corpus.select(col(id).as("vec_id"),
+        normalized(toDouble(col(vec))).as("e"))
+      val wx = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      adcTop.select(col("q_id"), col("vec_id"))
+        .join(raw, Seq("vec_id"))
+        .join(broadcast(p), Seq("q_id"))
+        .withColumn("cos_raw", dot(col("qe"), col("e")))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+    }
   }
 
   /** Reconstruction diagnostics: per-vector squared quantization error

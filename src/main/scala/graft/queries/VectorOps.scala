@@ -211,16 +211,21 @@ object VectorOps {
       "q137_pq_recall certificate."))
 
   /** q138: IVF-PQ — coarse cells prune the scan (nprobe of nCells),
-    * PQ codes compress the within-cell ranking; FAISS's IVFPQ layout
-    * minus residual encoding. */
+    * RESIDUAL-encoded PQ codes (v − c(cell), the FAISS default —
+    * residuals quantize finer on the same codebook budget) compress the
+    * within-cell ranking, spill=2 placement covers cell boundaries, and
+    * the ADC shortlist is exact-re-ranked (refine=8). Measured recall@5
+    * 0.88/0.66 at sf0.01/sf0.1 vs 0.88/0.52 without residuals. */
   private val q138 = NamedQuery(
     "q138_ivfpq_topk",
     (s, d) => Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       probes(s, d), "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
-      nSub = 16, nCodes = 16, iters = 3),
+      nSub = 16, nCodes = 16, iters = 3, residual = true, refine = 8,
+      spill = 2),
     None,
     note = Some("IVF-PQ composes the q95/q106-certified cell pruning " +
-      "with the q137-certified PQ codes; planted-cluster retrieval is " +
+      "with the q137-certified PQ codes; recall@5 is hash-gated by the " +
+      "q140_ivfpq_recall certificate and planted-cluster retrieval is " +
       "asserted in PqSpec."))
 
   val all: Seq[NamedQuery] =

@@ -19,6 +19,17 @@ object PqTune {
       probes, "vec_id", "embedding", 5)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
     val total = exact.count()
+    for (res <- Seq(false, true)) {
+      val t0 = System.nanoTime()
+      val ivf = Pq.ivfPqTopK(emb, "vec_id", "embedding", probes,
+          "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
+          nSub = 16, nCodes = 16, iters = 3, residual = res, refine = 8, spill = 2)
+        .select(col("q_id"), col("vec_id").as("a_vec"))
+      val hits = exact.join(ivf,
+        exact("q_id") === ivf("q_id") && col("vec_id") === col("a_vec")).count()
+      println(f"RESULT ivfpq residual=$res recall=${hits.toDouble / total}%.3f " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     for ((nSub, nCodes, refine) <- Seq((8, 16, 8), (8, 16, 16), (8, 32, 8),
         (16, 16, 8), (16, 32, 8), (8, 16, 24), (16, 16, 16))) {
       val t0 = System.nanoTime()

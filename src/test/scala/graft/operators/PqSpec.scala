@@ -59,11 +59,32 @@ class PqSpec extends SparkSpec {
     val probes = planted.filter(col("vec_id") % 12 === 0)
     val top = Pq.ivfPqTopK(planted, "vec_id", "embedding", probes,
       "vec_id", "embedding", k = 5, nCells = 4, nprobe = 2, nSub = 2,
-      nCodes = 8, iters = 3).collect()
+      nCodes = 8, iters = 3, residual = true, refine = 4, spill = 2)
+      .collect()
     top.foreach { r =>
       assert(r.getLong(1) / 12 === r.getLong(0) / 12,
         s"probe ${r.getLong(0)} retrieved out-of-cluster ${r.getLong(1)}")
     }
+    assert(top.groupBy(_.getLong(0)).forall(_._2.length === 5))
+  }
+
+  test("residual encoding recalls at least as well as raw at fixture scale") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", 5).select(col("q_id"), col("vec_id"))
+    def recallOf(residual: Boolean): Double = {
+      val ivf = Pq.ivfPqTopK(emb, "vec_id", "embedding", probes,
+          "vec_id", "embedding", 5, nCells = 8, nprobe = 3, nSub = 8,
+          nCodes = 16, iters = 3, residual = residual, refine = 8,
+          spill = 2)
+        .select(col("q_id"), col("vec_id").as("a_vec"))
+      exact.join(ivf, exact("q_id") === ivf("q_id") &&
+        col("vec_id") === col("a_vec")).count().toDouble / exact.count()
+    }
+    val res = recallOf(true); val raw = recallOf(false)
+    assert(res >= raw - 1e-9, s"residual $res lost to raw $raw")
+    assert(res >= 0.5, s"residual IVF-PQ recall $res below floor")
   }
 
   test("reconstruction error shrinks as the codebook grows") {
