@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,6 +318,121 @@ object Pq {
         .filter(col("rank") <= k)
         .select(col("q_id"), col("vec_id"),
           round(col("cos_raw"), 6).as("cosine"), col("rank"))
+    }
+  }
+
+  /** Persist an IVF-PQ index: the corpus stored as (vec_id, codes) rows
+    * PARTITIONED BY the trained cell id — the codes tree is ~nSub bytes a
+    * vector, so the INDEX of a 100 TB float corpus is itself only a few
+    * hundred GB — plus `_centroids` and `_codebooks` model sidecars
+    * (underscore-prefixed: invisible to data readers). Residual encoding
+    * always on (the FAISS IVFPQ layout); spill places boundary vectors
+    * under their top-s cells with per-placement codes. The raw vectors
+    * are NOT duplicated into the index: at scale the source table stays
+    * where it is, and a refine stage joins back to it by id
+    * ([[probeIvfPqIndex]]'s `refineWith`). */
+  def writeIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+      dir: String, nCells: Int, nSub: Int, nCodes: Int,
+      iters: Int = 3, spill: Int = 1): Unit = {
+    val (cellAssign, cents) = Similarity.trainCellsWithCentroids(
+      corpus, id, vec, nCells, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("cell", "centroid"))
+    val vecs = corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e"))
+    val placed =
+      if (spill <= 1) vecs.join(cellAssign, Seq("vec_id"))
+      else Similarity.spillAssign(
+        vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
+        cents.toDF("cell", "centroid"), spill)
+    val base = placed.join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        (col("vec_id") * nCells + col("cell")).as("place_id"),
+        zip_with(col("e"), col("centroid"), (a, b) => a - b).as("enc"))
+    val model = train(base, "place_id", "enc", nSub, nCodes, iters,
+      normalize = false)
+    encode(base, "place_id", "enc", model, normalize = false)
+      .withColumnRenamed("vec_id", "place_id")
+      .join(base.select(col("place_id"), col("vec_id"), col("cell")),
+        Seq("place_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    cents.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/_centroids")
+    (for (m <- 0 until model.nSub; j <- 0 until model.nCodes)
+      yield (m, j, model.codebooks(m)(j).toSeq))
+      .toDF("m", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+  }
+
+  /** Probe the on-disk IVF-PQ index: reload the model sidecars, rank
+    * cells by probe↔centroid cosine, scan ONLY the top `nprobe` cell
+    * partitions of the CODES tree (partition-column filter ⇒ listing-time
+    * pruning, and the scanned bytes are codes, not vectors), ADC-rank,
+    * and — when `refineWith` supplies the source table — exact-re-rank
+    * the refine·k shortlist against the raw vectors joined by id. */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, probes: DataFrame,
+      probeId: String, probeVec: String, k: Int, nprobe: Int,
+      refineWith: Option[(DataFrame, String, String)] = None,
+      refine: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/_centroids")
+      .select(col("cell"), col("centroid"))
+    val books = spark.read.parquet(s"$dir/_codebooks")
+      .select(col("m"), col("code"), col("cent"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
+    val model = PqModel(books.length * books.head.head.length,
+      books.length, books)
+    val p = probes.select(col(probeId).as("q_id"),
+      normalized(toDouble(col(probeVec))).as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probeCells = p.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("q_id"),
+        lutCol(zip_with(col("qe"), col("centroid"), (a, b) => a - b),
+          model).as("lut"),
+        col("cell"))
+    // bounded probed-cell set → LITERAL IN on the partition column, so
+    // pruning happens at file listing, before any codes file opens
+    val wanted = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(dir)
+      .filter(col("cell").isin(wanted.map(_.asInstanceOf[Any]): _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist =
+      math.max(k, if (refineWith.isDefined) refine * k else k)
+    val adcTop = codes.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", adcCol(col("codes"), col("lut")))
+      // spilled placements: keep each pair's best ADC before ranking
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("adc")).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= shortlist)
+    refineWith match {
+      case None =>
+        adcTop.select(col("q_id"), col("vec_id"),
+          round(col("adc"), 6).as("adc"), col("rank"))
+      case Some((src, srcId, srcVec)) =>
+        val raw = src.select(col(srcId).as("vec_id"),
+          normalized(toDouble(col(srcVec))).as("e"))
+        val wx = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id").asc)
+        adcTop.select(col("q_id"), col("vec_id"))
+          .join(raw, Seq("vec_id"))
+          .join(broadcast(p), Seq("q_id"))
+          .withColumn("cos_raw", dot(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(wx).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("q_id"), col("vec_id"),
+            round(col("cos_raw"), 6).as("cosine"), col("rank"))
     }
   }
 

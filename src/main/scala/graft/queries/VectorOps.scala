@@ -228,6 +228,26 @@ object VectorOps {
       "q140_ivfpq_recall certificate and planted-cluster retrieval is " +
       "asserted in PqSpec."))
 
+  /** q141: the on-disk IVF-PQ index (q138's algorithm as an I/O story):
+    * codes tree partitioned by cell (the index of a float corpus is
+    * ~nSub bytes/vector), model sidecars, listing-time partition
+    * pruning at probe, and refine re-rank joining the SOURCE table by id
+    * (raw vectors are never duplicated into the index). */
+  private val q141 = NamedQuery(
+    "q141_ivfpq_index_probe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.TempDirs.create("graft_ivfpq_index")
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", dir, nCells = 16,
+        nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      Pq.probeIvfPqIndex(s, dir, probes(s, d), "vec_id", "embedding",
+        5, nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))
+    },
+    None,
+    note = Some("On-disk IVF-PQ probe; PqSpec asserts it returns exactly " +
+      "the in-memory q138 results (same trained model, deterministic), " +
+      "whose recall is hash-gated by q140_ivfpq_recall."))
+
   val all: Seq[NamedQuery] =
-    Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119, q136, q138)
+    Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119, q136, q138, q141)
 }

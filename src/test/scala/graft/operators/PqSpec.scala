@@ -68,6 +68,24 @@ class PqSpec extends SparkSpec {
     assert(top.groupBy(_.getLong(0)).forall(_._2.length === 5))
   }
 
+  test("on-disk IVF-PQ probe returns exactly the in-memory results") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+    val mem = Pq.ivfPqTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", 5, nCells = 8, nprobe = 3, nSub = 8,
+        nCodes = 16, iters = 3, residual = true, refine = 8, spill = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val idxDir = graft.TempDirs.create("graft_ivfpq_idx_test")
+    Pq.writeIvfPqIndex(emb, "vec_id", "embedding", idxDir, nCells = 8,
+      nSub = 8, nCodes = 16, iters = 3, spill = 2)
+    val disk = Pq.probeIvfPqIndex(spark, idxDir, probes, "vec_id",
+        "embedding", 5, nprobe = 3,
+        refineWith = Some((emb, "vec_id", "embedding")), refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(disk === mem,
+      s"on-disk probe diverged: only-disk=${disk -- mem} only-mem=${mem -- disk}")
+  }
+
   test("residual encoding recalls at least as well as raw at fixture scale") {
     val emb = Tables.embeddings(spark, dir)
     val probes = emb.filter(col("vec_id") < 8)
