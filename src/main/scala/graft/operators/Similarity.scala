@@ -104,14 +104,15 @@ object Similarity {
       .select(col("vec_id"), col("a_cell").as("cell"), col("e"))
   }
 
-  /** Train an IVF coarse quantizer: `iters` Lloyd rounds from a
-    * deterministic hash-sampled seed. Returns (vec_id, cell) assignments
-    * whose cells track the VECTOR GEOMETRY — the right cells when no
-    * meaningful pre-clustering column exists. Each round is one broadcast
-    * argmax scan over the corpus (max_by aggregate — no window sort) plus
-    * one per-cell mean; the centroid table (nCells × dims) is a bounded
-    * model object, collected like the EPSF grid. Linear in corpus size,
-    * no pairwise shuffle: the k-means-style scale path of IVF training. */
+  /** Train an IVF coarse quantizer: `iters` Lloyd rounds over a bounded
+    * deterministic hash-sampled pool (driver-side, FAISS-practice — see
+    * the in-body note), then ONE distributed broadcast argmax scan
+    * (max_by aggregate — no window sort) assigns the full corpus under
+    * the trained model. Returns (vec_id, cell) assignments whose cells
+    * track the VECTOR GEOMETRY — the right cells when no meaningful
+    * pre-clustering column exists. The centroid table (nCells × dims) is
+    * a bounded model object, collected like the EPSF grid. Linear in
+    * corpus size, no pairwise shuffle, no per-round cluster jobs. */
   def trainCells(corpus: DataFrame, id: String, vec: String, nCells: Int,
       iters: Int = 2): DataFrame =
     trainCellsWithCentroids(corpus, id, vec, nCells, iters)._1
@@ -159,18 +160,44 @@ object Similarity {
         .groupBy(col("vid"))
         .agg(max_by(col("cell"), col("score")).as("cell"))
     }
+    // Lloyd rounds run DRIVER-SIDE over the same bounded pool (round 7 —
+    // the FAISS-practice shape, matching Pq.train): quantizer models are
+    // tiny and train on a sample; a 100 TB corpus never pays per-round
+    // distributed jobs for them. Assignment scoring mirrors the
+    // distributed assign() exactly: cosine, tie toward the lower cell id.
+    // The full corpus is touched once more by the final assign() scan.
+    def cosineD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dp / math.sqrt(na * nb)
+    }
+    val dims = pool.head.length
     var round = 0
     while (round < iters) {
-      val recomputed = assign().join(c, Seq("vid"))
-        .select(col("cell"), posexplode(col("e")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("centroid"))
-        .as[(Int, Seq[Double])].collect().toMap
+      val assigned = pool.map { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        cents.foreach { case (i, ce) =>
+          val s = cosineD(v, ce) - i * 1e-12
+          if (s > bestScore) { bestScore = s; best = i }
+        }
+        best
+      }
       // a cell that lost every member keeps its previous centroid (it can
       // re-acquire points) instead of silently vanishing from the model
-      cents = cents.map { case (i, old) => (i, recomputed.getOrElse(i, old)) }
+      cents = cents.map { case (i, old) =>
+        val members = pool.indices.filter(assigned(_) == i)
+        if (members.isEmpty) (i, old)
+        else {
+          val mean = new Array[Double](dims)
+          members.foreach { mi =>
+            var d = 0
+            while (d < dims) { mean(d) += pool(mi)(d); d += 1 }
+          }
+          (i, mean.map(_ / members.size).toSeq)
+        }
+      }
       round += 1
     }
     (assign().select(col("vid").as("vec_id"), col("cell")), cents)
