@@ -17,7 +17,11 @@ import org.apache.spark.sql.types._
   * is sized to the heap —
   *
   *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 sbt "runMain graft.tools.ScaleBench 4096 3"
-  *   → status=ok, 176.6 s (measured round 5)
+  *   → status=ok, 176.6 s (measured round 5; 185.2 s re-measured round 7)
+  *
+  * Full-power (24 g, 32 threads): 111.9 s round 5 → 89.2 s round 7 after
+  * the PSF model subtraction moved from a scalar UDF to the native
+  * PsfModel.evalCol expression tree.
   *
   * A hidden full-frame driver materialization (50 M Rows ≈ several GiB)
   * could not fit; at 32 threads the cap instead trips on legitimate
