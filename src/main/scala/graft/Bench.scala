@@ -48,8 +48,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      fullJson.getBytes("UTF-8"))
+    // anchor to the repo root (env override first, then the build's
+    // user.dir if it holds build.sbt, else CWD) so running the bench from
+    // another directory doesn't scatter the artifact
+    val root = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d, "build.sbt"))))
+      .getOrElse(".")
+    val fullPath = java.nio.file.Paths.get(root, "bench_full.json")
+    java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     // printed line (what the driver stores as BENCH_r{N}) must PARSE from
     // that 2000-char tail: per-operator-family rollups always fit, plus as
     // many of the slowest per-query timings as the budget allows —

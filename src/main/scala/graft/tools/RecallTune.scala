@@ -63,6 +63,31 @@ object RecallTune {
         probes, "vec_id", "embedding", 5, dims = 64, nBits = 48, nBands = 12))
       println(f"REG lsh-topk nBits=48 nBands=12 recall=$r%.3f")
     }
+    // registered q142 config: IVF-PQ append drift (appended vs rebuilt)
+    {
+      import graft.operators.Pq
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val appended = graft.TempDirs.create("tune_ivfpq_appended")
+      Pq.writeIvfPqIndex(base, "vec_id", "embedding", appended,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", appended, spill = 2)
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4),
+        "vec_id", "embedding", appended, spill = 2)
+      val compacted = graft.TempDirs.create("tune_ivfpq_compacted")
+      Pq.compactIvfPqIndex(spark, appended, compacted)
+      val rebuilt = graft.TempDirs.create("tune_ivfpq_rebuilt")
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", rebuilt,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      val app = recallOf(exact, Pq.probeIvfPqIndex(spark, compacted, probes,
+        "vec_id", "embedding", 5, nprobe = 6,
+        refineWith = Some((emb, "vec_id", "embedding"))))
+      val reb = recallOf(exact, Pq.probeIvfPqIndex(spark, rebuilt, probes,
+        "vec_id", "embedding", 5, nprobe = 6,
+        refineWith = Some((emb, "vec_id", "embedding"))))
+      println(f"REG ivfpq-append appended=$app%.3f rebuilt=$reb%.3f " +
+        f"drift=${reb - app}%.3f")
+    }
     spark.stop()
   }
 }

@@ -86,6 +86,51 @@ class PqSpec extends SparkSpec {
       s"on-disk probe diverged: only-disk=${disk -- mem} only-mem=${mem -- disk}")
   }
 
+  test("append under frozen model ≡ building the index on the full corpus " +
+      "with the same model's placements") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+    // index 75%, append 25% in two frozen-model batches, compact
+    val idxDir = graft.TempDirs.create("graft_ivfpq_append_test")
+    Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", idxDir, nCells = 8, nSub = 8, nCodes = 16, iters = 3,
+      spill = 2)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+      "embedding", idxDir, spill = 2)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4), "vec_id",
+      "embedding", idxDir, spill = 2)
+    val compacted = graft.TempDirs.create("graft_ivfpq_compact_test")
+    Pq.compactIvfPqIndex(spark, idxDir, compacted)
+    // every corpus vector is present (spill=2 ⇒ two placements each)
+    val n = emb.count()
+    val rows = spark.read.parquet(compacted)
+    assert(rows.select("vec_id").distinct().count() === n)
+    assert(rows.count() === 2 * n)
+    // compaction is pure I/O: probing appended and compacted is identical
+    def probe(d: String) = Pq.probeIvfPqIndex(spark, d, probes, "vec_id",
+        "embedding", 5, nprobe = 3,
+        refineWith = Some((emb, "vec_id", "embedding")), refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(probe(compacted) === probe(idxDir))
+    // appended codes are bit-identical to what a from-scratch encode of
+    // those vectors under the SAME frozen model produces: rebuild the
+    // 75% index with identical training inputs and append the rest —
+    // the two trees must agree row-for-row
+    val idxDir2 = graft.TempDirs.create("graft_ivfpq_append_test2")
+    Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", idxDir2, nCells = 8, nSub = 8, nCodes = 16, iters = 3,
+      spill = 2)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", idxDir2, spill = 2)
+    val a = spark.read.parquet(compacted)
+      .select(col("vec_id"), col("cell").cast("int"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val b = spark.read.parquet(idxDir2)
+      .select(col("vec_id"), col("cell").cast("int"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a === b)
+  }
+
   test("residual encoding recalls at least as well as raw at fixture scale") {
     val emb = Tables.embeddings(spark, dir)
     val probes = emb.filter(col("vec_id") < 8)
