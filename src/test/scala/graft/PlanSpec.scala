@@ -136,6 +136,89 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("no scalar UDF in any oracle-free (cert / ANN / sketch) plan either") {
+    // the oracle-free class (ANN composites, solver certificates) must meet
+    // the same native-expression bar as the hash-gated queries — a UDF
+    // regression here would silently cost codegen on the scale paths
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val offenders = SparkEntry.oracleFree.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      var found = false
+      df.queryExecution.analyzed.foreach { p =>
+        p.expressions.foreach(_.foreach {
+          case _: ScalaUDF => found = true
+          case _ => ()
+        })
+      }
+      found
+    }
+    assert(offenders.isEmpty, s"scalar UDFs in oracle-free plans: $offenders")
+  }
+
+  test("IVF-PQ ADC shortlist ranks under WindowGroupLimit; refine join " +
+      "broadcasts the probe side (q138)") {
+    val plan = finalPlan(q("q138_ivfpq_topk"))
+    // the rank-<=shortlist filter must prune each probe's group before the
+    // sort — without it the ADC scan sorts every candidate row
+    assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")
+    // probe LUTs and the refine probe table are bounded → broadcast, and
+    // nothing in the composition may fall back to a cartesian product
+    assert(plan.contains("BroadcastHashJoin"), s"refine join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("on-disk IVF-PQ probe prunes the codes tree at listing time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 well-separated clusters → 3 cells; one probe with nprobe=1 must
+    // open exactly one cell=* directory of the codes tree
+    val crnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(0.0).updated(1, 10.0),
+      Array.fill(16)(0.0).updated(6, 10.0),
+      Array.fill(16)(0.0).updated(11, -10.0))
+    val clustered = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + crnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val idxDir = graft.TempDirs.create("graft-planspec-ivfpq")
+    graft.operators.Pq.writeIvfPqIndex(clustered, "vec_id", "embedding",
+      idxDir, nCells = 3, nSub = 4, nCodes = 8, iters = 3)
+    val out = graft.operators.Pq.probeIvfPqIndex(spark, idxDir,
+      clustered.filter(col("vec_id") === 0), "vec_id", "embedding",
+      5, nprobe = 1)
+    val plan = finalPlan(out)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on the codes tree:\n$plan")
+    // listing-time proof: of the 3 cell directories written, every
+    // executed scan of the codes tree selected exactly 1 partition
+    // (Dataset.inputFiles reads the UNPRUNED logical relation, so the
+    // check must look at the executed FileSourceScanExec nodes)
+    val cellsWritten = new java.io.File(idxDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellsWritten === 3)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: QueryStageExec => allScans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(allScans)
+    }
+    val codesScans = allScans(out.queryExecution.executedPlan).filter { s =>
+      s.metadata.get("Location").exists(_.contains("planspec-ivfpq")) &&
+        !s.metadata.get("Location").exists(_.contains("_centroids")) &&
+        !s.metadata.get("Location").exists(_.contains("_codebooks"))
+    }
+    assert(codesScans.nonEmpty, "no codes-tree scan found in executed plan")
+    codesScans.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value)
+        .getOrElse(s.metrics("numFiles").value)
+      assert(parts === 1L,
+        s"codes scan read $parts partitions, wanted 1 of $cellsWritten:\n$s")
+    }
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
