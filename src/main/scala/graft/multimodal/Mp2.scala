@@ -26,15 +26,14 @@ package graft.multimodal
   * Table 3-B.4 to its printed precision (anchored in Mp2Spec). The
   * encoder inverts it: c = round((y/scf·L + L − 1)/2).
   *
-  * One documented table deviation, mirroring the derived-window policy in
-  * [[Mp3Windows]]: the single allocation table implemented is the
-  * published Table 3-B.2a SHAPE (sblimit 27; nbal 4 for subbands 0–2 and
-  * 3–10, 3 for 11–22, 2 for 23–26; class ladders below) rather than a
-  * transcription of all four rate-dependent tables 3-B.2a–d, and the
-  * encoder always emits exactly this table, so encoder→decoder
-  * round-trips certify the full grammar (q126) regardless of any
-  * divergence from the ISO tables on third-party streams. Layer III's
-  * hybrid MDCT + Huffman stage remains out of scope (see Multimodal).
+  * All four rate-dependent allocation tables 3-B.2a–d are implemented
+  * (sblimit 27/30/8/12; nbal and class-ladder shapes below) with the
+  * spec's dispatch on sampling frequency × per-channel bitrate
+  * (§2.4.2.2) applied identically on both sides — encoder and decoder
+  * derive the table from the same header fields, so spec-legal
+  * third-party streams at any rate/bitrate combination land on the
+  * right table. Layer III's hybrid MDCT + Huffman stage remains out of
+  * scope (see Multimodal).
   */
 object Mp2 {
 
@@ -64,25 +63,64 @@ object Mp2 {
 
   /** Class ladders per band group (alloc code 1.. → class); code 0 = no
     * allocation. Ladder lengths exactly fill the nbal code space. */
-  private val LadderLow: Array[QClass] = // subbands 0-2, nbal 4
+  private val LadderLow: Array[QClass] = // a/b subbands 0-2, nbal 4
     Array(G3, ug(7, 3), ug(15, 4), ug(31, 5), ug(63, 6), ug(127, 7),
       ug(255, 8), ug(511, 9), ug(1023, 10), ug(2047, 11), ug(4095, 12),
       ug(8191, 13), ug(16383, 14), ug(32767, 15), ug(65535, 16))
-  private val LadderMid: Array[QClass] = // subbands 3-10, nbal 4
+  private val LadderMid: Array[QClass] = // a/b subbands 3-10, nbal 4
     Array(G3, G5, ug(7, 3), G9, ug(15, 4), ug(31, 5), ug(63, 6),
       ug(127, 7), ug(255, 8), ug(511, 9), ug(1023, 10), ug(2047, 11),
       ug(4095, 12), ug(8191, 13), ug(65535, 16))
-  private val LadderHigh: Array[QClass] = // subbands 11-22, nbal 3
+  private val LadderHigh: Array[QClass] = // a/b subbands 11-22, nbal 3
     Array(G3, G5, ug(7, 3), G9, ug(15, 4), ug(31, 5), ug(65535, 16))
-  private val LadderTop: Array[QClass] = // subbands 23-26, nbal 2
+  private val LadderTop: Array[QClass] = // a/b subbands 23-26/29, nbal 2
     Array(G3, G5, ug(65535, 16))
+  // the low-bitrate tables c/d drop the 7-level class and the 16-bit
+  // escape: every step is grouped-3/5/9 then the plain power ladder
+  private val LadderLowCD: Array[QClass] = // c/d subbands 0-1, nbal 4
+    Array(G3, G5, G9, ug(15, 4), ug(31, 5), ug(63, 6), ug(127, 7),
+      ug(255, 8), ug(511, 9), ug(1023, 10), ug(2047, 11), ug(4095, 12),
+      ug(8191, 13), ug(16383, 14), ug(32767, 15))
+  private val LadderHighCD: Array[QClass] = // c/d subbands 2-7/11, nbal 3
+    Array(G3, G5, G9, ug(15, 4), ug(31, 5), ug(63, 6), ug(127, 7))
 
-  private[multimodal] val SbLimit = 27
-  private def ladder(sb: Int): Array[QClass] =
-    if (sb < 3) LadderLow else if (sb < 11) LadderMid
-    else if (sb < 23) LadderHigh else LadderTop
-  private[multimodal] def nbal(sb: Int): Int =
-    if (sb < 11) 4 else if (sb < 23) 3 else 2
+  /** One of the four rate-dependent allocation tables 3-B.2a–d: the
+    * coded bandwidth (sblimit), per-subband allocation-field width, and
+    * per-subband quantization-class ladder. */
+  private[multimodal] final case class AllocTable(name: String, sbLimit: Int,
+      nbalBySb: Array[Int], ladders: Array[Array[QClass]]) {
+    def nbal(sb: Int): Int = nbalBySb(sb)
+    def ladder(sb: Int): Array[QClass] = ladders(sb)
+  }
+  private def abTable(name: String, sbLimit: Int) = AllocTable(name, sbLimit,
+    Array.tabulate(sbLimit)(sb => if (sb < 11) 4 else if (sb < 23) 3 else 2),
+    Array.tabulate(sbLimit)(sb =>
+      if (sb < 3) LadderLow else if (sb < 11) LadderMid
+      else if (sb < 23) LadderHigh else LadderTop))
+  private def cdTable(name: String, sbLimit: Int) = AllocTable(name, sbLimit,
+    Array.tabulate(sbLimit)(sb => if (sb < 2) 4 else 3),
+    Array.tabulate(sbLimit)(sb =>
+      if (sb < 2) LadderLowCD else LadderHighCD))
+  private[multimodal] val TableA = abTable("3-B.2a", 27)
+  private[multimodal] val TableB = abTable("3-B.2b", 30)
+  private[multimodal] val TableC = cdTable("3-B.2c", 8)
+  private[multimodal] val TableD = cdTable("3-B.2d", 12)
+
+  /** Table dispatch (§2.4.2.2): selected by sampling frequency and
+    * bitrate PER CHANNEL — 48 kHz never uses b (its 27 subbands already
+    * span 20.25 kHz); 32 kHz swaps c for d at the low rates (d's 12
+    * subbands keep 6 kHz of its narrower spectrum). Encoder and decoder
+    * derive the table from the same header fields, so the choice never
+    * needs signaling. */
+  private[multimodal] def allocTable(sampleRate: Int, bitrateKbps: Int,
+      nch: Int): AllocTable = {
+    val perCh = bitrateKbps / nch
+    if (sampleRate == 48000) { if (perCh >= 56) TableA else TableC }
+    else if (perCh >= 96) TableB
+    else if (perCh >= 56) TableA
+    else if (sampleRate == 32000) TableD
+    else TableC
+  }
 
   /** Uniform midtread requantization (≡ spec C·(s''' + D), see scaladoc):
     * raw code c of class L → value in (−1, 1). */
@@ -136,7 +174,10 @@ object Mp2 {
     case class Plan(cls: Array[Array[Int]], // alloc code per (ch, sb); 0 = off
         scf: Array[Array[Array[Int]]], // (ch, sb, part 0-2)
         scfsi: Array[Array[Int]], bits: Int)
-    val plans = frames.map { fr =>
+    def plansUnder(tab: AllocTable): Array[Plan] = frames.map { fr =>
+      val SbLimit = tab.sbLimit
+      def nbal(sb: Int) = tab.nbal(sb)
+      def ladder(sb: Int) = tab.ladder(sb)
       val alloc = Array.ofDim[Int](nch, SbLimit)
       val scf = Array.ofDim[Int](nch, SbLimit, 3)
       val scfsi = Array.ofDim[Int](nch, SbLimit)
@@ -198,15 +239,25 @@ object Mp2 {
       }
       Plan(alloc, scf, scfsi, bits)
     }
-    val worst = plans.map(_.bits).max
-    val brIdx = (1 until 15).find(bi =>
-      (144 * Bitrates(bi) * 1000 / sampleRate) * 8 >= worst)
-      .getOrElse(throw new IllegalArgumentException(
-        s"frame needs $worst bits — no Layer II bitrate fits (lower nb)"))
+    // bitrate and allocation table co-determine each other (§2.4.2.2):
+    // walk the standard bitrates ascending, plan under each candidate's
+    // table (memoized — at most three distinct tables per rate), take the
+    // first whose slot count fits its own worst frame
+    val planCache = scala.collection.mutable.Map.empty[String, Array[Plan]]
+    val (brIdx, table, plans) = (1 until 15).iterator.map { bi =>
+      val tab = allocTable(sampleRate, Bitrates(bi), nch)
+      (bi, tab, planCache.getOrElseUpdate(tab.name, plansUnder(tab)))
+    }.find { case (bi, _, ps) =>
+      (144 * Bitrates(bi) * 1000 / sampleRate) * 8 >= ps.map(_.bits).max
+    }.getOrElse(throw new IllegalArgumentException(
+      "no Layer II bitrate fits the worst frame (lower nb)"))
     val slotBytes = 144 * Bitrates(brIdx) * 1000 / sampleRate
 
     val w = new Mp3.BitWriter
     for (f <- 0 until nFrames) {
+      val SbLimit = table.sbLimit
+      def nbal(sb: Int) = table.nbal(sb)
+      def ladder(sb: Int) = table.ladder(sb)
       val start = w.size
       val p = plans(f)
       w.write(0xfff, 12); w.write(1, 1); w.write(2, 2); w.write(1, 1)
@@ -280,6 +331,12 @@ object Mp2 {
         if (p + slotBytes > bytes.length) return None
         if ((out(0).length + 1152L) * nch > MaxTotalSamples) return None
 
+        // the table is a pure function of the header fields the encoder
+        // also sees, so per-frame (VBR-legal) dispatch needs no signaling
+        val table = allocTable(rate, Bitrates(brIdx), nch)
+        val SbLimit = table.sbLimit
+        def nbal(sb: Int) = table.nbal(sb)
+        def ladder(sb: Int) = table.ladder(sb)
         val r = new Mp3.BitReader(bytes, p + 4 + (if (protection == 0) 2 else 0))
         val alloc = Array.ofDim[Int](nch, SbLimit)
         val scfsi = Array.ofDim[Int](nch, SbLimit)

@@ -226,16 +226,26 @@ object PhotometryRel {
         MEDIAN(dy) AS med_dy, COUNT(*) AS n_matched FROM m"""))
 
   /** image_mask crowding exclusion (core.py:317-330): keep stars with no
-    * neighbor within the radius — distance-predicate anti-join. */
+    * neighbor within the radius — distance-predicate anti-join.
+    *
+    * The synthetic field AREA-SCALES with the catalog: each 1000-key
+    * block of part keys gets its own 100-unit x-strip (real surveys grow
+    * sky area with catalog size, they don't densify one plate), so star
+    * density — and the per-star neighbor count — is scale-invariant and
+    * the pair workload grows linearly, at sf0.01 and at a 10× GenScale
+    * tiling alike. */
   private val q29 = NamedQuery(
     "q29_crowding_anti",
     (s, d) => {
       val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
-        ((col("p_partkey") * 37 % 1000) / 10.0).as("x"),
+        (((col("p_partkey") * 37 % 1000) / 10.0) +
+          floor(col("p_partkey") / lit(1000.0)) * lit(100.0)).as("x"),
         ((col("p_partkey") * 91 % 1000) / 10.0).as("y"))
       SpatialJoins.crowdingAnti(pts, "id", "x", "y", 4.0)
     },
-    Some(s"""WITH a AS ($partPointsSql)
+    Some(s"""WITH a AS (SELECT p_partkey AS id,
+        (p_partkey*37%1000)/10.0 + FLOOR(p_partkey/1000.0)*100.0 AS x,
+        (p_partkey*91%1000)/10.0 AS y FROM part)
       SELECT id, x, y FROM a p WHERE NOT EXISTS (
         SELECT 1 FROM a q WHERE q.id <> p.id
           AND SQRT((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)) < 4.0)"""))

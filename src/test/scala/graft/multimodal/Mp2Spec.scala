@@ -109,6 +109,67 @@ class Mp2Spec extends AnyFunSuite {
     assert(snr > 30.0, s"mixed SNR $snr dB")
   }
 
+  test("allocation table dispatch follows the §2.4.2.2 rate matrix") {
+    def nameOf(r: Int, br: Int, nch: Int) = Mp2.allocTable(r, br, nch).name
+    assert(nameOf(48000, 192, 1) === "3-B.2a")
+    assert(nameOf(48000, 384, 2) === "3-B.2a") // 192 per channel
+    assert(nameOf(48000, 48, 1) === "3-B.2c") // 48 kHz never uses b or d
+    assert(nameOf(44100, 96, 1) === "3-B.2b")
+    assert(nameOf(44100, 128, 2) === "3-B.2a") // 64 per channel
+    assert(nameOf(44100, 32, 1) === "3-B.2c")
+    assert(nameOf(32000, 192, 1) === "3-B.2b")
+    assert(nameOf(32000, 64, 1) === "3-B.2a")
+    assert(nameOf(32000, 48, 1) === "3-B.2d")
+    assert(Mp2.TableA.sbLimit === 27 && Mp2.TableB.sbLimit === 30)
+    assert(Mp2.TableC.sbLimit === 8 && Mp2.TableD.sbLimit === 12)
+    // c/d ladders: no 7-level class, no 16-bit escape; grouped 3/5/9 head
+    assert(Mp2.TableC.ladder(0).map(_.levels).take(3).toSeq === Seq(3, 5, 9))
+    assert(!Mp2.TableC.ladder(0).exists(q => q.levels == 7 || q.levels == 65535))
+    assert(Mp2.TableD.ladder(2).map(_.levels).toSeq ===
+      Seq(3, 5, 9, 15, 31, 63, 127))
+  }
+
+  test("streams land on each table shape and round-trip through it") {
+    // the encoder picks the smallest fitting bitrate, so signal demand
+    // steers which table the header dispatches; the header is the proof
+    val Bitrates = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320, 384)
+    def headerTable(bytes: Array[Byte], rate: Int, nch: Int): String = {
+      val brIdx = (bytes(2) >> 4) & 0xf
+      Mp2.allocTable(rate, Bitrates(brIdx), nch).name
+    }
+    // table c: a lone tone at modest resolution needs only 48 kbps
+    val sc = tone(4608, 440.0, 48000)
+    val bc = Mp2.encode(48000, Array(sc), nb = 4)
+    assert(headerTable(bc, 48000, 1) === "3-B.2c")
+    assert(snrDb(Mp2.decode(bc).get.samples(0), sc.map(_ / 32768.0)) > 18.0)
+    // table d: same at 32 kHz
+    val sd = tone(4608, 440.0, 32000)
+    val bd = Mp2.encode(32000, Array(sd), nb = 4)
+    assert(headerTable(bd, 32000, 1) === "3-B.2d")
+    assert(snrDb(Mp2.decode(bd).get.samples(0), sd.map(_ / 32768.0)) > 18.0)
+    // table a: a three-tone chord needs a mid bitrate at 48 kHz
+    val sa = Array.tabulate(4608) { t =>
+      (Seq(440.0, 2300.0, 6100.0).map(f =>
+        math.sin(2 * math.Pi * f * t / 48000)).sum * 32768.0 * 0.3).toInt
+    }
+    val ba = Mp2.encode(48000, Array(sa), nb = 12)
+    assert(headerTable(ba, 48000, 1) === "3-B.2a")
+    assert(snrDb(Mp2.decode(ba).get.samples(0), sa.map(_ / 32768.0)) > 40.0)
+    // table b: dense wideband noise at 44.1 kHz pushes past 96 kbps/ch
+    val rnd = new scala.util.Random(5)
+    val parts = Array.fill(300)(
+      (50.0 + rnd.nextDouble() * 10850.0, rnd.nextDouble() * 2 * math.Pi))
+    val sb = Array.tabulate(4 * 1152) { t =>
+      val v = parts.map { case (f, ph) =>
+        math.sin(2 * math.Pi * f * t / 44100 + ph) }.sum / 30.0
+      (v * 32768.0 * 0.35).toInt
+    }
+    val bb = Mp2.encode(44100, Array(sb), nb = 6)
+    assert(headerTable(bb, 44100, 1) === "3-B.2b")
+    assert(snrDb(Mp2.decode(bb).get.samples(0), sb.map(_ / 32768.0)) > 20.0)
+  }
+
   test("header facts: Layer II bits, bitrate index, frame slot walk") {
     val bytes = Mp2.encode(48000, Array(tone(3000, 440.0, 48000)))
     assert(Mp2.isMp2(bytes))
