@@ -207,13 +207,18 @@ object RecallQueries {
       val approx = expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
         .as("ap")
-      // single-partition fold: Greenwald–Khanna partial merges are
-      // order-dependent across partition counts, and the certificate rows
-      // are hash-gated — coalesce(1) keeps them bit-deterministic at any
-      // parallelism (cheap: one numeric column at fixture scale; at 100 TB
-      // you'd drop this and widen the threshold instead)
+      // deliberately DISTRIBUTED (no coalesce(1) fold): Greenwald–Khanna
+      // partial merges are order-dependent, so the raw approx values can
+      // vary across partition counts — but within the sketch's ε=1/1000
+      // guarantee, and the registered rows are the constant
+      // (check, threshold, pass) triples whose pass booleans carry a 13×
+      // margin (measured max rel error 0.0015 vs the 0.02 gate), so the
+      // accepted nondeterminism bound can never flip the gate. A
+      // single-partition fold would make the values bit-stable but
+      // serializes the whole column through one task — exactly the
+      // anti-pattern at 100 TB, and this query is the sketch's scale
+      // evidence.
       Tables.lineitem(s, d).select(col("l_extendedprice"))
-        .coalesce(1)
         .agg(exact, approx)
         .select(explode(arrays_zip(col("ex"), col("ap"))).as("r"))
         .agg(count(lit(1)).as("n_quartiles"),
