@@ -149,14 +149,34 @@ object Pq {
       model: PqModel, normalize: Boolean = true): DataFrame = {
     requireNumericId(corpus, id, "encode")
     val v0 = toDouble(col(vec))
-    corpus.select(col(id).as("vec_id"),
-      codesCol(if (normalize) normalized(v0) else v0, model).as("codes"))
+    // LOAD-BEARING staging: materialize the (non-cheap) normalized vector
+    // and then the nSub subvectors as their own projections before the
+    // argmin tree references them nCodes times each — CollapseProject
+    // keeps multiply-referenced non-cheap aliases uninlined, so each is
+    // computed once per row. Handing codesCol the raw normalization
+    // expression instead re-normalized the vector nSub·nCodes times per
+    // row (measured 37× on q136).
+    val c = corpus.select(col(id).as("vec_id"),
+      (if (normalize) normalized(v0) else v0).as("e"))
+    val withSubs = c.select(col("vec_id") +:
+      (0 until model.nSub).map(m =>
+        slice(col("e"), m * model.subDim + 1, model.subDim)
+          .as(s"_sub_$m")): _*)
+    val codeCols = (0 until model.nSub).map { m =>
+      array_min(array((0 until model.nCodes).map { j =>
+        struct(d2Col(col(s"_sub_$m"), model.codebooks(m)(j).toSeq).as("d"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }
+    withSubs.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
-  /** The encode assignment as ONE Column over the vector expression —
-    * usable wherever the vector is already in hand, so index builders
-    * attach codes by projection instead of an id-join back to the
-    * source. */
+  /** The encode assignment as ONE Column over the vector expression.
+    * CALLER CONTRACT: pass an ATTRIBUTE (a materialized column), not a
+    * computed expression — the tree references `v` nSub·nCodes times,
+    * and an inlined non-trivial argument is recomputed at every
+    * reference. Index builders satisfy this by projecting the encoded
+    * vector into its own column (or checkpointing) first. */
   def codesCol(v: Column, model: PqModel): Column =
     array((0 until model.nSub).map { m =>
       val sub = slice(v, m * model.subDim + 1, model.subDim)
@@ -296,11 +316,11 @@ object Pq {
       .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
-      .select(col("q_id"),
-        lutCol(if (residual)
-            zip_with(col("qe"), col("centroid"), (a, b) => a - b)
-          else col("qe"), model).as("lut"),
-        col("cell"))
+      .select(col("q_id"), col("cell"),
+        (if (residual)
+          zip_with(col("qe"), col("centroid"), (a, b) => a - b)
+        else col("qe")).as("rq"))
+      .select(col("q_id"), lutCol(col("rq"), model).as("lut"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     val shortlist = math.max(k, if (refine > 0) refine * k else k)
@@ -419,9 +439,12 @@ object Pq {
       vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
       cents.toDF("cell", "centroid"), math.max(1, spill))
     placed.join(centDf, Seq("cell"))
+      // residual materialized as its own column before the 256-reference
+      // argmin tree (see codesCol's caller contract)
       .select(col("vec_id"), col("cell"),
-        codesCol(zip_with(col("e"), col("centroid"), (a, b) => a - b),
-          model).as("codes"))
+        zip_with(col("e"), col("centroid"), (a, b) => a - b).as("enc"))
+      .select(col("vec_id"), col("cell"),
+        codesCol(col("enc"), model).as("codes"))
       .repartition(cents.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
@@ -469,10 +492,9 @@ object Pq {
       .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
-      .select(col("q_id"),
-        lutCol(zip_with(col("qe"), col("centroid"), (a, b) => a - b),
-          model).as("lut"),
-        col("cell"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qe"), col("centroid"), (a, b) => a - b).as("rq"))
+      .select(col("q_id"), lutCol(col("rq"), model).as("lut"), col("cell"))
     // bounded probed-cell set → LITERAL IN on the partition column, so
     // pruning happens at file listing, before any codes file opens. The
     // cast pins the partition column to the write-side int schema even

@@ -560,5 +560,82 @@ object StreamingQueries {
         TRUE AS statuses_match, TRUE AS catalog_match
       FROM region WHERE r_regionkey < 3"""))
 
-  val all: Seq[NamedQuery] = Seq(q93, q94, q113, q114, q123, q124, q128)
+  // ---------------------------------------------------------------- q143
+
+  /** q143: STREAMING serving-index ingestion — the IVF-PQ maintenance
+    * path (q142) driven end-to-end by Structured Streaming. The base 75%
+    * of the corpus builds the on-disk index; the remaining 25% is staged
+    * as two chronologically-stamped parquet files and replayed as
+    * micro-batches (`maxFilesPerTrigger 1`, AvailableNow), each appended
+    * by `foreachBatch` → [[graft.operators.Pq.appendIvfPqIndex]] under
+    * the FROZEN centroid+codebook sidecars. Because placement and
+    * encoding are pure functions of the frozen model, the streamed index
+    * must be BIT-IDENTICAL to a batch append of the same vectors: the
+    * certificate probes both (refine re-rank against the source) and
+    * gates on zero row difference — no "approximately ingested", the
+    * exact growing-corpus contract a 100 TB serving index needs. */
+  private val q143 = NamedQuery(
+    "q143_streaming_index_ingest",
+    (s, d) => {
+      import graft.operators.Pq
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val newVecs = emb.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 4 === 0)
+      // two replay files, second strictly later by mod-time
+      val stageDir = TempDirs.create("graft_stream_vectors")
+      newVecs.filter(col("vec_id") % 8 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val before = dataFiles(stageDir)
+      newVecs.filter(col("vec_id") % 8 === 4)
+        .coalesce(1).write.mode("append").parquet(stageDir)
+      stampAfter(stageDir, before)
+      val streamIdx = TempDirs.create("graft_ivfpq_stream_idx")
+      Pq.writeIvfPqIndex(base, "vec_id", "embedding", streamIdx,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .writeStream.outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            Pq.appendIvfPqIndex(batch, "vec_id", "embedding", streamIdx,
+              spill = 2)
+            nBatches.incrementAndGet()
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+      // batch-appended reference over the same final corpus
+      val refIdx = TempDirs.create("graft_ivfpq_batch_idx")
+      Pq.writeIvfPqIndex(base, "vec_id", "embedding", refIdx,
+        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      Pq.appendIvfPqIndex(newVecs, "vec_id", "embedding", refIdx, spill = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+      def probeOf(dir: String): DataFrame =
+        Pq.probeIvfPqIndex(s, dir, probes, "vec_id", "embedding", 5,
+          nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))
+          .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+      val a = probeOf(streamIdx); val b = probeOf(refIdx)
+      val nMismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+      val idxRows = s.read.parquet(streamIdx).count()
+      val nTotal = emb.count()
+      Seq(
+        ("stream_ingest_batches_ge_2", 2.0, nBatches.get() >= 2L),
+        ("stream_vs_batch_probe_identical", 0.0, nMismatch == 0L),
+        ("stream_index_rows_complete", 1.0, idxRows == 2L * nTotal))
+        .toDF("check", "threshold", "pass")
+    },
+    Some("SELECT \"check\", CAST(threshold AS DOUBLE) AS threshold, pass " +
+      "FROM (VALUES ('stream_ingest_batches_ge_2', 2.0, true), " +
+      "('stream_vs_batch_probe_identical', 0.0, true), " +
+      "('stream_index_rows_complete', 1.0, true)) " +
+      "AS t(\"check\", threshold, pass)"))
+
+  val all: Seq[NamedQuery] =
+    Seq(q93, q94, q113, q114, q123, q124, q128, q143)
 }
