@@ -43,6 +43,17 @@ object StreamingQueries {
     new java.io.File(dir).listFiles().toSeq.filter(f =>
       f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
 
+  /** Recursive file-tree copy (clones an on-disk index directory). */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
   /** Stamp every data file in `dir` that is not in `before` with an
     * explicit whole-second modification time strictly later than every
     * `before` file (and strictly increasing within the new set). The file
@@ -594,6 +605,13 @@ object StreamingQueries {
       val streamIdx = TempDirs.create("graft_ivfpq_stream_idx")
       Pq.writeIvfPqIndex(base, "vec_id", "embedding", streamIdx,
         nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      // the batch-append reference starts from a FILE COPY of the same
+      // base index — the certificate's claim is stream-append ≡
+      // batch-append over an identical base, and the copy makes "identical
+      // base" true by construction (build determinism is separately
+      // proven in PqSpec) while saving a second full index build
+      val refIdx = TempDirs.create("graft_ivfpq_batch_idx")
+      copyTree(new java.io.File(streamIdx), new java.io.File(refIdx))
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
       val q = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -611,16 +629,15 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       // batch-appended reference over the same final corpus
-      val refIdx = TempDirs.create("graft_ivfpq_batch_idx")
-      Pq.writeIvfPqIndex(base, "vec_id", "embedding", refIdx,
-        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
       Pq.appendIvfPqIndex(newVecs, "vec_id", "embedding", refIdx, spill = 2)
       val probes = emb.filter(col("vec_id") < 10)
       def probeOf(dir: String): DataFrame =
         Pq.probeIvfPqIndex(s, dir, probes, "vec_id", "embedding", 5,
           nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))
           .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
-      val a = probeOf(streamIdx); val b = probeOf(refIdx)
+      // pinned: each probe lineage feeds both directions of the diff
+      val a = probeOf(streamIdx).localCheckpoint()
+      val b = probeOf(refIdx).localCheckpoint()
       val nMismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
       val idxRows = s.read.parquet(streamIdx).count()
       val nTotal = emb.count()
