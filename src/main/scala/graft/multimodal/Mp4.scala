@@ -1,0 +1,226 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** ISO base-media-file-format (MP4) METADATA walker + writer, hand-rolled
+  * from the public container spec (ISO/IEC 14496-12: box = 32-bit
+  * big-endian size + fourcc, `size == 1` → 64-bit largesize, `size == 0`
+  * → to end-of-enclosing; version-0/1 full boxes).
+  *
+  * Scope is deliberately the CONTAINER, not the codecs: a 100 TB
+  * multimodal corpus filters/samples/routes videos by duration,
+  * resolution, codec fourcc and track shape long before any frame is
+  * decoded, and all of that lives in `moov` — typically a few KB at the
+  * start or end of a multi-GB file, so metadata extraction reads
+  * essentially none of the media. Parsed per track: handler class
+  * (video/audio from `hdlr`), sample-entry fourcc (`stsd`), pixel
+  * dimensions (`tkhd` 16.16 fixed), per-track timescale/duration
+  * (`mdhd`), sample count (`stsz`/`stz2`). Frame DECODE (H.264 etc.)
+  * remains the documented stub in [[Multimodal]].
+  *
+  * The writer emits a minimal-but-valid `ftyp`+`moov`+`mdat` tree (the
+  * reference layout every mux tool produces) and exists to certify the
+  * parser the same way the other codec pairs do (encoder→decoder
+  * round-trip, q144). Reference surface: walkthrough.ipynb cell 0's
+  * opaque media handling (multimodal columns carry bytes + typed
+  * metadata).
+  */
+object Mp4 {
+
+  /** One media track's metadata. */
+  final case class Track(trackId: Long, handler: String, codec: String,
+      width: Int, height: Int, timescale: Long, duration: Long,
+      sampleCount: Long)
+
+  /** Whole-file metadata: major brand, movie timescale/duration, tracks
+    * in declaration order, and total `mdat` payload bytes. */
+  final case class Meta(brand: String, timescale: Long, duration: Long,
+      tracks: Seq[Track], mdatBytes: Long) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+    def videoTracks: Seq[Track] = tracks.filter(_.handler == "vide")
+    def audioTracks: Seq[Track] = tracks.filter(_.handler == "soun")
+  }
+
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+  // ------------------------------------------------------------ parsing
+
+  private final class Reader(val b: Array[Byte]) {
+    def u8(p: Long): Int = b(p.toInt) & 0xff
+    def u16(p: Long): Int = (u8(p) << 8) | u8(p + 1)
+    def u32(p: Long): Long =
+      ((u8(p).toLong << 24) | (u8(p + 1) << 16) | (u8(p + 2) << 8) |
+        u8(p + 3)) & 0xffffffffL
+    def u64(p: Long): Long = (u32(p) << 32) | u32(p + 4)
+    def fourcc(p: Long): String =
+      new String(b, p.toInt, 4, "US-ASCII")
+  }
+
+  /** The boxes at one nesting level: (type, payloadStart, payloadEnd). */
+  private def boxes(r: Reader, start: Long, end: Long): Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var p = start
+    while (p < end) {
+      require(p + 8 <= end, "truncated box header")
+      val size32 = r.u32(p)
+      val typ = r.fourcc(p + 4)
+      val (payload, next) =
+        if (size32 == 1L) { require(p + 16 <= end, "truncated largesize")
+          (p + 16, p + r.u64(p + 8)) }
+        else if (size32 == 0L) (p + 8, end) // to end of enclosing box
+        else (p + 8, p + size32)
+      require(next > p && next <= end, s"box '$typ' overruns enclosure")
+      out += ((typ, payload, next))
+      p = next
+    }
+    out.result()
+  }
+
+  private def find(bs: Seq[(String, Long, Long)], typ: String) =
+    bs.find(_._1 == typ)
+
+  /** Parse metadata; None on anything malformed (bad magic, box overrun,
+    * missing required boxes, truncation). Media payloads are never
+    * touched beyond the mdat length arithmetic. */
+  def parseMeta(bytes: Array[Byte]): Option[Meta] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val r = new Reader(bytes)
+      val top = boxes(r, 0L, bytes.length.toLong)
+      val (_, ftypS, _) = find(top, "ftyp").getOrElse(return None)
+      val brand = r.fourcc(ftypS)
+      val (_, moovS, moovE) = find(top, "moov").getOrElse(return None)
+      val mdatBytes = top.filter(_._1 == "mdat").map(b => b._3 - b._2).sum
+      val moov = boxes(r, moovS, moovE)
+      val (_, mvhdS, _) = find(moov, "mvhd").getOrElse(return None)
+      val mvhdV = r.u8(mvhdS)
+      // v0: ctime/mtime 4+4, timescale 4, duration 4; v1: 8+8, 4, 8
+      val (mvTs, mvDur) =
+        if (mvhdV == 1) (r.u32(mvhdS + 20), r.u64(mvhdS + 24))
+        else (r.u32(mvhdS + 12), r.u32(mvhdS + 16))
+      val tracks = moov.filter(_._1 == "trak").map { case (_, tS, tE) =>
+        val trak = boxes(r, tS, tE)
+        val (_, tkS, _) = find(trak, "tkhd").getOrElse(
+          throw new IllegalArgumentException("trak without tkhd"))
+        val tkV = r.u8(tkS)
+        val trackId = if (tkV == 1) r.u32(tkS + 20) else r.u32(tkS + 12)
+        // width/height: 16.16 fixed, last 8 bytes of tkhd payload
+        val tkFix = tkS + (if (tkV == 1) 96L else 84L) - 8
+        val width = r.u32(tkFix).toInt >>> 16
+        val height = r.u32(tkFix + 4).toInt >>> 16
+        val (_, mdS, mdE) = find(trak, "mdia").getOrElse(
+          throw new IllegalArgumentException("trak without mdia"))
+        val mdia = boxes(r, mdS, mdE)
+        val (_, mhS, _) = find(mdia, "mdhd").getOrElse(
+          throw new IllegalArgumentException("mdia without mdhd"))
+        val mhV = r.u8(mhS)
+        val (ts, dur) =
+          if (mhV == 1) (r.u32(mhS + 20), r.u64(mhS + 24))
+          else (r.u32(mhS + 12), r.u32(mhS + 16))
+        val (_, hdS, _) = find(mdia, "hdlr").getOrElse(
+          throw new IllegalArgumentException("mdia without hdlr"))
+        val handler = r.fourcc(hdS + 8)
+        val (_, mnS, mnE) = find(mdia, "minf").getOrElse(
+          throw new IllegalArgumentException("mdia without minf"))
+        val (_, sbS, sbE) = find(boxes(r, mnS, mnE), "stbl").getOrElse(
+          throw new IllegalArgumentException("minf without stbl"))
+        val stbl = boxes(r, sbS, sbE)
+        val (_, sdS, _) = find(stbl, "stsd").getOrElse(
+          throw new IllegalArgumentException("stbl without stsd"))
+        // stsd: fullbox header (4) + entry_count (4) + first sample entry
+        val codec =
+          if (r.u32(sdS + 4) == 0L) "none" else r.fourcc(sdS + 12)
+        val sampleCount = find(stbl, "stsz").map { case (_, szS, _) =>
+          r.u32(szS + 8)
+        }.getOrElse(0L)
+        Track(trackId, handler, codec, width, height, ts, dur, sampleCount)
+      }
+      Some(Meta(brand, mvTs, mvDur, tracks, mdatBytes))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------ writing
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val buf = ByteBuffer.allocate(len).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(len)
+    buf.put(typ.getBytes("US-ASCII"))
+    payload.foreach(buf.put)
+    buf.array()
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def be16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).putShort(v.toShort).array()
+
+  /** One track description for [[write]]. `handler` is "vide" or "soun";
+    * dimensions only apply to video. */
+  final case class TrackSpec(handler: String, codec: String, width: Int,
+      height: Int, timescale: Long, duration: Long, sampleCount: Long)
+
+  /** Write a minimal valid MP4: ftyp + moov(mvhd + one trak per spec)
+    * + mdat carrying `payload` (opaque bytes — this writer certifies the
+    * METADATA walk, not a codec). */
+  def write(timescale: Long, duration: Long, tracks: Seq[TrackSpec],
+      payload: Array[Byte]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32(512),
+      "isomiso2".getBytes)
+    val mvhd = box("mvhd", be32(0), // version 0 + flags
+      be32(0), be32(0), be32(timescale), be32(duration),
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+      // identity matrix
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      Array.fill(24)(0.toByte), // pre_defined
+      be32(tracks.length + 1L)) // next_track_ID
+    val traks = tracks.zipWithIndex.map { case (t, i) =>
+      val tkhd = box("tkhd", be32(7), // version 0, flags: enabled+in-movie
+        be32(0), be32(0), be32(i + 1L), be32(0), be32(t.duration),
+        be32(0), be32(0), be16(0), be16(0),
+        be16(if (t.handler == "soun") 0x0100 else 0), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0),
+        be32(t.timescale), be32(t.duration), be16(0x55c4), be16(0))
+      val hdlr = box("hdlr", be32(0), be32(0),
+        t.handler.getBytes("US-ASCII"), Array.fill(12)(0.toByte),
+        Array[Byte](0)) // empty name
+      val entry = {
+        // generic sample entry: 6 reserved + data_reference_index, then
+        // the video shape (pre_defined + dims) when applicable
+        val common = Array.fill(6)(0.toByte) ++ be16(1)
+        val body =
+          if (t.handler == "vide")
+            common ++ Array.fill(16)(0.toByte) ++
+              be16(t.width) ++ be16(t.height) ++
+              be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+              be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff)
+          else common ++ Array.fill(8)(0.toByte) ++ be16(2) ++ be16(16) ++
+            be32(0) ++ be32(t.timescale << 16)
+        box(t.codec, body)
+      }
+      val stsd = box("stsd", be32(0), be32(1), entry)
+      val stts = box("stts", be32(0), be32(1), be32(t.sampleCount),
+        be32(if (t.sampleCount == 0) 0 else t.duration / math.max(1, t.sampleCount)))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(t.sampleCount),
+        be32(1))
+      val stsz = box("stsz", be32(0), be32(0), be32(t.sampleCount),
+        Array.concat((0L until t.sampleCount).map(_ => be32(1)): _*))
+      val stco = box("stco", be32(0), be32(1), be32(0))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", box("nmhd", be32(0)),
+        box("dinf", box("dref", be32(0), be32(1),
+          box("url ", be32(1)))), stbl)
+      box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    }
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat", payload)
+    ftyp ++ moov ++ mdat
+  }
+}

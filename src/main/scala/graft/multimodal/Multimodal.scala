@@ -76,6 +76,11 @@ object Multimodal {
     *   - JPEG image → same histogram over the baseline-decoded luminance
     *                  ([[Jpeg]], hand-rolled from ITU T.81);
     *   - PCM WAV    → [duration s, RMS, peak, zero-crossing rate, 0…];
+    *   - MP4 (ISO-BMFF) → container-metadata features from the [[Mp4]]
+    *                  box walk: [duration s, track count, video width,
+    *                  video height, video sample count, mdat bytes, 0…]
+    *                  (frame decode is the documented stub — these are
+    *                  the pre-decode routing facts);
     *   - anything else → the byte-histogram stub.
     * All variants return exactly [[FeatureLen]] doubles. */
   def features(payload: Array[Byte]): Array[Double] =
@@ -91,7 +96,20 @@ object Multimodal {
           out(3) = s.indices.drop(1)
             .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toDouble / n
           out
-        case None => decodeStub(payload)
+        case None => (if (Mp4.isMp4(payload)) Mp4.parseMeta(payload)
+          else None) match {
+          case Some(m) =>
+            val out = new Array[Double](FeatureLen)
+            val v = m.videoTracks.headOption
+            out(0) = m.durationMs / 1000.0
+            out(1) = m.tracks.length.toDouble
+            out(2) = v.map(_.width.toDouble).getOrElse(0.0)
+            out(3) = v.map(_.height.toDouble).getOrElse(0.0)
+            out(4) = v.map(_.sampleCount.toDouble).getOrElse(0.0)
+            out(5) = m.mdatBytes.toDouble
+            out
+          case None => decodeStub(payload)
+        }
       }
     }
 

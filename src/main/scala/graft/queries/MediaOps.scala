@@ -311,5 +311,53 @@ object MediaOps {
         TRUE AS roundtrip_ok
       FROM documents"""))
 
-  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126)
+  /** q144: ISO-BMFF (MP4) container-metadata extraction — the pre-decode
+    * routing surface of a multimodal corpus: build a valid ftyp+moov+mdat
+    * file per row (video avc1 + audio mp4a track), walk the box tree
+    * back, and hash-gate every extracted field (brand, duration, per-
+    * track codec/dimensions/sample counts, mdat payload size) against
+    * the closed-form oracle. The media payload is opaque by design —
+    * frame decode is the documented stub; the metadata is what a 100 TB
+    * pipeline filters/samples/routes on before any decode happens. */
+  private val q144 = NamedQuery(
+    "q144_video_meta",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 1000 + 100).as("dur"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, dur) =>
+          val w = 320 + 16 * (id % 4).toInt
+          val h = 240 + 16 * (id % 4).toInt
+          val bytes = graft.multimodal.Mp4.write(1000, dur, Seq(
+            graft.multimodal.Mp4.TrackSpec("vide", "avc1", w, h,
+              1000, dur, id % 10 + 1),
+            graft.multimodal.Mp4.TrackSpec("soun", "mp4a", 0, 0,
+              8000, dur * 8, id % 5 + 1)),
+            Array.fill((id % 7 + 1).toInt)(0x5a.toByte))
+          val m = graft.multimodal.Mp4.parseMeta(bytes).get
+          val v = m.videoTracks.head; val a = m.audioTracks.head
+          (id, m.brand, m.durationMs, m.tracks.length.toLong,
+            v.codec, v.width.toLong, v.height.toLong, v.sampleCount,
+            a.codec, a.timescale, a.sampleCount, m.mdatBytes)
+        })
+        .toDF("doc_id", "brand", "duration_ms", "n_tracks", "video_codec",
+          "width", "height", "v_samples", "audio_codec", "a_timescale",
+          "a_samples", "mdat_bytes")
+    },
+    Some("""SELECT doc_id, 'isom' AS brand,
+        CAST(n_chars % 1000 + 100 AS BIGINT) AS duration_ms,
+        CAST(2 AS BIGINT) AS n_tracks,
+        'avc1' AS video_codec,
+        CAST(320 + 16 * (doc_id % 4) AS BIGINT) AS width,
+        CAST(240 + 16 * (doc_id % 4) AS BIGINT) AS height,
+        CAST(doc_id % 10 + 1 AS BIGINT) AS v_samples,
+        'mp4a' AS audio_codec,
+        CAST(8000 AS BIGINT) AS a_timescale,
+        CAST(doc_id % 5 + 1 AS BIGINT) AS a_samples,
+        CAST(doc_id % 7 + 1 AS BIGINT) AS mdat_bytes
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
+    q144)
 }
