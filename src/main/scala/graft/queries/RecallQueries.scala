@@ -288,8 +288,9 @@ object RecallQueries {
       val rebuilt = graft.TempDirs.create("graft_ivf_rebuilt")
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", rebuilt,
         nCells = 16, iters = 3, spill = 2)
+      // pinned: the brute-force ground truth feeds BOTH recall summaries
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5)
+        probes(s, d), "vec_id", "embedding", 5).localCheckpoint()
       val app = topkSummary(topkRecall(exact,
         Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
           "embedding", 5, nprobe = 6)))
@@ -409,8 +410,9 @@ object RecallQueries {
       val rebuilt = graft.TempDirs.create("graft_ivfpq_rebuilt")
       Pq.writeIvfPqIndex(emb, "vec_id", "embedding", rebuilt,
         nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      // pinned: the brute-force ground truth feeds BOTH recall summaries
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5)
+        probes(s, d), "vec_id", "embedding", 5).localCheckpoint()
       val app = topkSummary(topkRecall(exact,
         Pq.probeIvfPqIndex(s, compacted, probes(s, d), "vec_id",
           "embedding", 5, nprobe = 6,

@@ -219,6 +219,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode's staging projections survive optimization (the 37× fence)") {
+    // Pq.encode references each subvector nCodes times and the
+    // normalized vector nSub·nCodes times; if CollapseProject ever
+    // inlines those stages (e.g. someone hands codesCol a computed
+    // expression again), the optimized plan explodes into hundreds of
+    // duplicated slice/transform subtrees and encode regresses ~37×
+    // (round-8 incident). Count the duplication classes directly.
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Slice}
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.Pq.train(emb, "vec_id", "embedding",
+      nSub = 16, nCodes = 16, iters = 1)
+    val df = graft.operators.Pq.encode(emb, "vec_id", "embedding", model)
+    var slices = 0; var transforms = 0
+    df.queryExecution.optimizedPlan.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case _: Slice => slices += 1
+        case _: ArrayTransform => transforms += 1
+        case _ => ()
+      })
+    }
+    // healthy: ≤ nSub slices (one per subvector stage) and a handful of
+    // transforms (normalize + zip_with folds); collapsed: 256+ of each
+    assert(slices <= 16, s"$slices Slice nodes — staging collapsed")
+    assert(transforms < 64, s"$transforms ArrayTransform nodes — staging collapsed")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
