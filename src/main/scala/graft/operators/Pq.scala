@@ -89,12 +89,20 @@ object Pq {
       .orderBy(col("hk"), col("vid")).limit(64 * nCodes)
       .select(col("e")).as[Seq[Double]].collect()
     require(pool.nonEmpty, "PQ training needs a non-empty corpus")
+    trainOnPool(pool.map(_.toArray), nSub, nCodes, iters)
+  }
+
+  /** Lloyd per subspace over an in-memory pool — the driver-side core of
+    * [[train]], also iterated by [[trainOpq]] under each candidate
+    * rotation. */
+  private def trainOnPool(pool: Array[Array[Double]], nSub: Int,
+      nCodes: Int, iters: Int): PqModel = {
     val dims = pool.head.length
     require(dims > 0 && dims % nSub == 0,
       s"dims $dims must split evenly into $nSub subspaces")
     val subDim = dims / nSub
     val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { m =>
-      val subPool = pool.map(_.slice(m * subDim, (m + 1) * subDim).toArray)
+      val subPool = pool.map(_.slice(m * subDim, (m + 1) * subDim))
       val seeds = scala.collection.mutable.ArrayBuffer(subPool.head)
       while (seeds.size < nCodes && seeds.size < subPool.length)
         seeds += subPool.maxBy(p => seeds.map(s => d2(p, s)).min)
@@ -131,6 +139,206 @@ object Pq {
     }
     PqModel(dims, nSub, books)
   }
+
+  // ---------------------------------------------------------------- OPQ
+
+  /** Trained OPQ model: an orthogonal pre-rotation + the PQ codebooks
+    * trained in the rotated space (Ge/He/Ke/Sun, "Optimized Product
+    * Quantization", CVPR 2013 — FAISS's OPQMatrix; public knowledge,
+    * re-expressed Spark-first). Rotation re-balances correlated /
+    * unevenly-spread dimensions across the independent subspaces, which
+    * plain PQ quantizes wastefully. */
+  final case class OpqModel(rotation: Array[Array[Double]], pq: PqModel)
+
+  private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](m.length)
+    var i = 0
+    while (i < m.length) {
+      var s = 0.0; var j = 0
+      val row = m(i)
+      while (j < row.length) { s += row(j) * v(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  private def matT(m: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(m.head.length, m.length)((i, j) => m(j)(i))
+
+  /** Gauss-Jordan inverse with partial pivoting (d ≤ ~128 model
+    * matrices — a bounded driver-side solve, like the photometry LSQ). */
+  private def matInv(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      require(math.abs(a(piv)(col)) > 1e-12, "singular matrix in polar step")
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val ti = inv(col); inv(col) = inv(piv); inv(piv) = ti
+      val d = a(col)(col)
+      var j = 0
+      while (j < n) { a(col)(j) /= d; inv(col)(j) /= d; j += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          var k = 0
+          while (k < n) { a(r)(k) -= f * a(col)(k); inv(r)(k) -= f * inv(col)(k); k += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
+  /** Orthogonal polar factor of `m` by Newton iteration
+    * X ← (X + X⁻ᵀ)/2 — converges to the U·Vᵀ of m's SVD, which is the
+    * orthogonal-Procrustes optimum. No external linear algebra: the
+    * matrix is a bounded model object (d×d ≤ 128²). */
+  private def polarOrthogonal(m: Array[Array[Double]]): Array[Array[Double]] = {
+    var x = m.map(_.clone())
+    var it = 0
+    while (it < 60) {
+      val xit = matT(matInv(x))
+      val next = Array.tabulate(x.length, x.length)((i, j) =>
+        0.5 * (x(i)(j) + xit(i)(j)))
+      var diff = 0.0
+      var i = 0
+      while (i < x.length) {
+        var j = 0
+        while (j < x.length) { diff = math.max(diff, math.abs(next(i)(j) - x(i)(j))); j += 1 }
+        i += 1
+      }
+      x = next
+      if (diff < 1e-13) return x
+      it += 1
+    }
+    x
+  }
+
+  /** Driver-side nearest-code reconstruction of one rotated pool vector
+    * under the model (decode(encode(v)) — used by the OPQ alternation
+    * and nowhere hot). */
+  private def reconstruct(model: PqModel, v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](model.dims)
+    var m = 0
+    while (m < model.nSub) {
+      val sub = v.slice(m * model.subDim, (m + 1) * model.subDim)
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < model.nCodes) {
+        val dj = d2(model.codebooks(m)(j), sub)
+        if (dj < bestD) { bestD = dj; best = j }
+        j += 1
+      }
+      System.arraycopy(model.codebooks(m)(best), 0, out, m * model.subDim,
+        model.subDim)
+      m += 1
+    }
+    out
+  }
+
+  /** Train OPQ: alternate (a) PQ codebooks on the rotated pool and
+    * (b) the orthogonal Procrustes update R ← polar(Σ v̂ xᵀ) that best
+    * aligns the raw pool with its reconstructions — the CVPR-2013
+    * non-parametric alternation, run entirely driver-side over the same
+    * bounded hash-sampled pool [[train]] uses (a 100 TB corpus never
+    * pays distributed jobs for a d×d model). The corpus is touched only
+    * by the caller's single rotate+encode projection pass. */
+  def trainOpq(corpus: DataFrame, id: String, vec: String, nSub: Int,
+      nCodes: Int, iters: Int = 3, opqIters: Int = 6,
+      normalize: Boolean = true): OpqModel = {
+    requireNumericId(corpus, id, "trainOpq")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v0 = toDouble(col(vec))
+    val c = corpus.select(col(id).as("vid"),
+      (if (normalize) normalized(v0) else v0).as("e"))
+    val pool: Array[Array[Double]] = c
+      .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
+      .orderBy(col("hk"), col("vid")).limit(64 * nCodes)
+      .select(col("e")).as[Seq[Double]].collect().map(_.toArray)
+    require(pool.nonEmpty, "OPQ training needs a non-empty corpus")
+    val dims = pool.head.length
+    var r = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    var model: PqModel = null
+    var it = 0
+    while (it < math.max(1, opqIters)) {
+      val rx = pool.map(matVec(r, _))
+      model = trainOnPool(rx, nSub, nCodes, iters)
+      // Procrustes target: minimize Σ‖R·x − v̂(R·x)‖² over orthogonal R
+      // ⇒ R = polar(Σ v̂ xᵀ)
+      val mSum = Array.ofDim[Double](dims, dims)
+      var p = 0
+      while (p < pool.length) {
+        val y = reconstruct(model, rx(p)); val x = pool(p)
+        var i = 0
+        while (i < dims) {
+          val yi = y(i); val row = mSum(i)
+          var j = 0
+          while (j < dims) { row(j) += yi * x(j); j += 1 }
+          i += 1
+        }
+        p += 1
+      }
+      r = polarOrthogonal(mSum)
+      it += 1
+    }
+    // codebooks must match the FINAL rotation
+    OpqModel(r, trainOnPool(pool.map(matVec(r, _)), nSub, nCodes, iters))
+  }
+
+  /** The rotation as one literal-matrix projection: out[i] = Rᵢ·v — the
+    * LSH-hyperplane pattern (d codegen dot products against literal
+    * rows), no shuffle, no UDF. Caller contract as [[codesCol]]: pass an
+    * attribute. */
+  def rotateCol(v: Column, rotation: Array[Array[Double]]): Column =
+    array(rotation.map(row => dot(v, lit(row))): _*)
+
+  /** OPQ ANN top-k: rotate corpus and probes by the learned R (one
+    * projection each — rotation preserves distances, so ADC ranking and
+    * the exact re-rank are unchanged in meaning), then the standard
+    * PQ/ADC path under the rotated-space codebooks. */
+  def opqTopK(corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, probeId: String, probeVec: String, k: Int,
+      nSub: Int, nCodes: Int, iters: Int = 3, opqIters: Int = 6,
+      refine: Int = 0): DataFrame = {
+    val model = trainOpq(corpus, id, vec, nSub, nCodes, iters, opqIters)
+    searchWithOpqModel(corpus, id, vec, probes, probeId, probeVec, k,
+      model, refine)
+  }
+
+  /** ADC search under an already-trained OPQ model (serving path; also
+    * what the q145 certificate reuses for its recall half). */
+  def searchWithOpqModel(corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, probeId: String, probeVec: String, k: Int,
+      model: OpqModel, refine: Int = 0): DataFrame = {
+    requireNumericId(corpus, id, "searchWithOpqModel")
+    val rot = rotated(corpus, id, vec, model.rotation)
+    val rotP = rotated(probes, probeId, probeVec, model.rotation)
+    searchWithModel(rot, "vec_id", "e", rotP, "vec_id", "e", k, model.pq,
+      refine)
+  }
+
+  /** (vec_id, e): normalized then rotated vectors, each stage its own
+    * materialized projection (codesCol/lutCol caller contract). */
+  private def rotated(df: DataFrame, id: String, vec: String,
+      rotation: Array[Array[Double]]): DataFrame =
+    df.select(col(id).as("vec_id"),
+        normalized(toDouble(col(vec))).as("e0"))
+      .select(col("vec_id"), rotateCol(col("e0"), rotation).as("e"))
+
+  /** Mean squared reconstruction error of the OPQ quantizer over the
+    * corpus — computed in the rotated space, which equals the original-
+    * space error exactly (R is orthogonal). */
+  def opqReconstructionError(corpus: DataFrame, id: String, vec: String,
+      model: OpqModel): DataFrame =
+    reconstructionError(rotated(corpus, id, vec, model.rotation),
+      "vec_id", "e", model.pq)
 
   /** Encode: (vec_id, codes array<int>) — each subvector's nearest
     * codebook entry under the trained model, assignment exactly as the

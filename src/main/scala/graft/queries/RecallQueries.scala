@@ -430,7 +430,49 @@ object RecallQueries {
     ("ivfpq_append_macro_drift_le_0.30", 0.30,
       col("macro_rebuilt") - col("macro_appended") <= 0.30))
 
+  /** q145: OPQ certificate (Ge et al. CVPR 2013 — Pq.trainOpq's
+    * alternation of rotated-space codebooks and the orthogonal-
+    * Procrustes polar update, driver-side over the bounded pool). Four
+    * gates: (a) the learned rotation is numerically orthogonal (max
+    * |R·Rᵀ−I| ≤ 1e-8 — distances are exactly preserved, so ADC ranking
+    * semantics are unchanged); (b) refined recall@5 vs brute force
+    * clears the same 0.65 bar as plain PQ (measured 0.98/0.92 at
+    * sf0.01/0.1 vs plain PQ's 0.96/0.84); (c) mean reconstruction error
+    * is not worse than plain PQ's under the identical code budget
+    * (measured ratio 0.84/0.94 — strictly better even on near-isotropic
+    * fixtures; the planted anisotropic win is PqSpec's bar). */
+  private val q145 = cert(
+    "q145_opq_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val opq = Pq.trainOpq(emb, "vec_id", "embedding", nSub = 16,
+        nCodes = 16, iters = 3, opqIters = 6)
+      val pqm = Pq.train(emb, "vec_id", "embedding", 16, 16, 3)
+      val r = opq.rotation
+      val rotDev = (for (i <- r.indices; j <- r.indices) yield {
+        var s2 = 0.0
+        var k = 0
+        while (k < r.length) { s2 += r(i)(k) * r(j)(k); k += 1 }
+        math.abs(s2 - (if (i == j) 1.0 else 0.0))
+      }).max
+      val summary = topkSummary(topkRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5),
+        Pq.searchWithOpqModel(emb, "vec_id", "embedding",
+          probes(s, d), "vec_id", "embedding", 5, opq, refine = 16)))
+      val errs = Pq.opqReconstructionError(emb, "vec_id", "embedding", opq)
+        .agg(avg(col("sq_err")).as("err_opq"))
+        .join(Pq.reconstructionError(emb, "vec_id", "embedding", pqm)
+          .agg(avg(col("sq_err")).as("err_pq")))
+      summary.join(errs).withColumn("rot_dev", lit(rotDev))
+    },
+    ("opq_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("opq_rotation_orthogonal", 0.0, col("rot_dev") <= 1e-8),
+    ("opq_refined_macro_recall_at_5", 0.65, col("macro_recall") >= 0.65),
+    ("opq_err_not_worse_than_pq", 0.02,
+      col("err_opq") <= col("err_pq") + 0.02))
+
   val all: Seq[NamedQuery] =
     Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133, q137, q140,
-      q142)
+      q142, q145)
 }

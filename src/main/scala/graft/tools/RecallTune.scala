@@ -88,6 +88,20 @@ object RecallTune {
       println(f"REG ivfpq-append appended=$app%.3f rebuilt=$reb%.3f " +
         f"drift=${reb - app}%.3f")
     }
+    // registered q145 config: OPQ vs PQ recall + reconstruction error
+    {
+      import graft.operators.Pq
+      val opq = Pq.trainOpq(emb, "vec_id", "embedding", nSub = 16,
+        nCodes = 16, iters = 3, opqIters = 6)
+      val pqm = Pq.train(emb, "vec_id", "embedding", 16, 16, 3)
+      val rec = recallOf(exact, Pq.searchWithOpqModel(emb, "vec_id",
+        "embedding", probes, "vec_id", "embedding", 5, opq, refine = 16))
+      def me(df: DataFrame) = df.agg(avg("sq_err")).head().getDouble(0)
+      val eo = me(Pq.opqReconstructionError(emb, "vec_id", "embedding", opq))
+      val ep = me(Pq.reconstructionError(emb, "vec_id", "embedding", pqm))
+      println(f"REG opq nSub=16 nCodes=16 refined_recall=$rec%.3f " +
+        f"err_opq=$eo%.4f err_pq=$ep%.4f ratio=${eo / ep}%.3f")
+    }
     spark.stop()
   }
 }
