@@ -174,7 +174,7 @@ object Mp2 {
     case class Plan(cls: Array[Array[Int]], // alloc code per (ch, sb); 0 = off
         scf: Array[Array[Array[Int]]], // (ch, sb, part 0-2)
         scfsi: Array[Array[Int]], bits: Int)
-    def plansUnder(tab: AllocTable): Array[Plan] = frames.map { fr =>
+    def plansUnder(tab: AllocTable, nbEff: Int): Array[Plan] = frames.map { fr =>
       val SbLimit = tab.sbLimit
       def nbal(sb: Int) = tab.nbal(sb)
       def ladder(sb: Int) = tab.ladder(sb)
@@ -195,7 +195,7 @@ object Mp2 {
         if (peak >= 1e-9 && deficit <= 16) {
           // cap at 15: log2(65535) ≈ 16 − ε, so a 16-bit ask would walk
           // past the top class the 1e-9 slack is meant to admit
-          val want = math.max(2, math.min(15, nb - math.max(0, deficit)))
+          val want = math.max(2, math.min(15, nbEff - math.max(0, deficit)))
           val lad = ladder(sb)
           // smallest class with ≥ want bits of resolution (log2 levels) —
           // but the short ladders jump straight from 31 levels to the
@@ -242,15 +242,30 @@ object Mp2 {
     // bitrate and allocation table co-determine each other (§2.4.2.2):
     // walk the standard bitrates ascending, plan under each candidate's
     // table (memoized — at most three distinct tables per rate), take the
-    // first whose slot count fits its own worst frame
-    val planCache = scala.collection.mutable.Map.empty[String, Array[Plan]]
-    val (brIdx, table, plans) = (1 until 15).iterator.map { bi =>
-      val tab = allocTable(sampleRate, Bitrates(bi), nch)
-      (bi, tab, planCache.getOrElseUpdate(tab.name, plansUnder(tab)))
-    }.find { case (bi, _, ps) =>
-      (144 * Bitrates(bi) * 1000 / sampleRate) * 8 >= ps.map(_.bits).max
-    }.getOrElse(throw new IllegalArgumentException(
-      "no Layer II bitrate fits the worst frame (lower nb)"))
+    // first whose slot count fits its own worst frame. The walk is
+    // restricted to spec-legal (bitrate, mode) pairs (table 2.4.2.3's
+    // mode column): 32/48/56/80 kbps are single-channel only, and
+    // 224-384 kbps exist only for the two-channel modes — an illegal
+    // pair would make allocTable dispatch on per-channel rates the
+    // 3-B.2 matrix never defines, and conformant third-party decoders
+    // may reject such streams
+    def modeLegal(kbps: Int): Boolean =
+      if (nch == 2) kbps >= 64 && kbps != 80 else kbps <= 192
+    // the legal ceiling (192 mono / 384 stereo) may be below what the
+    // requested nb demands on dense content — degrade nb until a legal
+    // bitrate fits rather than emit a spec-illegal (bitrate, mode) pair
+    val planCache = scala.collection.mutable.Map.empty[(String, Int), Array[Plan]]
+    val (brIdx, table, plans) = (nb to 2 by -1).iterator.flatMap { nbEff =>
+      (1 until 15).iterator
+        .filter(bi => modeLegal(Bitrates(bi))).map { bi =>
+          val tab = allocTable(sampleRate, Bitrates(bi), nch)
+          (bi, tab,
+            planCache.getOrElseUpdate((tab.name, nbEff), plansUnder(tab, nbEff)))
+        }.find { case (bi, _, ps) =>
+          (144 * Bitrates(bi) * 1000 / sampleRate) * 8 >= ps.map(_.bits).max
+        }
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      "no Layer II bitrate fits the worst frame even at nb=2"))
     val slotBytes = 144 * Bitrates(brIdx) * 1000 / sampleRate
 
     val w = new Mp3.BitWriter

@@ -67,6 +67,11 @@ object Mp4 {
       require(p + 8 <= end, "truncated box header")
       val size32 = r.u32(p)
       val typ = r.fourcc(p + 4)
+      // a compact size of 2-7 would place the box's recorded end before
+      // its own payload start and turn later fixed-offset reads into
+      // neighboring-byte garbage — malformed, not mappable
+      require(size32 == 0L || size32 == 1L || size32 >= 8L,
+        s"bad box size $size32")
       val (payload, next) =
         if (size32 == 1L) { require(p + 16 <= end, "truncated largesize")
           (p + 16, p + r.u64(p + 8)) }
@@ -133,9 +138,11 @@ object Mp4 {
         // stsd: fullbox header (4) + entry_count (4) + first sample entry
         val codec =
           if (r.u32(sdS + 4) == 0L) "none" else r.fourcc(sdS + 12)
-        val sampleCount = find(stbl, "stsz").map { case (_, szS, _) =>
-          r.u32(szS + 8)
-        }.getOrElse(0L)
+        // stsz: fullbox(4) + sample_size(4) + sample_count; stz2:
+        // fullbox(4) + reserved24/field_size8(4) + sample_count — the
+        // count sits at payload+8 in both layouts
+        val sampleCount = find(stbl, "stsz").orElse(find(stbl, "stz2"))
+          .map { case (_, szS, _) => r.u32(szS + 8) }.getOrElse(0L)
         Track(trackId, handler, codec, width, height, ts, dur, sampleCount)
       }
       Some(Meta(brand, mvTs, mvDur, tracks, mdatBytes))

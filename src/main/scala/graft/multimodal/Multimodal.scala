@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   * image features are decoded-luminance histograms, audio features are
   * duration/RMS/peak/zero-crossings. FLAC audio decodes for real too
   * ([[Flac]], all subframe types), JPEG covers baseline AND progressive
-  * frames, and MPEG-1 Layer I audio decodes via [[Mp3]] with Layer II
-  * via [[Mp2]] (spec-exact bitstream + requantization incl. grouped
-  * 3-sample granule codes; derived filterbank windows — see Mp3Windows —
-  * and derived Table 3-B.4 constants). Still stubbed to the
-  * deterministic byte histogram: MPEG Layer III (hybrid MDCT + Huffman)
-  * and H.264 video. Swapping in more codecs changes no schema and no
-  * partitioning.
+  * frames, and all three MPEG-1 audio layers decode:
+  * Layer I via [[Mp3]], Layer II via [[Mp2]] (spec-exact bitstream +
+  * requantization incl. grouped 3-sample granule codes; derived
+  * filterbank windows — see Mp3Windows — and derived Table 3-B.4
+  * constants), Layer III via [[Mp3L3]] (full hybrid MDCT /
+  * alias-reduction / requantization chain; derived Huffman code
+  * tables — the documented deviation in its scaladoc). H.264 video
+  * decodes its conformant I_PCM subset via [[H264]] (Annex B +
+  * SPS/PPS/slice grammar spec-exact; CAVLC transform-coded macroblocks
+  * remain the one documented descope). Swapping in more codecs changes
+  * no schema and no partitioning.
   */
 object Multimodal {
 
@@ -133,6 +137,7 @@ object Multimodal {
       .orElse(Flac.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
       .orElse(Mp3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
       .orElse(Mp2.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+      .orElse(Mp3L3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
   }
 
   /** Feature extraction over partition batches. Repartitioning by doc_id
@@ -167,11 +172,15 @@ object Multimodal {
     out
   }
 
-  /** Real image decode by magic dispatch: PGM, PNG or baseline JPEG. */
+  /** Real image decode by magic dispatch: PGM, PNG, baseline JPEG, or
+    * the luma plane of an H.264 I_PCM Annex B frame. */
   private def decodeAnyImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
     Codecs.decodePgm(payload)
       .orElse(Png.decode(payload).map(d => (d.width, d.height, d.luminance)))
       .orElse(Jpeg.decode(payload).map(d => (d.width, d.height, d.luminance)))
+      .orElse((if (H264.isAnnexB(payload)) H264.decodeIFrame(payload)
+        else None).map(f =>
+          (f.width, f.height, f.luma.map(b => (b & 0xff) / 255.0))))
 
   /** Decode a payload to a luminance grid: real PGM / baseline-JPEG
     * decode when the magic matches (dimensions come from the FILE,

@@ -501,15 +501,18 @@ object Pq {
         vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
         cents.toDF("cell", "centroid"), spill)
     // pin the placement subtree: it feeds the training pool collect, the
-    // encode scan, and the codes→placement join — without the checkpoint
-    // the spill-assignment lineage executes three times per query
+    // encode scan, and the codes→placement join — unpinned, the
+    // spill-assignment lineage executes three times per query. persist
+    // (not an eager localCheckpoint): lazy, and the lineage stays
+    // recoverable — an executor loss recomputes the lost blocks instead
+    // of failing the job, which is what the 100 TB form needs
     val base = placed.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (col("vec_id") * nCells + col("cell")).as("place_id"),
         (if (residual)
           zip_with(col("e"), col("centroid"), (a, b) => a - b)
         else col("e")).as("enc"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = train(base, "place_id", "enc", nSub, nCodes, iters,
       normalize = false)
     // codes by PROJECTION over the pinned placements — encode is a pure
@@ -565,6 +568,24 @@ object Pq {
     }
   }
 
+  /** OPQ + IVF-PQ composed in memory — the twin of the on-disk
+    * OPQ-built index ([[writeIvfPqIndex]] with `opqIters` > 0): learn
+    * the rotation, project corpus AND probes into model space (one
+    * literal-matrix projection each), then the standard residual IVF-PQ
+    * path. The exact re-rank inside ranks by rotated-space cosine,
+    * which equals raw cosine (R is orthogonal). */
+  def opqIvfPqTopK(corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, probeId: String, probeVec: String, k: Int,
+      nCells: Int, nprobe: Int, nSub: Int, nCodes: Int, iters: Int = 3,
+      opqIters: Int = 6, refine: Int = 8, spill: Int = 1): DataFrame = {
+    requireNumericId(corpus, id, "opqIvfPqTopK")
+    val opq = trainOpq(corpus, id, vec, nSub, nCodes, iters, opqIters)
+    ivfPqTopK(rotated(corpus, id, vec, opq.rotation), "vec_id", "e",
+      rotated(probes, probeId, probeVec, opq.rotation), "vec_id", "e",
+      k, nCells, nprobe, nSub, nCodes, iters, residual = true,
+      refine = refine, spill = spill)
+  }
+
   /** Persist an IVF-PQ index: the corpus stored as (vec_id, codes) rows
     * PARTITIONED BY the trained cell id — the codes tree is ~nSub bytes a
     * vector, so the INDEX of a 100 TB float corpus is itself only a few
@@ -577,8 +598,27 @@ object Pq {
     * ([[probeIvfPqIndex]]'s `refineWith`). */
   def writeIvfPqIndex(corpus: DataFrame, id: String, vec: String,
       dir: String, nCells: Int, nSub: Int, nCodes: Int,
-      iters: Int = 3, spill: Int = 1): Unit = {
+      iters: Int = 3, spill: Int = 1, opqIters: Int = 0): Unit = {
     requireNumericId(corpus, id, "writeIvfPqIndex")
+    if (opqIters > 0) {
+      // OPQ as the index pre-transform (FAISS's OPQMatrix-before-IVFPQ
+      // norm): learn the rotation once, place/encode in rotated space,
+      // persist the rotation as a third FROZEN model sidecar — appends
+      // and probes apply it as the same literal-matrix projection
+      val opq = trainOpq(corpus, id, vec, nSub, nCodes, iters, opqIters)
+      val rot = rotated(corpus, id, vec, opq.rotation)
+      writeIvfPqIndexCore(rot, "vec_id", "e", dir, nCells, nSub, nCodes,
+        iters, spill)
+      writeRotation(corpus.sparkSession, opq.rotation, dir)
+      return
+    }
+    writeIvfPqIndexCore(corpus, id, vec, dir, nCells, nSub, nCodes, iters,
+      spill)
+  }
+
+  private def writeIvfPqIndexCore(corpus: DataFrame, id: String,
+      vec: String, dir: String, nCells: Int, nSub: Int, nCodes: Int,
+      iters: Int, spill: Int): Unit = {
     val (cellAssign, cents) = Similarity.trainCellsWithCentroids(
       corpus, id, vec, nCells, iters)
     val spark = corpus.sparkSession
@@ -591,12 +631,13 @@ object Pq {
       else Similarity.spillAssign(
         vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
         cents.toDF("cell", "centroid"), spill)
-    // pinned for the same three-consumer reason as ivfPqTopK
+    // pinned for the same three-consumer reason as ivfPqTopK (persist,
+    // not eager localCheckpoint — see there)
     val base = placed.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (col("vec_id") * nCells + col("cell")).as("place_id"),
         zip_with(col("e"), col("centroid"), (a, b) => a - b).as("enc"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = train(base, "place_id", "enc", nSub, nCodes, iters,
       normalize = false)
     base.select(col("vec_id"), col("cell"),
@@ -609,6 +650,29 @@ object Pq {
       yield (m, j, model.codebooks(m)(j).toSeq))
       .toDF("m", "code", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+    base.unpersist()
+  }
+
+  /** Persist the OPQ rotation as the `_rotation` sidecar (one row per
+    * matrix row; underscore-prefixed like the other model sidecars). */
+  private def writeRotation(spark: SparkSession, rotation: Array[Array[Double]],
+      dir: String): Unit = {
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_rotation")
+  }
+
+  /** Reload the `_rotation` sidecar if this index was built with OPQ. */
+  private def readRotation(spark: SparkSession, dir: String): Option[Array[Array[Double]]] = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(s"$dir/_rotation")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else Some(spark.read.parquet(s"$dir/_rotation")
+      .select(col("i"), col("row"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map(_._2.toArray))
   }
 
   /** Reload the `_codebooks` sidecar as a [[PqModel]]. */
@@ -641,8 +705,17 @@ object Pq {
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     val model = readCodebooks(spark, dir)
     val centDf = broadcast(cents.toDF("cell", "centroid"))
-    val vecs = newVecs.select(col(id).as("vec_id"),
-      normalized(toDouble(col(vec))).as("e"))
+    // an OPQ-built index carries its FROZEN rotation; appended vectors
+    // enter the same rotated space before placement and encoding. The
+    // extra normalized() matches the build path bit-for-bit (the core
+    // builder re-normalizes its rotated input), so appends stay
+    // byte-identical to a same-model rebuild
+    val vecs = readRotation(spark, dir) match {
+      case Some(r) => rotated(newVecs, id, vec, r)
+        .select(col("vec_id"), normalized(toDouble(col("e"))).as("e"))
+      case None => newVecs.select(col(id).as("vec_id"),
+        normalized(toDouble(col(vec))).as("e"))
+    }
     val placed = Similarity.spillAssign(
       vecs.select(col("vec_id"), lit(0).as("cell"), col("e")),
       cents.toDF("cell", "centroid"), math.max(1, spill))
@@ -676,6 +749,9 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
     spark.read.parquet(s"$dir/_codebooks")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_codebooks")
+    // an OPQ-built index carries its rotation; codes are valid only
+    // under the exact (rotation, centroids, codebooks) triple
+    readRotation(spark, dir).foreach(r => writeRotation(spark, r, outDir))
   }
 
   /** Probe the on-disk IVF-PQ index: reload the model sidecars, rank
@@ -692,11 +768,22 @@ object Pq {
     val cents = spark.read.parquet(s"$dir/_centroids")
       .select(col("cell"), col("centroid"))
     val model = readCodebooks(spark, dir)
+    // raw-space probes serve the refine re-rank (cosine is rotation-
+    // invariant, so the exact re-rank never needs the rotated form);
+    // an OPQ index additionally rotates the probes into model space for
+    // cell ranking and ADC LUTs, mirroring the build path's chain
     val p = probes.select(col(probeId).as("q_id"),
       normalized(toDouble(col(probeVec))).as("qe"))
+    val pModel = readRotation(spark, dir) match {
+      case Some(r) => probes.select(col(probeId).as("vec_id"), col(probeVec))
+        .transform(df => rotated(df, "vec_id", probeVec, r))
+        .select(col("vec_id").as("q_id"),
+          normalized(toDouble(col("e"))).as("qe"))
+      case None => p
+    }
     val wCell = Window.partitionBy(col("q_id"))
       .orderBy(col("cell_cos").desc, col("cell").asc)
-    val probeCells = p.crossJoin(broadcast(cents))
+    val probeCells = pModel.crossJoin(broadcast(cents))
       .withColumn("cell_cos", cosine(col("qe"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)

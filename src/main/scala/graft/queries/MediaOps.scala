@@ -311,6 +311,96 @@ object MediaOps {
         TRUE AS roundtrip_ok
       FROM documents"""))
 
+  /** q146: MPEG-1 Layer III round-trip under the hash gate — q120/q126's
+    * shape over the full hybrid-filterbank codec: polyphase analysis +
+    * per-subband 36-point MDCT, aliasing-reduction butterflies,
+    * nonuniform ix^(4/3) requantization, per-band scalefactors, the
+    * big_values/count1/rzero spectrum partitioning and linbits escapes
+    * (derived Huffman code tables — Mp3L3's documented deviation). A
+    * broken side-info walk, scalefactor map, entropy path, requantizer,
+    * butterfly, IMDCT or window flips the boolean and the hash. Gate is
+    * 25 dB — measured over the full registered parameter grid via
+    * graft.tools.CodecTune: min 36.5 dB, median 42 dB (an 11.5 dB
+    * margin, matching the q120/q126 practice). */
+  private val q146 = NamedQuery(
+    "q146_mp3_layer3_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 1500 + 600).as("ns"),
+          (col("doc_id") % 200 + 200).as("freq"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, freq) =>
+          val rate = 32000
+          val n = ns.toInt
+          val tone = Array.tabulate(n)(t =>
+            (0.4 * 32768.0 * math.sin(2 * math.Pi * freq * t / rate)).toInt)
+          val payload = graft.multimodal.Mp3L3.encode(rate, Array(tone))
+          val dec = graft.multimodal.Mp3L3.decode(payload)
+          val nFrames = (ns + 1057 + 1151) / 1152
+          val okShape = dec.exists(x => x.sampleRate == rate &&
+            x.channels == 1 && x.samples(0).length == nFrames * 1152)
+          val snrOk = dec.exists { x =>
+            val out = x.samples(0)
+            var sig = 0.0; var err = 0.0
+            var i = 0
+            while (i < n - 32) {
+              val want = tone(i) / 32768.0
+              val got = out(1057 + i) / 32768.0
+              sig += want * want; err += (got - want) * (got - want)
+              i += 1
+            }
+            sig > 0 && 10.0 * math.log10(sig / math.max(err, 1e-300)) > 25.0
+          }
+          (id, nFrames * 1152, okShape && snrOk)
+        })
+        .toDF("doc_id", "n_samples", "roundtrip_ok")
+    },
+    Some("""SELECT doc_id,
+        CAST(((n_chars % 1500 + 600) + 1057 + 1151) // 1152 * 1152 AS BIGINT) AS n_samples,
+        TRUE AS roundtrip_ok
+      FROM documents"""))
+
+  /** q147: H.264 I_PCM round-trip under the hash gate — the VIDEO frame
+    * decode surface (Annex B NAL walk, Exp-Golomb SPS/PPS/slice-header
+    * grammar, macroblock layer, frame cropping), certified at the
+    * strongest gate in the codec family: I_PCM is lossless, so the
+    * boolean is BIT-EXACT recovery of every luma and chroma sample.
+    * Dimensions sweep non-multiples of 16 to exercise cropping. CAVLC
+    * transform-coded macroblocks remain the documented descope (H264
+    * scaladoc). */
+  private val q147 = NamedQuery(
+    "q147_h264_ipcm_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 34 + 2 * (id % 16).toInt
+          val h = 18 + 2 * (id % 12).toInt
+          def plane(pw: Int, ph: Int, f: (Int, Int) => Int) =
+            Array.tabulate(pw * ph)(i => f(i % pw, i / pw).toByte)
+          val l = plane(w, h, (x, y) => (3 * x + 5 * y + id.toInt) % 256)
+          val cb = plane(w / 2, h / 2, (x, y) => (7 * x + y + id.toInt) % 256)
+          val cr = plane(w / 2, h / 2, (x, y) => (x + 11 * y) % 256)
+          val bytes = graft.multimodal.H264.encodeIFrame(w, h, l, cb, cr)
+          val dec = graft.multimodal.H264.decodeIFrame(bytes)
+          val nMbs = ((w + 15) / 16) * ((h + 15) / 16)
+          val ok = dec.exists(f => f.width == w && f.height == h &&
+            f.luma.sameElements(l) && f.cb.sameElements(cb) &&
+            f.cr.sameElements(cr))
+          (id, w.toLong, h.toLong, nMbs.toLong, ok)
+        })
+        .toDF("doc_id", "width", "height", "n_mbs", "lossless")
+    },
+    Some("""SELECT doc_id,
+        CAST(34 + 2 * (doc_id % 16) AS BIGINT) AS width,
+        CAST(18 + 2 * (doc_id % 12) AS BIGINT) AS height,
+        CAST(((34 + 2 * (doc_id % 16) + 15) // 16) *
+             ((18 + 2 * (doc_id % 12) + 15) // 16) AS BIGINT) AS n_mbs,
+        TRUE AS lossless
+      FROM documents"""))
+
   /** q144: ISO-BMFF (MP4) container-metadata extraction — the pre-decode
     * routing surface of a multimodal corpus: build a valid ftyp+moov+mdat
     * file per row (video avc1 + audio mp4a track), walk the box tree
@@ -359,5 +449,5 @@ object MediaOps {
       FROM documents"""))
 
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144)
+    q144, q146, q147)
 }

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object RecallQueries {
 
   private def probes(s: SparkSession, d: String) =
-    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+    SharedAnn.probes(s, d)
 
   /** recall@5 per probe of one ANN result against the exact top-5. */
   private def topkRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
@@ -71,35 +71,24 @@ object RecallQueries {
             "FROM (VALUES ", ", ", ") AS t(\"check\", threshold, pass)")))
   }
 
-  /** q95: IVF ANN (q71's exact configuration) recall@5 vs brute force.
+  /** q95: IVF ANN (q71's exact result, [[SharedAnn.ivfResult]]) recall@5
+    * vs the shared brute-force ground truth.
     * Measured macro recall 0.86 (sf0.01) / 0.94 (sf0.1), min probe 0.6. */
   private val q95 = cert(
     "q95_ann_ivf_recall",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
-        Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
-          probes(s, d), "vec_id", "embedding", 5, 4, spill = 2)))
-    },
+    (s, d) => topkSummary(topkRecall(
+      SharedAnn.exactTop5(s, d), SharedAnn.ivfResult(s, d))),
     ("ivf_probes_nonempty", 1.0, col("n_probes") >= 1),
     ("ivf_macro_recall_at_5", 0.70, col("macro_recall") >= 0.70),
     ("ivf_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40))
 
-  /** q96: sign-LSH ANN (q74's exact configuration) recall@5 vs brute
-    * force. Measured macro 0.88 (sf0.01) / 0.86 (sf0.1), min probe 0.6. */
+  /** q96: sign-LSH ANN (q74's exact result, [[SharedAnn.lshResult]])
+    * recall@5 vs the shared brute-force ground truth. Measured macro
+    * 0.88 (sf0.01) / 0.86 (sf0.1), min probe 0.6. */
   private val q96 = cert(
     "q96_ann_lsh_recall",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
-        Similarity.lshTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5, dims = 64,
-          nBits = 48, nBands = 12)))
-    },
+    (s, d) => topkSummary(topkRecall(
+      SharedAnn.exactTop5(s, d), SharedAnn.lshResult(s, d))),
     ("lsh_probes_nonempty", 1.0, col("n_probes") >= 1),
     ("lsh_macro_recall_at_5", 0.70, col("macro_recall") >= 0.70),
     ("lsh_min_probe_recall_at_5", 0.40, col("min_recall") >= 0.40))
@@ -182,8 +171,7 @@ object RecallQueries {
       val withCell = emb.select(col("vec_id"), col("embedding"))
         .join(cells, Seq("vec_id"))
       topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
+        SharedAnn.exactTop5(s, d),
         Similarity.ivfTopK(withCell, "vec_id", "embedding", "cell",
           probes(s, d), "vec_id", "embedding", 5, 6, spill = 2)))
     },
@@ -285,12 +273,11 @@ object RecallQueries {
         "vec_id", "embedding", appended, spill = 2)
       val compacted = graft.TempDirs.create("graft_ivf_compacted")
       Similarity.compactIvfIndex(s, appended, compacted)
-      val rebuilt = graft.TempDirs.create("graft_ivf_rebuilt")
-      Similarity.writeIvfIndex(emb, "vec_id", "embedding", rebuilt,
-        nCells = 16, iters = 3, spill = 2)
-      // pinned: the brute-force ground truth feeds BOTH recall summaries
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5).localCheckpoint()
+      // rebuilt arm = q112's shared full-corpus build (identical
+      // configuration, deterministic — probed read-only here)
+      val rebuilt = SharedAnn.fullIvfIndexDir(s, d)
+      // shared brute-force ground truth feeds BOTH recall summaries
+      val exact = SharedAnn.exactTop5(s, d)
       val app = topkSummary(topkRecall(exact,
         Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
           "embedding", 5, nprobe = 6)))
@@ -343,13 +330,12 @@ object RecallQueries {
     "q137_pq_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Pq.train(emb, "vec_id", "embedding", nSub = 16,
-        nCodes = 16, iters = 3)
+      // ONE shared model backs q136's registered search, this recall
+      // gate AND the reconstruction gate — the serving contract (train
+      // once, search many) made literal
+      val model = SharedAnn.pqModel(s, d)
       val summary = topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
-        Pq.searchWithModel(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5, model, refine = 16)))
+        SharedAnn.exactTop5(s, d), SharedAnn.pqSearch(s, d)))
       val rec = Pq.reconstructionError(emb, "vec_id", "embedding", model)
         .agg(avg(col("sq_err")).as("mean_sq_err"))
       summary.join(rec)
@@ -367,16 +353,8 @@ object RecallQueries {
     * sf0.1) is asserted in PqSpec. */
   private val q140 = cert(
     "q140_ivfpq_recall",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
-        Pq.ivfPqTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
-          nSub = 16, nCodes = 16, iters = 3, residual = true, refine = 8,
-          spill = 2)))
-    },
+    (s, d) => topkSummary(topkRecall(
+      SharedAnn.exactTop5(s, d), SharedAnn.ivfPqResult(s, d))),
     ("ivfpq_probes_nonempty", 1.0, col("n_probes") >= 1),
     ("ivfpq_macro_recall_at_5", 0.50, col("macro_recall") >= 0.50),
     ("ivfpq_min_probe_recall_at_5", 0.20, col("min_recall") >= 0.20))
@@ -397,22 +375,22 @@ object RecallQueries {
     "q142_ivfpq_append_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val base = emb.filter(col("vec_id") % 4 =!= 0)
-      val appended = graft.TempDirs.create("graft_ivfpq_appended")
-      Pq.writeIvfPqIndex(base, "vec_id", "embedding", appended,
-        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+      // start from a file COPY of the shared 75 %-base build (q143 uses
+      // the same base; build determinism is PqSpec-proven, so copy ≡
+      // identical rebuild) and append into the copy — the shared
+      // artifact stays pristine
+      val appended = SharedAnn.copyIndex(
+        SharedAnn.baseIvfPqIndexDir(s, d), "graft_ivfpq_appended")
       Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0),
         "vec_id", "embedding", appended, spill = 2)
       Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4),
         "vec_id", "embedding", appended, spill = 2)
       val compacted = graft.TempDirs.create("graft_ivfpq_compacted")
       Pq.compactIvfPqIndex(s, appended, compacted)
-      val rebuilt = graft.TempDirs.create("graft_ivfpq_rebuilt")
-      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", rebuilt,
-        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
-      // pinned: the brute-force ground truth feeds BOTH recall summaries
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5).localCheckpoint()
+      // rebuilt arm = q141's shared full-corpus build (read-only probe)
+      val rebuilt = SharedAnn.fullIvfPqIndexDir(s, d)
+      // shared brute-force ground truth feeds BOTH recall summaries
+      val exact = SharedAnn.exactTop5(s, d)
       val app = topkSummary(topkRecall(exact,
         Pq.probeIvfPqIndex(s, compacted, probes(s, d), "vec_id",
           "embedding", 5, nprobe = 6,
@@ -445,9 +423,8 @@ object RecallQueries {
     "q145_opq_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val opq = Pq.trainOpq(emb, "vec_id", "embedding", nSub = 16,
-        nCodes = 16, iters = 3, opqIters = 6)
-      val pqm = Pq.train(emb, "vec_id", "embedding", 16, 16, 3)
+      val opq = SharedAnn.opqModel(s, d)
+      val pqm = SharedAnn.pqModel(s, d)
       val r = opq.rotation
       val rotDev = (for (i <- r.indices; j <- r.indices) yield {
         var s2 = 0.0
@@ -456,8 +433,7 @@ object RecallQueries {
         math.abs(s2 - (if (i == j) 1.0 else 0.0))
       }).max
       val summary = topkSummary(topkRecall(
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          probes(s, d), "vec_id", "embedding", 5),
+        SharedAnn.exactTop5(s, d),
         Pq.searchWithOpqModel(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5, opq, refine = 16)))
       val errs = Pq.opqReconstructionError(emb, "vec_id", "embedding", opq)
@@ -472,7 +448,49 @@ object RecallQueries {
     ("opq_err_not_worse_than_pq", 0.02,
       col("err_opq") <= col("err_pq") + 0.02))
 
+  /** q149: on-disk OPQ-IVFPQ maintenance certificate — q142's drill
+    * with the ROTATION as a third frozen sidecar: index built on 75 %
+    * of the corpus with OPQ (q148's configuration), the remaining 25 %
+    * appended as two micro-batches placed and residual-encoded under
+    * the FROZEN (rotation, centroids, codebooks) triple, compacted
+    * (which must carry the rotation), then probed with the refine
+    * re-rank. The rebuilt arm is q148's shared full-corpus build
+    * (fresh rotation + quantizers). Thresholds measured via
+    * graft.tools.OpqIndexTune: appended macro 0.80 (sf0.01) / 0.80
+    * (sf0.1), drift +0.08 / −0.10 (the disk≡memory diff is exactly 0
+    * at both scales) — gated at 0.50 / ≤ 0.30 with the family's usual
+    * margin. */
+  private val q149 = cert(
+    "q149_opq_index_append_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val appended = SharedAnn.copyIndex(
+        SharedAnn.opqBaseIvfPqIndexDir(s, d), "graft_opq_appended")
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", appended, spill = 2)
+      Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4),
+        "vec_id", "embedding", appended, spill = 2)
+      val compacted = graft.TempDirs.create("graft_opq_compacted")
+      Pq.compactIvfPqIndex(s, appended, compacted)
+      val exact = SharedAnn.exactTop5(s, d)
+      val app = topkSummary(topkRecall(exact,
+        Pq.probeIvfPqIndex(s, compacted, probes(s, d), "vec_id",
+          "embedding", 5, nprobe = 6,
+          refineWith = Some((emb, "vec_id", "embedding")))))
+        .select(col("n_probes"), col("macro_recall").as("macro_appended"))
+      val reb = topkSummary(topkRecall(exact,
+        Pq.probeIvfPqIndex(s, SharedAnn.opqFullIvfPqIndexDir(s, d),
+          probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
+          refineWith = Some((emb, "vec_id", "embedding")))))
+        .select(col("macro_recall").as("macro_rebuilt"))
+      app.join(reb)
+    },
+    ("opq_index_probes_nonempty", 1.0, col("n_probes") >= 1),
+    ("opq_index_macro_recall_at_5", 0.50, col("macro_appended") >= 0.50),
+    ("opq_index_macro_drift_le_0.30", 0.30,
+      col("macro_rebuilt") - col("macro_appended") <= 0.30))
+
   val all: Seq[NamedQuery] =
     Seq(q95, q96, q97, q98, q99, q106, q109, q110, q127, q133, q137, q140,
-      q142, q145)
+      q142, q145, q149)
 }

@@ -602,16 +602,16 @@ object StreamingQueries {
       newVecs.filter(col("vec_id") % 8 === 4)
         .coalesce(1).write.mode("append").parquet(stageDir)
       stampAfter(stageDir, before)
-      val streamIdx = TempDirs.create("graft_ivfpq_stream_idx")
-      Pq.writeIvfPqIndex(base, "vec_id", "embedding", streamIdx,
-        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
-      // the batch-append reference starts from a FILE COPY of the same
-      // base index — the certificate's claim is stream-append ≡
-      // batch-append over an identical base, and the copy makes "identical
-      // base" true by construction (build determinism is separately
-      // proven in PqSpec) while saving a second full index build
-      val refIdx = TempDirs.create("graft_ivfpq_batch_idx")
-      copyTree(new java.io.File(streamIdx), new java.io.File(refIdx))
+      // BOTH arms start from file copies of the shared 75 %-base build
+      // (SharedAnn.baseIvfPqIndexDir — also q142's starting point): the
+      // certificate's claim is stream-append ≡ batch-append over an
+      // identical base, and the copies make "identical base" true by
+      // construction (build determinism is separately proven in PqSpec)
+      // while the session pays for the base build exactly once
+      val streamIdx = SharedAnn.copyIndex(
+        SharedAnn.baseIvfPqIndexDir(s, d), "graft_ivfpq_stream_idx")
+      val refIdx = SharedAnn.copyIndex(
+        SharedAnn.baseIvfPqIndexDir(s, d), "graft_ivfpq_batch_idx")
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
       val q = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")

@@ -15,12 +15,12 @@ object VectorOps {
   private def probes(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
 
-  /** Exact cosine top-5 per probe vector. */
+  /** Exact cosine top-5 per probe vector — also the recall-cert family's
+    * shared ground truth ([[SharedAnn.exactTop5]]: one scan per session,
+    * byte-identical to the per-query build it replaced). */
   private val q70 = NamedQuery(
     "q70_cosine_topk",
-    (s, d) => Similarity.bruteForceTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding",
-      probes(s, d), "vec_id", "embedding", 5),
+    (s, d) => SharedAnn.exactTop5(s, d),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
       p AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
@@ -39,9 +39,7 @@ object VectorOps {
     * construction → rows-only check. */
   private val q71 = NamedQuery(
     "q71_ann_ivf_topk",
-    (s, d) => Similarity.ivfTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding", "label",
-      probes(s, d), "vec_id", "embedding", 5, 4, spill = 2),
+    (s, d) => SharedAnn.ivfResult(s, d),
     None,
     note = Some("ANN result sets are approximate by construction; " +
       "recall@5 vs brute force is hash-gated by the q95_ann_ivf_recall " +
@@ -83,10 +81,7 @@ object VectorOps {
     * recall@5 0.90 vs 0.40 for the old 16/4 config). */
   private val q74 = NamedQuery(
     "q74_ann_lsh_topk",
-    (s, d) => Similarity.lshTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding",
-      probes(s, d), "vec_id", "embedding", 5, dims = 64,
-      nBits = 48, nBands = 12),
+    (s, d) => SharedAnn.lshResult(s, d),
     None,
     note = Some("ANN result sets are approximate by construction; " +
       "recall@5 vs brute force is hash-gated by the q96_ann_lsh_recall " +
@@ -144,13 +139,8 @@ object VectorOps {
     * cells and ranking are); approximate by construction → rows-only. */
   private val q112 = NamedQuery(
     "q112_ann_ivf_index_probe",
-    (s, d) => {
-      val dir = graft.TempDirs.create("graft_ivf_index")
-      Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
-        "embedding", dir, nCells = 16, iters = 3, spill = 2)
-      Similarity.probeIvfIndex(s, dir, probes(s, d), "vec_id", "embedding",
-        5, nprobe = 6)
-    },
+    (s, d) => Similarity.probeIvfIndex(s, SharedAnn.fullIvfIndexDir(s, d),
+      probes(s, d), "vec_id", "embedding", 5, nprobe = 6),
     None,
     note = Some("On-disk IVF probe results are approximate by " +
       "construction; recall and append/compact maintenance drift are " +
@@ -202,9 +192,7 @@ object VectorOps {
     * probe). Deterministic (seeded codebooks, fixed tie-breaks). */
   private val q136 = NamedQuery(
     "q136_pq_topk",
-    (s, d) => Pq.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      probes(s, d), "vec_id", "embedding", 5, nSub = 16, nCodes = 16,
-      iters = 3, refine = 16),
+    (s, d) => SharedAnn.pqSearch(s, d),
     None,
     note = Some("PQ/ADC result sets are approximate by construction; " +
       "refined recall@5 and reconstruction error are hash-gated by the " +
@@ -218,10 +206,7 @@ object VectorOps {
     * 0.88/0.66 at sf0.01/sf0.1 vs 0.88/0.52 without residuals. */
   private val q138 = NamedQuery(
     "q138_ivfpq_topk",
-    (s, d) => Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      probes(s, d), "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
-      nSub = 16, nCodes = 16, iters = 3, residual = true, refine = 8,
-      spill = 2),
+    (s, d) => SharedAnn.ivfPqResult(s, d),
     None,
     note = Some("IVF-PQ composes the q95/q106-certified cell pruning " +
       "with the q137-certified PQ codes; recall@5 is hash-gated by the " +
@@ -235,19 +220,35 @@ object VectorOps {
     * (raw vectors are never duplicated into the index). */
   private val q141 = NamedQuery(
     "q141_ivfpq_index_probe",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dir = graft.TempDirs.create("graft_ivfpq_index")
-      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", dir, nCells = 16,
-        nSub = 16, nCodes = 16, iters = 3, spill = 2)
-      Pq.probeIvfPqIndex(s, dir, probes(s, d), "vec_id", "embedding",
-        5, nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))
-    },
+    (s, d) => Pq.probeIvfPqIndex(s, SharedAnn.fullIvfPqIndexDir(s, d),
+      probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
+      refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding"))),
     None,
     note = Some("On-disk IVF-PQ probe; PqSpec asserts it returns exactly " +
       "the in-memory q138 results (same trained model, deterministic), " +
       "whose recall is hash-gated by q140_ivfpq_recall."))
 
+  /** q148: the on-disk OPQ-IVFPQ index (FAISS's OPQ-as-pretransform
+    * norm, completing q141's serving stack): the learned orthogonal
+    * rotation is persisted as a THIRD frozen model sidecar
+    * (`_rotation`) and applied as the same literal-matrix projection at
+    * build, append and probe; everything else is q141's layout
+    * (cell-partitioned codes, listing-time pruning, refine re-rank
+    * joining the raw source — exact cosine is rotation-invariant, so
+    * the refine never touches the rotated form). */
+  private val q148 = NamedQuery(
+    "q148_opq_index_probe",
+    (s, d) => Pq.probeIvfPqIndex(s, SharedAnn.opqFullIvfPqIndexDir(s, d),
+      probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
+      refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding"))),
+    None,
+    note = Some("On-disk OPQ-IVFPQ probe; PqSpec asserts it returns " +
+      "exactly the in-memory opqIvfPqTopK results (same trained " +
+      "rotation+models, deterministic); recall and frozen-rotation " +
+      "append drift are hash-gated by the q149_opq_index_append_recall " +
+      "certificate."))
+
   val all: Seq[NamedQuery] =
-    Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119, q136, q138, q141)
+    Seq(q70, q71, q72, q73, q74, q88, q91, q112, q119, q136, q138, q141,
+      q148)
 }

@@ -130,7 +130,15 @@ class PlanSpec extends SparkSpec {
     // tiny and must reach it as a broadcast (nested-loop on the
     // self-exclusion predicate, or hash on the refine re-join) — a
     // CartesianProduct here would shuffle the corpus against every probe
-    val plan = finalPlan(q("q136_pq_topk"))
+    // q136's REGISTERED result is SharedAnn's localCheckpoint (a
+    // materialized RDD scan by design) — fence the underlying operator
+    // plan it pins, built with the identical model and configuration
+    val emb = Tables.embeddings(spark, dir)
+    val plan = finalPlan(operators.Pq.searchWithModel(
+      emb, "vec_id", "embedding", emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 10),
+      "vec_id", "embedding", 5,
+      queries.SharedAnn.pqModel(spark, dir), refine = 16))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
@@ -157,7 +165,14 @@ class PlanSpec extends SparkSpec {
 
   test("IVF-PQ ADC shortlist ranks under WindowGroupLimit; refine join " +
       "broadcasts the probe side (q138)") {
-    val plan = finalPlan(q("q138_ivfpq_topk"))
+    // as with q136: the registered result is the pinned checkpoint —
+    // fence the underlying ivfPqTopK plan at q138's configuration
+    val emb = Tables.embeddings(spark, dir)
+    val plan = finalPlan(operators.Pq.ivfPqTopK(
+      emb, "vec_id", "embedding", emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 10),
+      "vec_id", "embedding", 5, nCells = 16, nprobe = 6, nSub = 16,
+      nCodes = 16, iters = 3, residual = true, refine = 8, spill = 2))
     // the rank-<=shortlist filter must prune each probe's group before the
     // sort — without it the ADC scan sorts every candidate row
     assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")

@@ -131,6 +131,55 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("on-disk OPQ index probe returns exactly the in-memory " +
+      "opqIvfPqTopK results; appends honor the frozen rotation") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+    val mem = Pq.opqIvfPqTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", 5, nCells = 8, nprobe = 3, nSub = 8,
+        nCodes = 16, iters = 3, opqIters = 4, refine = 8, spill = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val idxDir = graft.TempDirs.create("graft_opq_idx_test")
+    Pq.writeIvfPqIndex(emb, "vec_id", "embedding", idxDir, nCells = 8,
+      nSub = 8, nCodes = 16, iters = 3, spill = 2, opqIters = 4)
+    val disk = Pq.probeIvfPqIndex(spark, idxDir, probes, "vec_id",
+        "embedding", 5, nprobe = 3,
+        refineWith = Some((emb, "vec_id", "embedding")), refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(disk === mem,
+      s"OPQ disk probe diverged: only-disk=${disk -- mem} only-mem=${mem -- disk}")
+    // frozen-rotation appends: 75% build + 25% append must equal a
+    // rebuild of the same 75% (identical deterministic rotation/models)
+    // + one append of everything else, row-for-row in the codes tree
+    val a75 = graft.TempDirs.create("graft_opq_append_a")
+    Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", a75, nCells = 8, nSub = 8, nCodes = 16, iters = 3,
+      spill = 2, opqIters = 4)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+      "embedding", a75, spill = 2)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 8 === 4), "vec_id",
+      "embedding", a75, spill = 2)
+    val b75 = graft.TempDirs.create("graft_opq_append_b")
+    Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", b75, nCells = 8, nSub = 8, nCodes = 16, iters = 3,
+      spill = 2, opqIters = 4)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", b75, spill = 2)
+    def tree(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell").cast("int"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(tree(a75) === tree(b75))
+    // compaction carries the rotation sidecar: probing the compacted
+    // copy is identical to probing the appended original
+    val comp = graft.TempDirs.create("graft_opq_append_comp")
+    Pq.compactIvfPqIndex(spark, a75, comp)
+    def probe(d: String) = Pq.probeIvfPqIndex(spark, d, probes, "vec_id",
+        "embedding", 5, nprobe = 3,
+        refineWith = Some((emb, "vec_id", "embedding")), refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(probe(comp) === probe(a75))
+  }
+
   test("residual encoding recalls at least as well as raw at fixture scale") {
     val emb = Tables.embeddings(spark, dir)
     val probes = emb.filter(col("vec_id") < 8)

@@ -152,7 +152,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q70: codegen dot product present in plan, no HOF fold") {
-    val p = plan("q70_cosine_topk")
+    // q70's registered result is SharedAnn's localCheckpoint (a
+    // materialized RDD scan) — fence the brute-force builder it pins
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p = graft.operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
   }
 }
