@@ -149,6 +149,82 @@ object Mp4 {
     } catch { case _: Exception => None }
   }
 
+  // ------------------------------------------------- sample extraction
+
+  /** Per-sample (absolute file offset, size) of one track, resolved from
+    * the spec's three-table indirection: `stsz` (sizes; fixed or
+    * per-sample), `stsc` (sample→chunk runs), `stco`/`co64` (chunk
+    * offsets). This is the random-access path a frame decoder uses —
+    * samples are located without reading any media bytes. None when the
+    * track lacks a complete table set or the tables disagree. */
+  def sampleTable(bytes: Array[Byte], trackIndex: Int): Option[Seq[(Long, Int)]] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val r = new Reader(bytes)
+      val top = boxes(r, 0L, bytes.length.toLong)
+      val (_, moovS, moovE) = find(top, "moov").getOrElse(return None)
+      val traks = boxes(r, moovS, moovE).filter(_._1 == "trak")
+      if (trackIndex < 0 || trackIndex >= traks.length) return None
+      val (_, tS, tE) = traks(trackIndex)
+      val (_, mdS, mdE) = find(boxes(r, tS, tE), "mdia").getOrElse(return None)
+      val (_, mnS, mnE) = find(boxes(r, mdS, mdE), "minf").getOrElse(return None)
+      val (_, sbS, sbE) = find(boxes(r, mnS, mnE), "stbl").getOrElse(return None)
+      val stbl = boxes(r, sbS, sbE)
+      // stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes]
+      val (_, szS, _) = find(stbl, "stsz").getOrElse(return None)
+      val fixedSize = r.u32(szS + 4)
+      val n = r.u32(szS + 8).toInt
+      val sizes: Array[Int] =
+        if (fixedSize != 0L) Array.fill(n)(fixedSize.toInt)
+        else Array.tabulate(n)(i => r.u32(szS + 12 + 4L * i).toInt)
+      // stco (u32) or co64 (u64): fullbox(4) + entry_count(4) + offsets
+      val chunkOffsets: Array[Long] = find(stbl, "stco") match {
+        case Some((_, coS, _)) =>
+          Array.tabulate(r.u32(coS + 4).toInt)(i => r.u32(coS + 8 + 4L * i))
+        case None =>
+          val (_, coS, _) = find(stbl, "co64").getOrElse(return None)
+          Array.tabulate(r.u32(coS + 4).toInt)(i => r.u64(coS + 8 + 8L * i))
+      }
+      // stsc: fullbox(4) + entry_count(4) + (first_chunk,
+      // samples_per_chunk, sdi) triples; runs extend to the next entry
+      val (_, scS, _) = find(stbl, "stsc").getOrElse(return None)
+      val nRuns = r.u32(scS + 4).toInt
+      val runs = Array.tabulate(nRuns)(i =>
+        (r.u32(scS + 8 + 12L * i).toInt, r.u32(scS + 12 + 12L * i).toInt))
+      val out = Vector.newBuilder[(Long, Int)]
+      var sample = 0
+      var chunk = 0
+      while (sample < n && chunk < chunkOffsets.length) {
+        val runIdx = runs.lastIndexWhere(_._1 <= chunk + 1)
+        if (runIdx < 0) return None
+        val perChunk = runs(runIdx)._2
+        var off = chunkOffsets(chunk)
+        var j = 0
+        while (j < perChunk && sample < n) {
+          if (off + sizes(sample) > bytes.length) return None
+          out += ((off, sizes(sample)))
+          off += sizes(sample)
+          sample += 1; j += 1
+        }
+        chunk += 1
+      }
+      if (sample != n) return None
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** The raw sample payloads of the FIRST video track (frame decode's
+    * input — e.g. one complete JPEG per sample for an MJPEG track). */
+  def videoSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    for {
+      meta <- parseMeta(bytes)
+      idx = meta.tracks.indexWhere(_.handler == "vide")
+      if idx >= 0
+      table <- sampleTable(bytes, idx)
+    } yield table.map { case (off, len) =>
+      bytes.slice(off.toInt, off.toInt + len)
+    }
+
   // ------------------------------------------------------------ writing
 
   private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
@@ -228,6 +304,80 @@ object Mp4 {
     }
     val moov = box("moov", (mvhd +: traks): _*)
     val mdat = box("mdat", payload)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Write an MP4 whose tracks carry REAL samples: per-track one chunk
+    * in `mdat`, per-sample sizes in `stsz`, the chunk's absolute file
+    * offset in `stco` (resolved by the standard two-pass layout — the
+    * moov length is fixed once entry counts are known, so offsets are
+    * filled on the second pass). [[sampleTable]]/[[videoSamples]] read
+    * these back; an MJPEG-style track is simply one complete JPEG per
+    * sample. */
+  def writeWithSamples(timescale: Long, duration: Long,
+      tracks: Seq[(TrackSpec, Seq[Array[Byte]])]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32(512),
+      "isomiso2".getBytes)
+    def moovOf(offsets: Seq[Long]): Array[Byte] = {
+      val mvhd = box("mvhd", be32(0),
+        be32(0), be32(0), be32(timescale), be32(duration),
+        be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        Array.fill(24)(0.toByte),
+        be32(tracks.length + 1L))
+      val traks = tracks.zipWithIndex.map { case ((t, samples), i) =>
+        val n = samples.length
+        val tkhd = box("tkhd", be32(7),
+          be32(0), be32(0), be32(i + 1L), be32(0), be32(t.duration),
+          be32(0), be32(0), be16(0), be16(0),
+          be16(if (t.handler == "soun") 0x0100 else 0), be16(0),
+          be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+          be32(0), be32(0), be32(0), be32(0x40000000L),
+          be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+        val mdhd = box("mdhd", be32(0), be32(0), be32(0),
+          be32(t.timescale), be32(t.duration), be16(0x55c4), be16(0))
+        val hdlr = box("hdlr", be32(0), be32(0),
+          t.handler.getBytes("US-ASCII"), Array.fill(12)(0.toByte),
+          Array[Byte](0))
+        val entry = {
+          val common = Array.fill(6)(0.toByte) ++ be16(1)
+          val body =
+            if (t.handler == "vide")
+              common ++ Array.fill(16)(0.toByte) ++
+                be16(t.width) ++ be16(t.height) ++
+                be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+                be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff)
+            else common ++ Array.fill(8)(0.toByte) ++ be16(2) ++ be16(16) ++
+              be32(0) ++ be32(t.timescale << 16)
+          box(t.codec, body)
+        }
+        val stsd = box("stsd", be32(0), be32(1), entry)
+        val stts = box("stts", be32(0), be32(1), be32(n.toLong),
+          be32(if (n == 0) 0 else t.duration / math.max(1, n)))
+        val stsc =
+          if (n == 0) box("stsc", be32(0), be32(0))
+          else box("stsc", be32(0), be32(1), be32(1), be32(n.toLong), be32(1))
+        val stsz = box("stsz", be32(0), be32(0), be32(n.toLong),
+          Array.concat(samples.map(s => be32(s.length.toLong)): _*))
+        val stco =
+          if (n == 0) box("stco", be32(0), be32(0))
+          else box("stco", be32(0), be32(1), be32(offsets(i)))
+        val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+        val minf = box("minf", box("nmhd", be32(0)),
+          box("dinf", box("dref", be32(0), be32(1),
+            box("url ", be32(1)))), stbl)
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+      }
+      box("moov", (mvhd +: traks): _*)
+    }
+    val moovLen = moovOf(tracks.map(_ => 0L)).length
+    val payloadSizes = tracks.map(_._2.map(_.length).sum)
+    val base = ftyp.length.toLong + moovLen + 8 // + mdat header
+    val offsets = payloadSizes.scanLeft(base)(_ + _).init
+    val moov = moovOf(offsets)
+    require(moov.length == moovLen, "moov length changed between passes")
+    val mdat = box("mdat", tracks.flatMap(_._2): _*)
     ftyp ++ moov ++ mdat
   }
 }

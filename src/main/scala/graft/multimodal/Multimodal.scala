@@ -228,6 +228,36 @@ object Multimodal {
     }
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_lum: Double)
+
+  /** REAL video frame decode (round 9): MP4 container walk →
+    * `stsz`/`stsc`/`stco` sample table → per-sample payload of the first
+    * video track → image decode per frame by magic dispatch (one
+    * complete JPEG per sample is the MJPEG layout; PNG/PGM/H.264-I_PCM
+    * samples decode through the same dispatch). `stride` keeps every
+    * n-th frame — the frame-sampling knob a training pipeline uses.
+    * Non-MP4 or non-decodable payloads yield no rows, never garbage.
+    * Per-partition batches; no driver involvement. */
+  def videoFrames(media: DataFrame, stride: Int = 1): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    media.as[MediaRow].flatMap { m =>
+      if (!Mp4.isMp4(m.payload)) Seq.empty[VideoFrame]
+      else Mp4.videoSamples(m.payload).getOrElse(Seq.empty)
+        .zipWithIndex.collect { case (bytes, i) if i % stride == 0 =>
+          (bytes, i)
+        }
+        .flatMap { case (bytes, i) =>
+          decodeAnyImage(bytes).map { case (w, h, px) =>
+            VideoFrame(m.doc_id, i, w, h,
+              px.sum / math.max(px.length, 1))
+          }
+        }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte block
     * fingerprinted — the frame-sample operator's plumbing with the decode
     * stubbed to a rolling hash. */

@@ -448,6 +448,58 @@ object MediaOps {
         CAST(doc_id % 7 + 1 AS BIGINT) AS mdat_bytes
       FROM documents"""))
 
+  /** q150: END-TO-END video frame decode under the hash gate — the full
+    * multimodal video path composed from real parts: per row an MJPEG
+    * MP4 is built (one complete JPEG per sample, real stsz/stsc/stco
+    * sample tables via Mp4.writeWithSamples), then
+    * [[Multimodal.videoFrames]] walks the container back, locates each
+    * sample WITHOUT reading media bytes around it, and decodes every
+    * frame through the production JPEG codec. Frames are 16×16 DC-only
+    * mosaics, so the decode is exact and the per-frame mean luminance
+    * has a closed form the oracle mirrors. A broken sample table,
+    * chunk-offset layout, frame slice or JPEG path flips rows or
+    * values and the hash. */
+  private val q150 = NamedQuery(
+    "q150_video_frames",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5 + 2).as("nf"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nfL) =>
+          val nf = nfL.toInt
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(16 * 16) { i =>
+              val bx = (i % 16) / 8; val by = (i / 16) / 8
+              ((bx * 7 + by * 13 + f * 17 + id) % 256).toDouble / 255.0
+            }
+            graft.multimodal.Jpeg.encodeGray(16, 16, px)
+          }
+          val payload = graft.multimodal.Mp4.writeWithSamples(1000,
+            nf * 40L, Seq((graft.multimodal.Mp4.TrackSpec("vide", "mjpa",
+              16, 16, 1000, nf * 40L, nf.toLong), frames)))
+          graft.multimodal.Multimodal.MediaRow(id, "video", payload,
+            16, 16, 1)
+        }).toDF()
+      graft.multimodal.Multimodal.videoFrames(media)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS nf FROM documents),
+      f AS (SELECT d.doc_id, ff.f FROM d,
+              UNNEST(generate_series(0, d.nf - 1)) AS ff(f)),
+      b AS (SELECT doc_id, f,
+              CAST((bx.x * 7 + by.y * 13 + f * 17 + doc_id) % 256
+                AS DOUBLE) / 255.0 AS v
+            FROM f, UNNEST([0, 1]) AS bx(x), UNNEST([0, 1]) AS by(y))
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        ROUND(AVG(v), 6) AS mean_lum
+      FROM b GROUP BY doc_id, f"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147)
+    q144, q146, q147, q150)
 }

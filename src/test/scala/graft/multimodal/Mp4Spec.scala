@@ -90,4 +90,51 @@ class Mp4Spec extends AnyFunSuite {
     assert(!Mp4.isMp4(Array[Byte](0x50, 0x35, 0x0a)))
     assert(!Mp2.isMp2(sample) && !Mp3.isMp3(sample))
   }
+
+  test("sample tables round-trip: writeWithSamples → sampleTable → " +
+      "exact payload recovery") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(10 + 7 * f)(i => ((i * 31 + f) % 251).toByte))
+    val audio = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val bytes = Mp4.writeWithSamples(1000, 160, Seq(
+      (Mp4.TrackSpec("vide", "mjpa", 16, 16, 1000, 160, 4), frames),
+      (Mp4.TrackSpec("soun", "mp4a", 0, 0, 8000, 1280, 2), audio)))
+    val meta = Mp4.parseMeta(bytes).get
+    assert(meta.videoTracks.head.sampleCount === 4)
+    assert(meta.audioTracks.head.sampleCount === 2)
+    val vt = Mp4.sampleTable(bytes, 0).get
+    assert(vt.map(_._2) === frames.map(_.length))
+    for (((off, len), f) <- vt.zip(frames))
+      assert(bytes.slice(off.toInt, off.toInt + len).sameElements(f))
+    val at = Mp4.sampleTable(bytes, 1).get
+    for (((off, len), a) <- at.zip(audio))
+      assert(bytes.slice(off.toInt, off.toInt + len).sameElements(a))
+    // videoSamples returns the first video track's payloads verbatim
+    val vs = Mp4.videoSamples(bytes).get
+    assert(vs.length === 4)
+    for ((s, f) <- vs.zip(frames)) assert(s.sameElements(f))
+    // out-of-range track index and sample-table-free input are None
+    assert(Mp4.sampleTable(bytes, 2).isEmpty)
+    assert(Mp4.sampleTable("nope".getBytes, 0).isEmpty)
+  }
+
+  test("MJPEG end to end: JPEG samples decode back exactly") {
+    val frames = (0 until 3).map { f =>
+      val px = Array.tabulate(16 * 16) { i =>
+        val bx = (i % 16) / 8; val by = (i / 16) / 8
+        ((bx * 7 + by * 13 + f * 17) % 256).toDouble / 255.0
+      }
+      (px, Jpeg.encodeGray(16, 16, px))
+    }
+    val bytes = Mp4.writeWithSamples(1000, 120, Seq(
+      (Mp4.TrackSpec("vide", "mjpa", 16, 16, 1000, 120, 3),
+        frames.map(_._2))))
+    val vs = Mp4.videoSamples(bytes).get
+    assert(vs.length === 3)
+    for ((s, (px, _)) <- vs.zip(frames)) {
+      val d = Jpeg.decode(s).get
+      assert(d.width === 16 && d.height === 16)
+      assert(d.luminance.sameElements(px)) // DC-only mosaics are exact
+    }
+  }
 }
