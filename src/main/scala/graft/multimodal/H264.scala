@@ -406,6 +406,84 @@ object H264 {
       nal(3, 5, sl.result())
   }
 
+  // ------------------------------------------------- MP4 (avcC) layout
+
+  /** Split an Annex B stream into the MP4 carriage form (ISO 14496-15):
+    * an `avcC` AVCDecoderConfigurationRecord holding the SPS/PPS
+    * parameter sets, and the frame as ONE sample of 4-byte
+    * length-prefixed slice NALs. */
+  def toAvcc(annexB: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val ns = nals(annexB)
+    val sps = ns.filter(_._1 == 7).map(_._2)
+    val pps = ns.filter(_._1 == 8).map(_._2)
+    val slices = ns.filter(n => n._1 == 5 || n._1 == 1)
+    require(sps.nonEmpty && pps.nonEmpty && slices.nonEmpty,
+      "need SPS+PPS+slice NALs")
+    val cfg = new scala.collection.mutable.ArrayBuffer[Byte]()
+    // configurationVersion, profile, compat, level from the first SPS
+    cfg += 1; cfg += sps.head(0); cfg += sps.head(1); cfg += sps.head(2)
+    cfg += 0xff.toByte // reserved(6) + lengthSizeMinusOne = 3
+    cfg += (0xe0 | sps.length).toByte // reserved(3) + numOfSPS
+    for (s <- sps) {
+      val e = escape(s)
+      val len = e.length + 1 // + the re-attached NAL header byte
+      cfg += (len >> 8).toByte; cfg += len.toByte
+      cfg += 0x67; cfg ++= e
+    }
+    cfg += pps.length.toByte
+    for (p <- pps) {
+      val e = escape(p)
+      val len = e.length + 1
+      cfg += (len >> 8).toByte; cfg += len.toByte
+      cfg += 0x68; cfg ++= e
+    }
+    val sample = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for ((typ, payload) <- slices) {
+      val e = escape(payload)
+      val len = e.length + 1
+      sample += (len >>> 24).toByte; sample += (len >>> 16).toByte
+      sample += (len >>> 8).toByte; sample += len.toByte
+      sample += ((3 << 5) | typ).toByte; sample ++= e
+    }
+    (cfg.toArray, sample.toArray)
+  }
+
+  /** Decode one MP4 sample (4-byte length-prefixed NALs) under an
+    * `avcC` configuration record: the parameter sets and slices are
+    * re-framed as Annex B and decoded by [[decodeIFrame]]. None on
+    * malformed config/sample or non-4-byte length fields. */
+  def decodeAvccSample(avcC: Array[Byte], sample: Array[Byte]): Option[Frame] = {
+    try {
+      require(avcC.length >= 7 && avcC(0) == 1, "bad avcC")
+      require((avcC(4) & 3) == 3, "only 4-byte NAL lengths supported")
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      var p = 5
+      val nSps = avcC(p) & 0x1f; p += 1
+      for (_ <- 0 until nSps) {
+        val len = ((avcC(p) & 0xff) << 8) | (avcC(p + 1) & 0xff); p += 2
+        out ++= Array[Byte](0, 0, 0, 1); out ++= avcC.slice(p, p + len)
+        p += len
+      }
+      val nPps = avcC(p) & 0xff; p += 1
+      for (_ <- 0 until nPps) {
+        val len = ((avcC(p) & 0xff) << 8) | (avcC(p + 1) & 0xff); p += 2
+        out ++= Array[Byte](0, 0, 0, 1); out ++= avcC.slice(p, p + len)
+        p += len
+      }
+      var q = 0
+      while (q + 4 <= sample.length) {
+        val len = ((sample(q) & 0xff) << 24) | ((sample(q + 1) & 0xff) << 16) |
+          ((sample(q + 2) & 0xff) << 8) | (sample(q + 3) & 0xff)
+        require(len > 0 && q + 4 + len <= sample.length, "bad NAL length")
+        out ++= Array[Byte](0, 0, 0, 1)
+        out ++= sample.slice(q + 4, q + 4 + len)
+        q += 4 + len
+      }
+      require(q == sample.length, "trailing bytes after last NAL")
+      decodeIFrame(out.toArray)
+    } catch { case _: Exception => None }
+  }
+
   def isAnnexB(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 &&
       ((bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1) ||

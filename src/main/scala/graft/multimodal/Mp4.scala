@@ -213,6 +213,34 @@ object Mp4 {
     } catch { case _: Exception => None }
   }
 
+  /** A codec configuration box nested in a track's first (video) sample
+    * entry — e.g. the `avcC` AVCDecoderConfigurationRecord of an `avc1`
+    * track (ISO 14496-15 carriage: parameter sets live in the entry,
+    * samples are length-prefixed NALs). Returns the box PAYLOAD. The
+    * fixed VisualSampleEntry fields span 78 payload bytes; child boxes
+    * follow. */
+  def codecConfig(bytes: Array[Byte], trackIndex: Int,
+      boxType: String): Option[Array[Byte]] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val r = new Reader(bytes)
+      val top = boxes(r, 0L, bytes.length.toLong)
+      val (_, moovS, moovE) = find(top, "moov").getOrElse(return None)
+      val traks = boxes(r, moovS, moovE).filter(_._1 == "trak")
+      if (trackIndex < 0 || trackIndex >= traks.length) return None
+      val (_, tS, tE) = traks(trackIndex)
+      val (_, mdS, mdE) = find(boxes(r, tS, tE), "mdia").getOrElse(return None)
+      val (_, mnS, mnE) = find(boxes(r, mdS, mdE), "minf").getOrElse(return None)
+      val (_, sbS, sbE) = find(boxes(r, mnS, mnE), "stbl").getOrElse(return None)
+      val (_, sdS, _) = find(boxes(r, sbS, sbE), "stsd").getOrElse(return None)
+      if (r.u32(sdS + 4) == 0L) return None
+      val entryStart = sdS + 8
+      val entryEnd = entryStart + r.u32(entryStart)
+      find(boxes(r, entryStart + 8 + 78, entryEnd), boxType)
+        .map { case (_, s, e) => bytes.slice(s.toInt, e.toInt) }
+    } catch { case _: Exception => None }
+  }
+
   /** The raw sample payloads of the FIRST video track (frame decode's
     * input — e.g. one complete JPEG per sample for an MJPEG track). */
   def videoSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
@@ -315,7 +343,8 @@ object Mp4 {
     * these back; an MJPEG-style track is simply one complete JPEG per
     * sample. */
   def writeWithSamples(timescale: Long, duration: Long,
-      tracks: Seq[(TrackSpec, Seq[Array[Byte]])]): Array[Byte] = {
+      tracks: Seq[(TrackSpec, Seq[Array[Byte]])],
+      configs: Map[Int, (String, Array[Byte])] = Map.empty): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes, be32(512),
       "isomiso2".getBytes)
     def moovOf(offsets: Seq[Long]): Array[Byte] = {
@@ -350,7 +379,10 @@ object Mp4 {
                 be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff)
             else common ++ Array.fill(8)(0.toByte) ++ be16(2) ++ be16(16) ++
               be32(0) ++ be32(t.timescale << 16)
-          box(t.codec, body)
+          configs.get(i) match {
+            case Some((bt, cfg)) => box(t.codec, body, box(bt, cfg))
+            case None => box(t.codec, body)
+          }
         }
         val stsd = box("stsd", be32(0), be32(1), entry)
         val stts = box("stts", be32(0), be32(1), be32(n.toLong),

@@ -244,17 +244,34 @@ object Multimodal {
     import spark.implicits._
     require(stride >= 1, "stride must be >= 1")
     media.as[MediaRow].flatMap { m =>
-      if (!Mp4.isMp4(m.payload)) Seq.empty[VideoFrame]
-      else Mp4.videoSamples(m.payload).getOrElse(Seq.empty)
-        .zipWithIndex.collect { case (bytes, i) if i % stride == 0 =>
-          (bytes, i)
-        }
-        .flatMap { case (bytes, i) =>
-          decodeAnyImage(bytes).map { case (w, h, px) =>
-            VideoFrame(m.doc_id, i, w, h,
-              px.sum / math.max(px.length, 1))
+      val frames = for {
+        _ <- Option.when(Mp4.isMp4(m.payload))(())
+        meta <- Mp4.parseMeta(m.payload)
+        idx = meta.tracks.indexWhere(_.handler == "vide")
+        if idx >= 0
+        table <- Mp4.sampleTable(m.payload, idx)
+      } yield {
+        // avc1 tracks carry length-prefixed NALs under an avcC config
+        // record (ISO 14496-15); self-contained per-sample formats
+        // (MJPEG/PNG/PGM) go through the magic dispatch
+        val avcC = if (meta.tracks(idx).codec == "avc1")
+          Mp4.codecConfig(m.payload, idx, "avcC") else None
+        table.zipWithIndex
+          .collect { case ((off, len), i) if i % stride == 0 =>
+            (m.payload.slice(off.toInt, off.toInt + len), i)
           }
-        }
+          .flatMap { case (bytes, i) =>
+            val dec = avcC match {
+              case Some(cfg) => H264.decodeAvccSample(cfg, bytes).map(f =>
+                (f.width, f.height, f.luma.map(b => (b & 0xff) / 255.0)))
+              case None => decodeAnyImage(bytes)
+            }
+            dec.map { case (w, h, px) =>
+              VideoFrame(m.doc_id, i, w, h, px.sum / math.max(px.length, 1))
+            }
+          }
+      }
+      frames.getOrElse(Seq.empty)
     }
   }
 

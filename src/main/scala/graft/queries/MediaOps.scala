@@ -500,6 +500,70 @@ object MediaOps {
         ROUND(AVG(v), 6) AS mean_lum
       FROM b GROUP BY doc_id, f"""))
 
+  /** q151: H.264 carried IN MP4 the real-world way (ISO 14496-15):
+    * parameter sets live in the sample entry's `avcC` configuration
+    * record, samples are 4-byte length-prefixed NALs — no Annex B start
+    * codes inside the container. Per row, nf I_PCM frames are packed
+    * via H264.toAvcc + Mp4.writeWithSamples(avcC config box), then
+    * decoded back through the full container path (parseMeta →
+    * sampleTable → codecConfig → decodeAvccSample) and compared
+    * BIT-EXACTLY (I_PCM is lossless) — a broken config record, length
+    * prefix, sample table or escape/unescape round trip flips the
+    * boolean and the hash. */
+  private val q151 = NamedQuery(
+    "q151_h264_in_mp4",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.multimodal.{H264, Mp4}
+          val w = 34 + 2 * (id % 16).toInt
+          val h = 18 + 2 * (id % 12).toInt
+          val nf = (id % 3 + 1).toInt
+          def plane(pw: Int, ph: Int, f: (Int, Int) => Int) =
+            Array.tabulate(pw * ph)(i => f(i % pw, i / pw).toByte)
+          val frames = (0 until nf).map { f =>
+            val l = plane(w, h,
+              (x, y) => ((3 * x + 5 * y + id + 29 * f) % 256).toInt)
+            val cb = plane(w / 2, h / 2,
+              (x, y) => ((7 * x + y + f) % 256).toInt)
+            val cr = plane(w / 2, h / 2,
+              (x, y) => ((x + 11 * y + 3 * f) % 256).toInt)
+            (l, cb, cr)
+          }
+          val pairs = frames.map { case (l, cb, cr) =>
+            H264.toAvcc(H264.encodeIFrame(w, h, l, cb, cr))
+          }
+          val payload = Mp4.writeWithSamples(1000, nf * 40L, Seq(
+            (Mp4.TrackSpec("vide", "avc1", w, h, 1000, nf * 40L,
+              nf.toLong), pairs.map(_._2))),
+            Map(0 -> ("avcC", pairs.head._1)))
+          val meta = Mp4.parseMeta(payload).get
+          val cfg = Mp4.codecConfig(payload, 0, "avcC").get
+          val table = Mp4.sampleTable(payload, 0).get
+          val ok = meta.videoTracks.head.codec == "avc1" &&
+            table.size == nf &&
+            table.zipWithIndex.forall { case ((off, len), f) =>
+              H264.decodeAvccSample(cfg,
+                payload.slice(off.toInt, off.toInt + len)).exists { fr =>
+                fr.width == w && fr.height == h &&
+                  fr.luma.sameElements(frames(f)._1) &&
+                  fr.cb.sameElements(frames(f)._2) &&
+                  fr.cr.sameElements(frames(f)._3)
+              }
+            }
+          (id, w.toLong, h.toLong, nf.toLong, ok)
+        })
+        .toDF("doc_id", "width", "height", "n_frames", "lossless")
+    },
+    Some("""SELECT doc_id,
+        CAST(34 + 2 * (doc_id % 16) AS BIGINT) AS width,
+        CAST(18 + 2 * (doc_id % 12) AS BIGINT) AS height,
+        CAST(doc_id % 3 + 1 AS BIGINT) AS n_frames,
+        TRUE AS lossless
+      FROM documents"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150)
+    q144, q146, q147, q150, q151)
 }

@@ -17,6 +17,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     Flac.decode(b)
     Mp3.decode(b)
     Mp2.decode(b)
+    Mp3L3.decode(b)
+    H264.decodeIFrame(b)
+    Mp4.parseMeta(b)
+    Mp4.sampleTable(b, 0)
+    Mp4.videoSamples(b)
     val f = Multimodal.features(b)
     assert(f.length === Multimodal.FeatureLen)
   }
@@ -34,7 +39,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), // PNG signature
       "fLaC".getBytes("US-ASCII"),
       Array[Byte](0xff.toByte, 0xfe.toByte), // MP3 Layer I sync
-      Array[Byte](0xff.toByte, 0xfc.toByte)) // MP2 Layer II sync
+      Array[Byte](0xff.toByte, 0xfc.toByte), // MP2 Layer II sync
+      Array[Byte](0xff.toByte, 0xfa.toByte), // MP3 Layer III sync
+      Array[Byte](0, 0, 0, 1, 0x67), // H.264 Annex B + SPS header
+      Array[Byte](0, 0, 0, 0x14, 'f', 't', 'y', 'p')) // MP4 ftyp
     for (m <- magics; _ <- 1 to 100) {
       val tail = Array.fill(rnd.nextInt(300) + 8)(rnd.nextInt(256).toByte)
       exercise(m ++ tail)
@@ -47,9 +55,16 @@ class CodecFuzzSpec extends AnyFunSuite {
     val seeds = Seq(
       Mp3.encode(32000, Array(sine)),
       Mp2.encode(32000, Array(sine)),
+      Mp3L3.encode(32000, Array(sine)),
       Flac.encode(8000, Array(sine)),
       Jpeg.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)),
-      Png.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)))
+      Png.encodeGray(16, 16, Array.tabulate(256)(i => (i % 256) / 255.0)),
+      H264.encodeIFrame(32, 16, Array.fill(512)(7.toByte),
+        Array.fill(128)(60.toByte), Array.fill(128)(200.toByte)),
+      Mp4.writeWithSamples(1000, 80, Seq(
+        (Mp4.TrackSpec("vide", "mjpa", 16, 16, 1000, 80, 2),
+          Seq(Jpeg.encodeGray(16, 16, Array.fill(256)(0.5)),
+            Jpeg.encodeGray(16, 16, Array.fill(256)(0.25)))))))
     for (seed <- seeds; _ <- 1 to 150) {
       val b = seed.clone()
       val flips = 1 + rnd.nextInt(4)

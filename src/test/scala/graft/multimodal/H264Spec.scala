@@ -64,6 +64,49 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeIFrame(cabac).isEmpty)
   }
 
+  test("avcC carriage round-trips: toAvcc → decodeAvccSample bit-exact") {
+    val (l, cb, cr) = frame(50, 22, 3)
+    val annexB = H264.encodeIFrame(50, 22, l, cb, cr)
+    val (cfg, sample) = H264.toAvcc(annexB)
+    assert(cfg(0) === 1 && (cfg(4) & 3) === 3)
+    val d = H264.decodeAvccSample(cfg, sample).get
+    assert(d.width === 50 && d.height === 22)
+    assert(d.luma.sameElements(l) && d.cb.sameElements(cb) &&
+      d.cr.sameElements(cr))
+    // malformed: truncated sample, bad length prefix, garbage config
+    assert(H264.decodeAvccSample(cfg, sample.take(sample.length - 3)).isEmpty)
+    val badLen = sample.clone(); badLen(0) = 0x7f
+    assert(H264.decodeAvccSample(cfg, badLen).isEmpty)
+    assert(H264.decodeAvccSample("junk".getBytes, sample).isEmpty)
+  }
+
+  test("avc1-in-MP4: container + avcC + videoFrames compose end to end") {
+    import org.apache.spark.sql.functions.col
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val nf = 3
+    val frames = (0 until nf).map { f =>
+      val (l, cb, cr) = frame(32, 16, f * 7)
+      (l, H264.toAvcc(H264.encodeIFrame(32, 16, l, cb, cr)))
+    }
+    val mp4 = Mp4.writeWithSamples(1000, nf * 40L, Seq(
+      (Mp4.TrackSpec("vide", "avc1", 32, 16, 1000, nf * 40L, nf.toLong),
+        frames.map(_._2._2))),
+      Map(0 -> ("avcC", frames.head._2._1)))
+    assert(Mp4.parseMeta(mp4).get.videoTracks.head.codec === "avc1")
+    val media = Seq(Multimodal.MediaRow(9L, "video", mp4, 32, 16, 1)).toDF()
+    val out = Multimodal.videoFrames(media).collect().sortBy(_.frame_idx)
+    assert(out.length === nf)
+    for ((vf, f) <- out.zip(frames)) {
+      assert(vf.width === 32 && vf.height === 16)
+      val want = f._1.map(b => (b & 0xff) / 255.0).sum / (32 * 16)
+      assert(math.abs(vf.mean_lum - want) < 1e-12)
+    }
+    // stride keeps every other frame
+    val strided = Multimodal.videoFrames(media, stride = 2).collect()
+    assert(strided.map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+  }
+
   test("multimodal image dispatch routes the I_PCM luma plane") {
     val w = 48; val h = 32
     val l = plane(w, h, (x, y) => (x * 255 / (w - 1)))
