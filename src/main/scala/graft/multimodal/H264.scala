@@ -125,9 +125,9 @@ object H264 {
     out.toArray
   }
 
-  /** Split an Annex B stream into (nal_unit_type, unescaped payload
-    * after the 1-byte NAL header). */
-  private def nals(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  /** Split an Annex B stream into (nal_ref_idc, nal_unit_type,
+    * unescaped payload after the 1-byte NAL header). */
+  private def nals(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     val starts = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i + 3 <= bytes.length) {
@@ -138,11 +138,13 @@ object H264 {
     require(starts.nonEmpty, "no start codes")
     starts.toSeq.zipWithIndex.map { case (s, idx) =>
       var e = if (idx + 1 < starts.length) starts(idx + 1) - 3 else bytes.length
-      // a 4-byte start code owns its leading zero
-      if (idx + 1 < starts.length && e > s && bytes(e - 1) == 0) e -= 1
+      // trailing_zero_8bits (and the 4-byte start code's zero_byte) are
+      // arbitrary-count per Annex B, and the RBSP stop bit guarantees a
+      // NAL's real last byte is nonzero — trim ALL trailing zeros
+      while (e > s && bytes(e - 1) == 0) e -= 1
       val hdr = bytes(s) & 0xff
       require((hdr & 0x80) == 0, "forbidden_zero_bit set")
-      (hdr & 0x1f, unescape(bytes.slice(s + 1, e)))
+      ((hdr >> 5) & 3, hdr & 0x1f, unescape(bytes.slice(s + 1, e)))
     }
   }
 
@@ -182,17 +184,24 @@ object H264 {
       cl, cr2, ct, cb)
   }
 
-  private def parsePps(p: Array[Byte]): Unit = {
+  /** The PPS flags that CHANGE the slice-header grammar downstream. */
+  private final case class Pps(bottomFieldPocPresent: Boolean,
+      deblockControlPresent: Boolean, redundantPicCntPresent: Boolean)
+
+  private def parsePps(p: Array[Byte]): Pps = {
     val r = new R(p)
     require(r.ue() == 0, "pps id != 0")
     require(r.ue() == 0, "pps: sps id != 0")
     require(r.u(1) == 0, "CABAC streams unsupported (documented descope)")
-    r.u(1) // bottom_field_pic_order_in_frame_present
+    val bottomPoc = r.u(1) == 1 // bottom_field_pic_order_in_frame_present
     require(r.ue() == 0, "slice groups unsupported")
     r.ue(); r.ue() // num_ref_idx defaults
     r.u(1); r.u(2) // weighted pred
     r.se(); r.se(); r.se() // qp/qs/chroma offsets
-    r.u(1); r.u(1); r.u(1) // deblock present / constrained intra / redundant
+    val deblock = r.u(1) == 1 // deblocking_filter_control_present
+    r.u(1) // constrained_intra_pred
+    val redundant = r.u(1) == 1 // redundant_pic_cnt_present
+    Pps(bottomPoc, deblock, redundant)
   }
 
   /** Decode the first coded picture of an Annex B I_PCM stream; None on
@@ -200,21 +209,29 @@ object H264 {
   def decodeIFrame(bytes: Array[Byte]): Option[Frame] = {
     try {
       var sps: Option[Sps] = None
-      var ppsSeen = false
+      var pps: Option[Pps] = None
       var luma: Array[Byte] = null
       var cbP: Array[Byte] = null
       var crP: Array[Byte] = null
       var mbsDone = 0
       var totalMbs = -1
-      for ((typ, p) <- nals(bytes)) typ match {
+      for ((refIdc, typ, p) <- nals(bytes)) typ match {
         case 7 => sps = Some(parseSps(p))
-        case 8 => parsePps(p); ppsSeen = true
+        case 8 => pps = Some(parsePps(p))
         case 5 | 1 if totalMbs < 0 || mbsDone < totalMbs =>
           // (slices after the first picture completes are ignored — the
           // contract is "decode the FIRST coded picture")
           val sp = sps.getOrElse(throw new IllegalArgumentException("no SPS"))
-          require(ppsSeen, "no PPS")
+          val pp = pps.getOrElse(throw new IllegalArgumentException("no PPS"))
           if (luma == null) {
+            // allocation bound BEFORE sizing planes: spec levels cap
+            // MaxFS at 36864 MBs (level 5.2); a malformed SPS dimension
+            // would otherwise drive a multi-GB allocation whose
+            // OutOfMemoryError escapes the Exception→None guard (and
+            // widthMbs·heightMbs·256 could overflow Int)
+            require(sp.widthMbs <= 4096 && sp.heightMbs <= 4096 &&
+              sp.widthMbs.toLong * sp.heightMbs <= 65536,
+              "frame dimensions exceed the level bound")
             totalMbs = sp.widthMbs * sp.heightMbs
             luma = new Array[Byte](totalMbs * 256)
             cbP = new Array[Byte](totalMbs * 64)
@@ -228,9 +245,22 @@ object H264 {
           require(r.ue() == 0, "pps id != 0")
           r.u(sp.log2MaxFrameNum) // frame_num
           if (typ == 5) r.ue() // idr_pic_id
-          if (sp.pocType == 0) r.u(sp.log2MaxPocLsb) // pic_order_cnt_lsb
+          if (sp.pocType == 0) {
+            r.u(sp.log2MaxPocLsb) // pic_order_cnt_lsb
+            if (pp.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom
+          }
+          if (pp.redundantPicCntPresent) r.ue() // redundant_pic_cnt
           if (typ == 5) { r.u(1); r.u(1) } // dec_ref_pic_marking (IDR)
+          else if (refIdc != 0)
+            // non-IDR referenced picture: adaptive marking carries MMCO
+            // ops whose grammar is outside the subset — require the flag
+            // off (sliding-window marking, the near-universal case)
+            require(r.u(1) == 0, "adaptive ref-pic marking unsupported")
           r.se() // slice_qp_delta
+          if (pp.deblockControlPresent) {
+            val idc = r.ue() // disable_deblocking_filter_idc
+            if (idc != 1) { r.se(); r.se() } // alpha/beta offsets
+          }
           require(firstMb == mbsDone, "slices out of order")
           var mb = firstMb
           while (mb < totalMbs && r.bitsLeft > 8) {
@@ -414,9 +444,9 @@ object H264 {
     * length-prefixed slice NALs. */
   def toAvcc(annexB: Array[Byte]): (Array[Byte], Array[Byte]) = {
     val ns = nals(annexB)
-    val sps = ns.filter(_._1 == 7).map(_._2)
-    val pps = ns.filter(_._1 == 8).map(_._2)
-    val slices = ns.filter(n => n._1 == 5 || n._1 == 1)
+    val sps = ns.filter(_._2 == 7).map(_._3)
+    val pps = ns.filter(_._2 == 8).map(_._3)
+    val slices = ns.filter(n => n._2 == 5 || n._2 == 1)
     require(sps.nonEmpty && pps.nonEmpty && slices.nonEmpty,
       "need SPS+PPS+slice NALs")
     val cfg = new scala.collection.mutable.ArrayBuffer[Byte]()
@@ -438,12 +468,12 @@ object H264 {
       cfg += 0x68; cfg ++= e
     }
     val sample = new scala.collection.mutable.ArrayBuffer[Byte]()
-    for ((typ, payload) <- slices) {
+    for ((refIdc, typ, payload) <- slices) {
       val e = escape(payload)
       val len = e.length + 1
       sample += (len >>> 24).toByte; sample += (len >>> 16).toByte
       sample += (len >>> 8).toByte; sample += len.toByte
-      sample += ((3 << 5) | typ).toByte; sample ++= e
+      sample += ((refIdc << 5) | typ).toByte; sample ++= e
     }
     (cfg.toArray, sample.toArray)
   }

@@ -170,25 +170,42 @@ object Mp4 {
       val (_, mnS, mnE) = find(boxes(r, mdS, mdE), "minf").getOrElse(return None)
       val (_, sbS, sbE) = find(boxes(r, mnS, mnE), "stbl").getOrElse(return None)
       val stbl = boxes(r, sbS, sbE)
+      // Counts are ALLOCATION BOUNDS and must be validated against the
+      // file length BEFORE sizing arrays: a bit-flipped count would
+      // otherwise attempt a multi-GB allocation whose OutOfMemoryError
+      // is an Error (escapes the Exception→None guard) and kills the
+      // task — the same cap discipline as the audio decoders'
+      // MaxTotalSamples.
+      def bounded(count: Long, bytesPerEntry: Int): Int = {
+        // division, not multiplication: count·entry can overflow Long
+        require(count >= 0 && bytesPerEntry > 0 &&
+          count <= bytes.length / bytesPerEntry,
+          s"table count $count exceeds the file")
+        count.toInt
+      }
       // stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes]
       val (_, szS, _) = find(stbl, "stsz").getOrElse(return None)
       val fixedSize = r.u32(szS + 4)
-      val n = r.u32(szS + 8).toInt
+      // even fixed-size samples must physically fit in the file
+      val n = bounded(r.u32(szS + 8),
+        if (fixedSize != 0L) math.max(1, fixedSize.toInt) else 4)
       val sizes: Array[Int] =
         if (fixedSize != 0L) Array.fill(n)(fixedSize.toInt)
         else Array.tabulate(n)(i => r.u32(szS + 12 + 4L * i).toInt)
       // stco (u32) or co64 (u64): fullbox(4) + entry_count(4) + offsets
       val chunkOffsets: Array[Long] = find(stbl, "stco") match {
         case Some((_, coS, _)) =>
-          Array.tabulate(r.u32(coS + 4).toInt)(i => r.u32(coS + 8 + 4L * i))
+          Array.tabulate(bounded(r.u32(coS + 4), 4))(i =>
+            r.u32(coS + 8 + 4L * i))
         case None =>
           val (_, coS, _) = find(stbl, "co64").getOrElse(return None)
-          Array.tabulate(r.u32(coS + 4).toInt)(i => r.u64(coS + 8 + 8L * i))
+          Array.tabulate(bounded(r.u32(coS + 4), 8))(i =>
+            r.u64(coS + 8 + 8L * i))
       }
       // stsc: fullbox(4) + entry_count(4) + (first_chunk,
       // samples_per_chunk, sdi) triples; runs extend to the next entry
       val (_, scS, _) = find(stbl, "stsc").getOrElse(return None)
-      val nRuns = r.u32(scS + 4).toInt
+      val nRuns = bounded(r.u32(scS + 4), 12)
       val runs = Array.tabulate(nRuns)(i =>
         (r.u32(scS + 8 + 12L * i).toInt, r.u32(scS + 12 + 12L * i).toInt))
       val out = Vector.newBuilder[(Long, Int)]

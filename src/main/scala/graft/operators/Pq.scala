@@ -502,17 +502,19 @@ object Pq {
         cents.toDF("cell", "centroid"), spill)
     // pin the placement subtree: it feeds the training pool collect, the
     // encode scan, and the codes→placement join — unpinned, the
-    // spill-assignment lineage executes three times per query. persist
-    // (not an eager localCheckpoint): lazy, and the lineage stays
-    // recoverable — an executor loss recomputes the lost blocks instead
-    // of failing the job, which is what the 100 TB form needs
+    // spill-assignment lineage executes three times per query. LAZY
+    // localCheckpoint (not eager: nothing materializes before the first
+    // action; not persist: a returned-DataFrame method has no unpersist
+    // point, and CacheManager entries leak for the session's lifetime —
+    // checkpoint blocks are released by the ContextCleaner when the
+    // RDD is garbage-collected)
     val base = placed.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (col("vec_id") * nCells + col("cell")).as("place_id"),
         (if (residual)
           zip_with(col("e"), col("centroid"), (a, b) => a - b)
         else col("e")).as("enc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val model = train(base, "place_id", "enc", nSub, nCodes, iters,
       normalize = false)
     // codes by PROJECTION over the pinned placements — encode is a pure

@@ -43,17 +43,6 @@ object StreamingQueries {
     new java.io.File(dir).listFiles().toSeq.filter(f =>
       f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
 
-  /** Recursive file-tree copy (clones an on-disk index directory). */
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
-    if (src.isDirectory) {
-      dst.mkdirs()
-      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-    } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-
   /** Stamp every data file in `dir` that is not in `before` with an
     * explicit whole-second modification time strictly later than every
     * `before` file (and strictly increasing within the new set). The file
@@ -591,7 +580,6 @@ object StreamingQueries {
       import graft.operators.Pq
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val base = emb.filter(col("vec_id") % 4 =!= 0)
       val newVecs = emb.select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") % 4 === 0)
       // two replay files, second strictly later by mod-time
