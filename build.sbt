@@ -31,6 +31,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms = -Xmx, exactly like a real Spark executor launch: without it
+  // G1's pause-ratio heuristic shrink/re-expands the committed heap in
+  // tens-of-GiB swings chasing the allocation rate, and every
+  // re-expansion re-commits + re-zeroes the pages in KERNEL time — at
+  // -Xmx100g that page-churn ran ScaleBench 5x slower (593.8 s vs
+  // 117.4 s; GC log showed e.g. User=14s Sys=146s on single young GCs).
+  // Pinning Xms commits the range once and G1 never uncommits it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ...and pre-touch it: pinning Xms alone still leaves first-touch
+  // page faults at evacuation time, where 20+ GC workers faulting into
+  // the same VMA serialize on kernel locks (measured: 1094 s of GC sys
+  // time over a 656 s run). Touching every page once at JVM start (a
+  // bounded, parallel, one-time cost — the long-lived-executor shape)
+  // removes runtime faults entirely.
+  "-XX:+AlwaysPreTouch",
   // a 70+-query session compiles hundreds of generated classes; the JDK
   // default 240m code cache fills late in the run and flips the JIT into
   // interpreted/flush-churn mode, inflating late queries 3-5x

@@ -11,10 +11,17 @@ import org.apache.spark.sql.SparkSession
   * (round-3 bench showed code-identical queries moving 0.8→7 s), and the
   * min over two reps is the steady-state number the plan actually earns. */
 object Bench {
+  private def loadavgNow(): String = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+").take(3).mkString(",")
+  } catch { case _: Exception => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val loadavgStart = loadavgNow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,14 +52,28 @@ object Bench {
     // uniformly (~2× observed round 8), so the artifact records the
     // 1/5/15-min load averages AT EXIT plus the wall-clock window — a
     // judge (or future self) can reject a contaminated run at a glance
-    val loadavg = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .trim.split("\\s+").take(3).mkString(",")
-    } catch { case _: Exception => "unavailable" }
+    val loadavg = loadavgNow()
     val endedAt = java.time.Instant.now().toString
+    // heap + GC provenance: the round-9 oversized-heap pathology
+    // (-Xmx100g ran ScaleBench 5× slower than -Xmx16g before the
+    // Xms-pinning/pre-touch fix) showed heap shape changes results as
+    // much as box load does — record it next to loadavg
+    val mxArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala
+    }
+    val heapFlags = mxArgs.filter(a =>
+      a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+      a.contains("PreTouch")).mkString(" ")
+    val heapMaxGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val gcNames = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getName).mkString("+")
+    }
     val prov =
-      s""""loadavg":"$loadavg","ended_at":"$endedAt","cpus":"$cpus","reps":$reps"""
+      s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""
     // full-precision, every-query line → bench_full.json at the repo root
     // (swept into the round snapshot commit), because the driver's
     // artifact capture keeps only the last ~2000 chars of stdout
@@ -90,6 +111,17 @@ object Bench {
     var take = entries.size
     while (take > 0 && line(take).length > budget) take -= 1
     println(line(take))
+    // clean shutdown: stop + await any still-active streaming query,
+    // then stop the StateStore maintenance pool BEFORE SparkEnv goes
+    // away — otherwise a maintenance tick races spark.stop() and the
+    // artifact tail carries a benign-but-noisy "SparkEnv not active"
+    // stack trace
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination() }
+      catch { case _: Exception => () }
+    }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -25,6 +25,13 @@ object TempDirs {
     path
   }
 
+  /** Delete a registered directory NOW (session-scoped eviction —
+    * SharedAnn's listener) instead of waiting for JVM exit. */
+  def delete(path: String): Unit = {
+    registered.remove(path)
+    deleteRecursively(Paths.get(path))
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)

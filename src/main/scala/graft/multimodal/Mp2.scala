@@ -38,7 +38,7 @@ package graft.multimodal
 object Mp2 {
 
   /** Layer II bitrates, kbit/s (header table 2.4.2.3); index 0 = free. */
-  private val Bitrates = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+  private[multimodal] val Bitrates = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
     160, 192, 224, 256, 320, 384)
 
   /** One quantization class: L steps; grouped classes carry 3 samples in

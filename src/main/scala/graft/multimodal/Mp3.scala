@@ -24,7 +24,7 @@ object Mp3 {
 
   private[multimodal] val Rates = Array(44100, 48000, 32000)
   /** Layer I bitrates, kbit/s (header table 2.4.2.3); index 0 = free. */
-  private val Bitrates = Array(0, 32, 64, 96, 128, 160, 192, 224,
+  private[multimodal] val Bitrates = Array(0, 32, 64, 96, 128, 160, 192, 224,
     256, 288, 320, 352, 384, 416, 448)
   /** Table B.1 scalefactors: idx 0..62 → 2·2^(−idx/3). */
   private[multimodal] def sfVal(idx: Int): Double = 2.0 * math.pow(2.0, -idx / 3.0)

@@ -59,7 +59,7 @@ package graft.multimodal
 object Mp3L3 {
 
   /** Layer III bitrates, kbit/s (header table 2.4.2.3). */
-  private val Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+  private[multimodal] val Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
     160, 192, 224, 256, 320)
 
   /** scalefac_compress → (slen1 for sfb 0-10, slen2 for sfb 11-20)

@@ -183,15 +183,24 @@ object Mp4 {
           s"table count $count exceeds the file")
         count.toInt
       }
-      // stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes]
+      // stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes].
+      // Each u32 size is validated AS A LONG before narrowing: a size
+      // above Int.MaxValue would otherwise wrap negative, slip past the
+      // additive bounds check below, and emit (offset, negative-length)
+      // entries instead of rejecting the table.
+      def validSize(sz: Long): Int = {
+        require(sz >= 0 && sz <= bytes.length,
+          s"sample size $sz exceeds the file")
+        sz.toInt
+      }
       val (_, szS, _) = find(stbl, "stsz").getOrElse(return None)
       val fixedSize = r.u32(szS + 4)
       // even fixed-size samples must physically fit in the file
       val n = bounded(r.u32(szS + 8),
-        if (fixedSize != 0L) math.max(1, fixedSize.toInt) else 4)
+        if (fixedSize != 0L) math.max(1, validSize(fixedSize)) else 4)
       val sizes: Array[Int] =
-        if (fixedSize != 0L) Array.fill(n)(fixedSize.toInt)
-        else Array.tabulate(n)(i => r.u32(szS + 12 + 4L * i).toInt)
+        if (fixedSize != 0L) Array.fill(n)(validSize(fixedSize))
+        else Array.tabulate(n)(i => validSize(r.u32(szS + 12 + 4L * i)))
       // stco (u32) or co64 (u64): fullbox(4) + entry_count(4) + offsets
       val chunkOffsets: Array[Long] = find(stbl, "stco") match {
         case Some((_, coS, _)) =>
@@ -230,6 +239,99 @@ object Mp4 {
     } catch { case _: Exception => None }
   }
 
+  /** The sample-table (`stbl`) child boxes of one track, or None when
+    * the track/box chain is absent — the shared walk under
+    * [[syncSamples]]/[[sampleTimes]]. */
+  private def stblBoxes(r: Reader, bytes: Array[Byte],
+      trackIndex: Int): Option[Seq[(String, Long, Long)]] = {
+    val top = boxes(r, 0L, bytes.length.toLong)
+    val (_, moovS, moovE) = find(top, "moov").getOrElse(return None)
+    val traks = boxes(r, moovS, moovE).filter(_._1 == "trak")
+    if (trackIndex < 0 || trackIndex >= traks.length) return None
+    val (_, tS, tE) = traks(trackIndex)
+    val (_, mdS, mdE) = find(boxes(r, tS, tE), "mdia").getOrElse(return None)
+    val (_, mnS, mnE) = find(boxes(r, mdS, mdE), "minf").getOrElse(return None)
+    val (_, sbS, sbE) = find(boxes(r, mnS, mnE), "stbl").getOrElse(return None)
+    Some(boxes(r, sbS, sbE))
+  }
+
+  /** 1-based sync-sample (keyframe) numbers of one track from its `stss`
+    * box. `Some(Nil)` is a legal value (a degenerate stss claiming no
+    * sync samples); **None means the track has NO stss box — which per
+    * ISO 14496-12 §8.6.2 declares EVERY sample a sync sample** (the
+    * all-intra case: MJPEG, I_PCM H.264). Callers sampling keyframes
+    * must treat None as all-sync, not as empty. */
+  def syncSamples(bytes: Array[Byte], trackIndex: Int): Option[Seq[Long]] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val r = new Reader(bytes)
+      val stbl = stblBoxes(r, bytes, trackIndex).getOrElse(return None)
+      val (_, ssS, _) = find(stbl, "stss").getOrElse(return None)
+      val count = r.u32(ssS + 4)
+      require(count >= 0 && count <= bytes.length / 4,
+        s"stss count $count exceeds the file")
+      Some((0 until count.toInt).map(i => r.u32(ssS + 8 + 4L * i)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-sample (decode time, presentation time) in the track timescale:
+    * decode times from the mandatory `stts` delta runs, presentation =
+    * decode + the `ctts` composition offset when that box is present
+    * (v0 unsigned / v1 signed offsets; absent = zero offsets, pts ≡
+    * dts). None when the track or its stts is absent/malformed. */
+  def sampleTimes(bytes: Array[Byte],
+      trackIndex: Int): Option[Seq[(Long, Long)]] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val r = new Reader(bytes)
+      val stbl = stblBoxes(r, bytes, trackIndex).getOrElse(return None)
+      // stts: fullbox(4) + entry_count + (sample_count, delta) runs
+      val (_, ttS, _) = find(stbl, "stts").getOrElse(return None)
+      val nRuns = r.u32(ttS + 4)
+      require(nRuns >= 0 && nRuns <= bytes.length / 8,
+        s"stts count $nRuns exceeds the file")
+      val dts = Vector.newBuilder[Long]
+      var t = 0L
+      var i = 0
+      while (i < nRuns.toInt) {
+        val cnt = r.u32(ttS + 8 + 8L * i)
+        val delta = r.u32(ttS + 12 + 8L * i)
+        require(cnt >= 0 && cnt <= bytes.length,
+          s"stts run $cnt exceeds the file")
+        var j = 0L
+        while (j < cnt) { dts += t; t += delta; j += 1 }
+        i += 1
+      }
+      val decodeTimes = dts.result()
+      // ctts: fullbox(4) + entry_count + (sample_count, offset) runs
+      val offsets: Seq[Long] = find(stbl, "ctts") match {
+        case None => Seq.fill(decodeTimes.length)(0L)
+        case Some((_, ctS, _)) =>
+          val v = r.u8(ctS)
+          val nC = r.u32(ctS + 4)
+          require(nC >= 0 && nC <= bytes.length / 8,
+            s"ctts count $nC exceeds the file")
+          val b = Vector.newBuilder[Long]
+          var k = 0
+          while (k < nC.toInt) {
+            val cnt = r.u32(ctS + 8 + 8L * k)
+            val raw = r.u32(ctS + 12 + 8L * k)
+            // v1 offsets are SIGNED 32-bit (B-frame reordering)
+            val off = if (v == 1) raw.toInt.toLong else raw
+            require(cnt >= 0 && cnt <= bytes.length,
+              s"ctts run $cnt exceeds the file")
+            var j = 0L
+            while (j < cnt) { b += off; j += 1 }
+            k += 1
+          }
+          b.result()
+      }
+      require(offsets.length == decodeTimes.length,
+        "ctts/stts sample counts disagree")
+      Some(decodeTimes.zip(offsets).map { case (d, o) => (d, d + o) })
+    } catch { case _: Exception => None }
+  }
+
   /** A codec configuration box nested in a track's first (video) sample
     * entry — e.g. the `avcC` AVCDecoderConfigurationRecord of an `avc1`
     * track (ISO 14496-15 carriage: parameter sets live in the entry,
@@ -261,9 +363,19 @@ object Mp4 {
   /** The raw sample payloads of the FIRST video track (frame decode's
     * input — e.g. one complete JPEG per sample for an MJPEG track). */
   def videoSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    trackSamples(bytes, "vide")
+
+  /** The raw sample payloads of the FIRST audio track (`soun` handler) —
+    * e.g. one MPEG-1 audio frame per sample, the mp4a-style carriage a
+    * corpus decoder routes into the Layer I/II/III codecs. */
+  def audioSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    trackSamples(bytes, "soun")
+
+  private def trackSamples(bytes: Array[Byte],
+      handler: String): Option[Seq[Array[Byte]]] =
     for {
       meta <- parseMeta(bytes)
-      idx = meta.tracks.indexWhere(_.handler == "vide")
+      idx = meta.tracks.indexWhere(_.handler == handler)
       if idx >= 0
       table <- sampleTable(bytes, idx)
     } yield table.map { case (off, len) =>
@@ -359,9 +471,16 @@ object Mp4 {
     * filled on the second pass). [[sampleTable]]/[[videoSamples]] read
     * these back; an MJPEG-style track is simply one complete JPEG per
     * sample. */
+  /** Optional timing/sync sidecars for [[writeWithSamples]], keyed by
+    * track index: `syncs` = 1-based sync-sample numbers (emitted as an
+    * `stss` box — OMIT the key for all-intra tracks, where the spec
+    * says no stss at all); `cttsRuns` = (sample_count, composition
+    * offset) runs (emitted as a v0 `ctts` box). */
   def writeWithSamples(timescale: Long, duration: Long,
       tracks: Seq[(TrackSpec, Seq[Array[Byte]])],
-      configs: Map[Int, (String, Array[Byte])] = Map.empty): Array[Byte] = {
+      configs: Map[Int, (String, Array[Byte])] = Map.empty,
+      syncs: Map[Int, Seq[Long]] = Map.empty,
+      cttsRuns: Map[Int, Seq[(Long, Long)]] = Map.empty): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes, be32(512),
       "isomiso2".getBytes)
     def moovOf(offsets: Seq[Long]): Array[Byte] = {
@@ -412,7 +531,15 @@ object Mp4 {
         val stco =
           if (n == 0) box("stco", be32(0), be32(0))
           else box("stco", be32(0), be32(1), be32(offsets(i)))
-        val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+        val timing = Seq(
+          syncs.get(i).map(ss => box("stss", be32(0), be32(ss.length.toLong),
+            Array.concat(ss.map(be32): _*))),
+          cttsRuns.get(i).map(rs => box("ctts", be32(0),
+            be32(rs.length.toLong),
+            Array.concat(rs.map { case (c, o) =>
+              be32(c) ++ be32(o) }: _*)))).flatten
+        val stbl = box("stbl",
+          (Seq(stsd, stts, stsc, stsz, stco) ++ timing): _*)
         val minf = box("minf", box("nmhd", be32(0)),
           box("dinf", box("dref", be32(0), be32(1),
             box("url ", be32(1)))), stbl)

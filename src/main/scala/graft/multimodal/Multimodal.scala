@@ -138,7 +138,19 @@ object Multimodal {
       .orElse(Mp3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
       .orElse(Mp2.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
       .orElse(Mp3L3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+      // MP4-carried audio: sample table → one MPEG frame per sample →
+      // re-concatenated elementary stream → the same layer dispatch
+      // (samples of any other codec simply fail the inner dispatch)
+      .orElse(Option.when(Mp4.isMp4(payload))(())
+        .flatMap(_ => Mp4.audioSamples(payload))
+        .filter(_.nonEmpty)
+        .flatMap(ss => decodeAnyAudio(ss.toArray.flatten)))
   }
+
+  /** The audio-decode dispatch for tests/queries: (sampleRate, mono
+    * samples in [-1,1]) or None — including the MP4 carriage path. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Double])] =
+    decodeAnyAudio(payload)
 
   /** Feature extraction over partition batches. Repartitioning by doc_id
     * spreads decode work evenly; each task processes its batch without

@@ -84,33 +84,64 @@ object Pq {
     val c = corpus.select(col(id).as("vid"),
       (if (normalize) normalized(v0) else v0).as("e"))
     // one bounded pool scan seeds and trains every subspace
-    val pool: Array[Seq[Double]] = c
+    // (primitive-array collect — no per-element boxing)
+    val pool: Array[Array[Double]] = c
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
       .orderBy(col("hk"), col("vid")).limit(64 * nCodes)
-      .select(col("e")).as[Seq[Double]].collect()
+      .select(col("e")).as[Array[Double]].collect()
     require(pool.nonEmpty, "PQ training needs a non-empty corpus")
-    trainOnPool(pool.map(_.toArray), nSub, nCodes, iters)
+    trainOnPool(pool, nSub, nCodes, iters)
   }
 
   /** Lloyd per subspace over an in-memory pool — the driver-side core of
     * [[train]], also iterated by [[trainOpq]] under each candidate
-    * rotation. */
+    * rotation.
+    *
+    * Runs the subspaces (and the per-vector assignment scans inside
+    * each) on local parallel collections: every parallel step is either
+    * an order-preserving pure element-wise map or an independent
+    * per-index computation whose inner accumulation stays in pool
+    * order, so the result is BIT-IDENTICAL to the sequential code at
+    * any thread count — certificates gated on trained models are
+    * unaffected. Farthest-point seeding keeps the running min-distance
+    * per pool vector (O(nCodes·pool) instead of the naive
+    * O(nCodes²·pool) rescan) with the same first-max tie-break. */
   private def trainOnPool(pool: Array[Array[Double]], nSub: Int,
       nCodes: Int, iters: Int): PqModel = {
+    import scala.collection.parallel.CollectionConverters._
     val dims = pool.head.length
     require(dims > 0 && dims % nSub == 0,
       s"dims $dims must split evenly into $nSub subspaces")
     val subDim = dims / nSub
-    val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { m =>
+    val books: Array[Array[Array[Double]]] =
+      (0 until nSub).toArray.par.map { m =>
       val subPool = pool.map(_.slice(m * subDim, (m + 1) * subDim))
+      val nSeeds = math.min(nCodes, subPool.length)
       val seeds = scala.collection.mutable.ArrayBuffer(subPool.head)
-      while (seeds.size < nCodes && seeds.size < subPool.length)
-        seeds += subPool.maxBy(p => seeds.map(s => d2(p, s)).min)
+      // dmin(i) = min distance from subPool(i) to any current seed;
+      // argmax(dmin) with first-index tie-break ≡ the naive
+      // maxBy(min-over-seeds) rescan, element for element
+      val dmin = subPool.map(p => d2(p, seeds.head))
+      while (seeds.size < nSeeds) {
+        var best = 0; var i = 1
+        while (i < dmin.length) {
+          if (dmin(i) > dmin(best)) best = i
+          i += 1
+        }
+        val s = subPool(best)
+        seeds += s
+        i = 0
+        while (i < dmin.length) {
+          val d = d2(subPool(i), s)
+          if (d < dmin(i)) dmin(i) = d
+          i += 1
+        }
+      }
       var cents = seeds.toArray
       var round = 0
       while (round < iters) {
         // assign: nearest centroid, tie toward the lower code id
-        val assigned = subPool.map { v =>
+        val assigned = subPool.par.map { v =>
           var best = 0; var bestD = Double.MaxValue; var j = 0
           while (j < cents.length) {
             val dj = d2(v, cents(j))
@@ -118,25 +149,28 @@ object Pq {
             j += 1
           }
           best
-        }
+        }.toArray
         // update: per-code mean; a code that lost every member keeps its
-        // previous centroid (it can re-acquire points)
-        cents = Array.tabulate(cents.length) { j =>
-          val members = assigned.indices.filter(assigned(_) == j)
-          if (members.isEmpty) cents(j)
-          else {
-            val mean = new Array[Double](subDim)
-            members.foreach { i =>
+        // previous centroid (it can re-acquire points). Parallel over
+        // codes; each code's sum runs in pool order (identical FP).
+        val prev = cents
+        cents = (0 until prev.length).toArray.par.map { j =>
+          val mean = new Array[Double](subDim)
+          var n = 0; var i = 0
+          while (i < assigned.length) {
+            if (assigned(i) == j) {
               var d = 0
               while (d < subDim) { mean(d) += subPool(i)(d); d += 1 }
+              n += 1
             }
-            mean.map(_ / members.size)
+            i += 1
           }
-        }
+          if (n == 0) prev(j) else mean.map(_ / n)
+        }.toArray
         round += 1
       }
       cents
-    }
+    }.toArray
     PqModel(dims, nSub, books)
   }
 
@@ -258,38 +292,48 @@ object Pq {
     val v0 = toDouble(col(vec))
     val c = corpus.select(col(id).as("vid"),
       (if (normalize) normalized(v0) else v0).as("e"))
+    // primitive-array collect: the Array[Double] encoder deserializes
+    // straight from UnsafeArrayData without boxing each element
     val pool: Array[Array[Double]] = c
       .withColumn("hk", pmod(col("vid") * lit(2654435761L), lit(1000000007L)))
       .orderBy(col("hk"), col("vid")).limit(64 * nCodes)
-      .select(col("e")).as[Seq[Double]].collect().map(_.toArray)
+      .select(col("e")).as[Array[Double]].collect()
     require(pool.nonEmpty, "OPQ training needs a non-empty corpus")
+    import scala.collection.parallel.CollectionConverters._
     val dims = pool.head.length
     var r = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
     var model: PqModel = null
     var it = 0
     while (it < math.max(1, opqIters)) {
-      val rx = pool.map(matVec(r, _))
+      val rx = pool.par.map(matVec(r, _)).toArray
       model = trainOnPool(rx, nSub, nCodes, iters)
       // Procrustes target: minimize Σ‖R·x − v̂(R·x)‖² over orthogonal R
-      // ⇒ R = polar(Σ v̂ xᵀ)
-      val mSum = Array.ofDim[Double](dims, dims)
-      var p = 0
-      while (p < pool.length) {
-        val y = reconstruct(model, rx(p)); val x = pool(p)
-        var i = 0
-        while (i < dims) {
-          val yi = y(i); val row = mSum(i)
+      // ⇒ R = polar(Σ v̂ xᵀ). Reconstructions are a pure per-vector
+      // map (parallel, order-preserving); each mSum row accumulates
+      // over the pool in index order, so the sum — and therefore the
+      // learned rotation — is bit-identical at any thread count.
+      val ys = {
+        val mFinal = model
+        rx.par.map(reconstruct(mFinal, _)).toArray
+      }
+      val mSum = (0 until dims).toArray.par.map { i =>
+        val row = new Array[Double](dims)
+        var p = 0
+        while (p < pool.length) {
+          val yi = ys(p)(i); val x = pool(p)
           var j = 0
           while (j < dims) { row(j) += yi * x(j); j += 1 }
-          i += 1
+          p += 1
         }
-        p += 1
-      }
+        row
+      }.toArray
       r = polarOrthogonal(mSum)
       it += 1
     }
     // codebooks must match the FINAL rotation
-    OpqModel(r, trainOnPool(pool.map(matVec(r, _)), nSub, nCodes, iters))
+    val rFinal = r
+    OpqModel(r, trainOnPool(pool.par.map(matVec(rFinal, _)).toArray,
+      nSub, nCodes, iters))
   }
 
   /** The rotation as one literal-matrix projection: out[i] = Rᵢ·v — the
@@ -832,6 +876,39 @@ object Pq {
           .select(col("q_id"), col("vec_id"),
             round(col("cos_raw"), 6).as("cosine"), col("rank"))
     }
+  }
+
+  /** Mean squared quantization error of a plain-PQ and an OPQ quantizer
+    * over the corpus in ONE linear map-only scan (no encode → decode
+    * round-trip, no self-joins): because encode assigns each subvector
+    * to its argmin-distance code, ‖v_m − decode(code_m)‖² IS the min
+    * distance itself, so sq_err = Σ_m min_j ‖v_m − c_mj‖² — exactly
+    * equal to [[reconstructionError]]'s per-vector sq_err (ties share
+    * the distance value), and the OPQ error in the rotated space equals
+    * the original-space error (R orthogonal). Subvectors are staged as
+    * attributes in their own projection before the argmin tree
+    * references them nCodes times each (the [[encode]] staging
+    * contract). Returns one row: (err_pq, err_opq). */
+  def quantizerErrors(corpus: DataFrame, id: String, vec: String,
+      pqm: PqModel, opq: OpqModel): DataFrame = {
+    requireNumericId(corpus, id, "quantizerErrors")
+    val e0 = corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e"))
+    val withRot = e0.select(col("e"),
+      rotateCol(col("e"), opq.rotation).as("er"))
+    val subs = withRot.select(
+      (0 until pqm.nSub).map(m =>
+        slice(col("e"), m * pqm.subDim + 1, pqm.subDim).as(s"_p_$m")) ++
+      (0 until opq.pq.nSub).map(m =>
+        slice(col("er"), m * opq.pq.subDim + 1, opq.pq.subDim)
+          .as(s"_o_$m")): _*)
+    def err(prefix: String, model: PqModel): Column =
+      (0 until model.nSub).map { m =>
+        array_min(array((0 until model.nCodes).map(j =>
+          d2Col(col(s"$prefix$m"), model.codebooks(m)(j).toSeq)): _*))
+      }.reduce(_ + _)
+    subs.select(err("_p_", pqm).as("se_pq"), err("_o_", opq.pq).as("se_opq"))
+      .agg(avg(col("se_pq")).as("err_pq"), avg(col("se_opq")).as("err_opq"))
   }
 
   /** Reconstruction diagnostics: per-vector squared quantization error

@@ -146,9 +146,27 @@ object Similarity {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    // incremental farthest-point: dmin(i) = min distance to any current
+    // seed, argmax with first-index tie-break — element-for-element the
+    // naive maxBy(min-over-seeds) rescan, at O(nCells·pool) not O(nCells²·pool)
+    val nSeeds = math.min(nCells, pool.length)
     val seeds = scala.collection.mutable.ArrayBuffer(pool.head)
-    while (seeds.size < nCells && seeds.size < pool.length)
-      seeds += pool.maxBy(p => seeds.map(s => d2(p, s)).min)
+    val dmin = pool.map(p => d2(p, seeds.head))
+    while (seeds.size < nSeeds) {
+      var best = 0; var i = 1
+      while (i < dmin.length) {
+        if (dmin(i) > dmin(best)) best = i
+        i += 1
+      }
+      val s = pool(best)
+      seeds += s
+      i = 0
+      while (i < dmin.length) {
+        val d = d2(pool(i), s)
+        if (d < dmin(i)) dmin(i) = d
+        i += 1
+      }
+    }
     var cents: Seq[(Int, Seq[Double])] =
       seeds.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
     def assign(): DataFrame = {
@@ -176,13 +194,19 @@ object Similarity {
     val dims = pool.head.length
     var round = 0
     while (round < iters) {
-      val assigned = pool.map { v =>
-        var best = 0; var bestScore = Double.NegativeInfinity
-        cents.foreach { case (i, ce) =>
-          val s = cosineD(v, ce) - i * 1e-12
-          if (s > bestScore) { bestScore = s; best = i }
-        }
-        best
+      // parallel order-preserving pure map — bit-identical at any
+      // thread count (same pattern as Pq.trainOnPool)
+      val assigned = {
+        import scala.collection.parallel.CollectionConverters._
+        val centsNow = cents
+        pool.par.map { v =>
+          var best = 0; var bestScore = Double.NegativeInfinity
+          centsNow.foreach { case (i, ce) =>
+            val s = cosineD(v, ce) - i * 1e-12
+            if (s > bestScore) { bestScore = s; best = i }
+          }
+          best
+        }.toArray
       }
       // a cell that lost every member keeps its previous centroid (it can
       // re-acquire points) instead of silently vanishing from the model

@@ -319,9 +319,11 @@ object MediaOps {
     * (derived Huffman code tables — Mp3L3's documented deviation). A
     * broken side-info walk, scalefactor map, entropy path, requantizer,
     * butterfly, IMDCT or window flips the boolean and the hash. Gate is
-    * 25 dB — measured over the full registered parameter grid via
-    * graft.tools.CodecTune: min 36.5 dB, median 42 dB (an 11.5 dB
-    * margin, matching the q120/q126 practice). */
+    * 25 dB — measured over a stride-sampled lattice of the registered
+    * (ns, freq) parameter grid via graft.tools.CodecTune (ns by 107,
+    * freq by 23 — 70 points, not every pair the query can generate):
+    * min 36.5 dB, median 42 dB (an 11.5 dB margin, matching the
+    * q120/q126 practice). */
   private val q146 = NamedQuery(
     "q146_mp3_layer3_decode",
     (s, d) => {

@@ -436,10 +436,10 @@ object RecallQueries {
         SharedAnn.exactTop5(s, d),
         Pq.searchWithOpqModel(emb, "vec_id", "embedding",
           probes(s, d), "vec_id", "embedding", 5, opq, refine = 16)))
-      val errs = Pq.opqReconstructionError(emb, "vec_id", "embedding", opq)
-        .agg(avg(col("sq_err")).as("err_opq"))
-        .join(Pq.reconstructionError(emb, "vec_id", "embedding", pqm)
-          .agg(avg(col("sq_err")).as("err_pq")))
+      // one map-only corpus pass computes BOTH quantizers' mean errors
+      // (identical values to the former per-model encode+join scans —
+      // Pq.quantizerErrors scaladoc)
+      val errs = Pq.quantizerErrors(emb, "vec_id", "embedding", pqm, opq)
       summary.join(errs).withColumn("rot_dev", lit(rotDev))
     },
     ("opq_probes_nonempty", 1.0, col("n_probes") >= 1),

@@ -33,11 +33,74 @@ import org.apache.spark.sql.functions._
   */
 object SharedAnn {
 
+  /** The ONE pinned ANN configuration behind every memoized artifact
+    * below. PlanSpec's operator-plan fences build twin plans from THESE
+    * constants (the registered queries return materialized checkpoints,
+    * which cannot be plan-fenced), so fence and build cannot drift —
+    * change a value here and both move together. */
+  object Cfg {
+    val K = 5                 // top-k for every ANN result + ground truth
+    val NSub = 16             // PQ subspaces
+    val NCodes = 16           // codes per subspace
+    val Iters = 3             // Lloyd rounds (PQ + coarse quantizer)
+    val OpqIters = 6          // OPQ alternations (q145/q148/q149)
+    val NCells = 16           // IVF coarse cells
+    val Nprobe = 6            // IVF-PQ probe fan-out (q138/q141/q148)
+    val IvfNprobe = 4         // plain-IVF probe fan-out (q71)
+    val Spill = 2             // multi-cell placement fan-out
+    val Refine = 8            // IVF-PQ exact re-rank pool (q138)
+    val PqRefine = 16         // flat-PQ exact re-rank pool (q136/q145)
+    val LshBits = 48          // sign-LSH hyperplanes (q74)
+    val LshBands = 12         // sign-LSH bands (q74)
+    val Dims = 64             // embedding dimensionality
+  }
+
   private val cache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), Any]()
 
+  // one eviction listener per SparkContext: when the context ends, every
+  // cache entry belonging to a session on it is dropped (releasing the
+  // checkpointed RDD references) and its on-disk index dirs deleted —
+  // without this, a long-lived multi-session service accumulates one
+  // orphan artifact set per session
+  private val listenerInstalled =
+    scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Unit]()
+
+  /** Drop every cached artifact built on `sc` and delete its temp index
+    * dirs. Called by the context-end listener; public for tests. */
+  def evict(sc: org.apache.spark.SparkContext): Unit = {
+    cache.keys.filter(_._1.sparkContext eq sc).foreach { k =>
+      cache.remove(k).foreach {
+        case dir: String => graft.TempDirs.delete(dir)
+        case _ => () // checkpointed DataFrames/models die with the context
+      }
+    }
+    listenerInstalled.remove(sc)
+    ()
+  }
+
+  /** Live entry count for `sc` (test hook for the eviction contract). */
+  def cachedEntriesFor(sc: org.apache.spark.SparkContext): Int =
+    cache.keys.count(_._1.sparkContext eq sc)
+
+  // getOrElseUpdate on TrieMap is not atomic for the builder: two
+  // concurrent first-payers could both run `f` and one temp index build
+  // would leak. Bench/Verify drive queries serially, but the memo is
+  // synchronized anyway so the catalog is safe under concurrent
+  // sessions too (builds are per-(session,dir,key) rare and bounded).
+  private val memoLock = new Object
   private def memo[T](s: SparkSession, d: String, key: String)(f: => T): T =
-    cache.getOrElseUpdate((s, d, key), f).asInstanceOf[T]
+    memoLock.synchronized {
+      listenerInstalled.getOrElseUpdate(s.sparkContext, {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = evict(s.sparkContext)
+          })
+      })
+      cache.getOrElseUpdate((s, d, key), f).asInstanceOf[T]
+    }
 
   /** The registered probe set every ANN query/cert uses. */
   def probes(s: SparkSession, d: String): DataFrame =
@@ -49,7 +112,7 @@ object SharedAnn {
   def exactTop5(s: SparkSession, d: String): DataFrame =
     memo(s, d, "exactTop5") {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", probes(s, d), "vec_id", "embedding", 5)
+        "embedding", probes(s, d), "vec_id", "embedding", Cfg.K)
         .localCheckpoint()
     }
 
@@ -58,16 +121,16 @@ object SharedAnn {
   def ivfResult(s: SparkSession, d: String): DataFrame =
     memo(s, d, "ivfResult") {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", probes(s, d), "vec_id", "embedding", 5, 4, spill = 2)
-        .localCheckpoint()
+        "label", probes(s, d), "vec_id", "embedding", Cfg.K,
+        Cfg.IvfNprobe, spill = Cfg.Spill).localCheckpoint()
     }
 
   /** q74's sign-LSH result (48 bits / 12 bands) — certified by q96. */
   def lshResult(s: SparkSession, d: String): DataFrame =
     memo(s, d, "lshResult") {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5, dims = 64,
-        nBits = 48, nBands = 12).localCheckpoint()
+        probes(s, d), "vec_id", "embedding", Cfg.K, dims = Cfg.Dims,
+        nBits = Cfg.LshBits, nBands = Cfg.LshBands).localCheckpoint()
     }
 
   /** The one trained PQ model (nSub=16, nCodes=16, iters=3) behind q136's
@@ -76,7 +139,7 @@ object SharedAnn {
   def pqModel(s: SparkSession, d: String): Pq.PqModel =
     memo(s, d, "pqModel") {
       Pq.train(Tables.embeddings(s, d), "vec_id", "embedding",
-        nSub = 16, nCodes = 16, iters = 3)
+        nSub = Cfg.NSub, nCodes = Cfg.NCodes, iters = Cfg.Iters)
     }
 
   /** q136's refined PQ/ADC search result under [[pqModel]] — certified
@@ -84,15 +147,16 @@ object SharedAnn {
   def pqSearch(s: SparkSession, d: String): DataFrame =
     memo(s, d, "pqSearch") {
       Pq.searchWithModel(Tables.embeddings(s, d), "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5, pqModel(s, d), refine = 16)
-        .localCheckpoint()
+        probes(s, d), "vec_id", "embedding", Cfg.K, pqModel(s, d),
+        refine = Cfg.PqRefine).localCheckpoint()
     }
 
   /** The one trained OPQ model (q145's configuration). */
   def opqModel(s: SparkSession, d: String): Pq.OpqModel =
     memo(s, d, "opqModel") {
       Pq.trainOpq(Tables.embeddings(s, d), "vec_id", "embedding",
-        nSub = 16, nCodes = 16, iters = 3, opqIters = 6)
+        nSub = Cfg.NSub, nCodes = Cfg.NCodes, iters = Cfg.Iters,
+        opqIters = Cfg.OpqIters)
     }
 
   /** q138's in-memory IVF-PQ result (residual, spill=2, refine=8) —
@@ -100,9 +164,10 @@ object SharedAnn {
   def ivfPqResult(s: SparkSession, d: String): DataFrame =
     memo(s, d, "ivfPqResult") {
       Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        probes(s, d), "vec_id", "embedding", 5, nCells = 16, nprobe = 6,
-        nSub = 16, nCodes = 16, iters = 3, residual = true, refine = 8,
-        spill = 2).localCheckpoint()
+        probes(s, d), "vec_id", "embedding", Cfg.K, nCells = Cfg.NCells,
+        nprobe = Cfg.Nprobe, nSub = Cfg.NSub, nCodes = Cfg.NCodes,
+        iters = Cfg.Iters, residual = true, refine = Cfg.Refine,
+        spill = Cfg.Spill).localCheckpoint()
     }
 
   /** Full-corpus on-disk IVF index (q112's configuration) — READ-ONLY:
@@ -111,7 +176,8 @@ object SharedAnn {
     memo(s, d, "fullIvfIndexDir") {
       val dir = TempDirs.create("graft_ivf_index")
       Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
-        "embedding", dir, nCells = 16, iters = 3, spill = 2)
+        "embedding", dir, nCells = Cfg.NCells, iters = Cfg.Iters,
+        spill = Cfg.Spill)
       dir
     }
 
@@ -121,7 +187,8 @@ object SharedAnn {
     memo(s, d, "fullIvfPqIndexDir") {
       val dir = TempDirs.create("graft_ivfpq_index")
       Pq.writeIvfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-        dir, nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+        dir, nCells = Cfg.NCells, nSub = Cfg.NSub, nCodes = Cfg.NCodes,
+        iters = Cfg.Iters, spill = Cfg.Spill)
       dir
     }
 
@@ -134,7 +201,8 @@ object SharedAnn {
       Pq.writeIvfPqIndex(
         Tables.embeddings(s, d).filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", dir,
-        nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2)
+        nCells = Cfg.NCells, nSub = Cfg.NSub, nCodes = Cfg.NCodes,
+        iters = Cfg.Iters, spill = Cfg.Spill)
       dir
     }
 
@@ -145,8 +213,8 @@ object SharedAnn {
     memo(s, d, "opqFullIvfPqIndexDir") {
       val dir = TempDirs.create("graft_opq_ivfpq_index")
       Pq.writeIvfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-        dir, nCells = 16, nSub = 16, nCodes = 16, iters = 3, spill = 2,
-        opqIters = 6)
+        dir, nCells = Cfg.NCells, nSub = Cfg.NSub, nCodes = Cfg.NCodes,
+        iters = Cfg.Iters, spill = Cfg.Spill, opqIters = Cfg.OpqIters)
       dir
     }
 
@@ -158,8 +226,9 @@ object SharedAnn {
       val dir = TempDirs.create("graft_opq_ivfpq_base")
       Pq.writeIvfPqIndex(
         Tables.embeddings(s, d).filter(col("vec_id") % 4 =!= 0),
-        "vec_id", "embedding", dir, nCells = 16, nSub = 16, nCodes = 16,
-        iters = 3, spill = 2, opqIters = 6)
+        "vec_id", "embedding", dir, nCells = Cfg.NCells,
+        nSub = Cfg.NSub, nCodes = Cfg.NCodes, iters = Cfg.Iters,
+        spill = Cfg.Spill, opqIters = Cfg.OpqIters)
       dir
     }
 
@@ -172,7 +241,11 @@ object SharedAnn {
     def walk(src: java.io.File, dest: java.io.File): Unit =
       if (src.isDirectory) {
         dest.mkdirs()
-        src.listFiles().foreach(f => walk(f, new java.io.File(dest, f.getName)))
+        // listFiles() returns null (not empty) on a vanished or
+        // unreadable dir — fail with the path, not an opaque NPE
+        val children = src.listFiles()
+        require(children != null, s"copyIndex: cannot list $src")
+        children.foreach(f => walk(f, new java.io.File(dest, f.getName)))
       } else {
         java.nio.file.Files.copy(src.toPath, dest.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

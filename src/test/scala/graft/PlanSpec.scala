@@ -134,11 +134,14 @@ class PlanSpec extends SparkSpec {
     // materialized RDD scan by design) — fence the underlying operator
     // plan it pins, built with the identical model and configuration
     val emb = Tables.embeddings(spark, dir)
+    // twin plan built from SharedAnn.Cfg — the same constants the
+    // registered builder reads, so fence and build cannot drift
+    val C = queries.SharedAnn.Cfg
     val plan = finalPlan(operators.Pq.searchWithModel(
-      emb, "vec_id", "embedding", emb.filter(
-        org.apache.spark.sql.functions.col("vec_id") < 10),
-      "vec_id", "embedding", 5,
-      queries.SharedAnn.pqModel(spark, dir), refine = 16))
+      emb, "vec_id", "embedding",
+      queries.SharedAnn.probes(spark, dir),
+      "vec_id", "embedding", C.K,
+      queries.SharedAnn.pqModel(spark, dir), refine = C.PqRefine))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
@@ -168,11 +171,13 @@ class PlanSpec extends SparkSpec {
     // as with q136: the registered result is the pinned checkpoint —
     // fence the underlying ivfPqTopK plan at q138's configuration
     val emb = Tables.embeddings(spark, dir)
+    val C = queries.SharedAnn.Cfg
     val plan = finalPlan(operators.Pq.ivfPqTopK(
-      emb, "vec_id", "embedding", emb.filter(
-        org.apache.spark.sql.functions.col("vec_id") < 10),
-      "vec_id", "embedding", 5, nCells = 16, nprobe = 6, nSub = 16,
-      nCodes = 16, iters = 3, residual = true, refine = 8, spill = 2))
+      emb, "vec_id", "embedding",
+      queries.SharedAnn.probes(spark, dir),
+      "vec_id", "embedding", C.K, nCells = C.NCells, nprobe = C.Nprobe,
+      nSub = C.NSub, nCodes = C.NCodes, iters = C.Iters,
+      residual = true, refine = C.Refine, spill = C.Spill))
     // the rank-<=shortlist filter must prune each probe's group before the
     // sort — without it the ADC scan sorts every candidate row
     assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")

@@ -154,11 +154,15 @@ class PlanSpec extends SparkSpec {
   test("q70: codegen dot product present in plan, no HOF fold") {
     // q70's registered result is SharedAnn's localCheckpoint (a
     // materialized RDD scan) — fence the brute-force builder it pins
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // twin built from SharedAnn.Cfg + SharedAnn.probes — the same
+    // constants and probe set the registered builder reads
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d)
+    val C = graft.queries.SharedAnn.Cfg
     val p = graft.operators.Similarity.bruteForceTopK(
       emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .queryExecution.executedPlan.toString
+      graft.queries.SharedAnn.probes(spark, d), "vec_id", "embedding",
+      C.K).queryExecution.executedPlan.toString
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
   }
 }
