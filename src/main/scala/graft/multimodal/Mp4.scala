@@ -293,11 +293,13 @@ object Mp4 {
       val dts = Vector.newBuilder[Long]
       var t = 0L
       var i = 0
+      var total = 0L // cumulative allocation bound across ALL runs
       while (i < nRuns.toInt) {
         val cnt = r.u32(ttS + 8 + 8L * i)
         val delta = r.u32(ttS + 12 + 8L * i)
-        require(cnt >= 0 && cnt <= bytes.length,
-          s"stts run $cnt exceeds the file")
+        total += cnt
+        require(cnt >= 0 && total <= bytes.length,
+          s"stts samples $total exceed the file")
         var j = 0L
         while (j < cnt) { dts += t; t += delta; j += 1 }
         i += 1
@@ -313,13 +315,15 @@ object Mp4 {
             s"ctts count $nC exceeds the file")
           val b = Vector.newBuilder[Long]
           var k = 0
+          var cTotal = 0L // cumulative allocation bound across ALL runs
           while (k < nC.toInt) {
             val cnt = r.u32(ctS + 8 + 8L * k)
             val raw = r.u32(ctS + 12 + 8L * k)
             // v1 offsets are SIGNED 32-bit (B-frame reordering)
             val off = if (v == 1) raw.toInt.toLong else raw
-            require(cnt >= 0 && cnt <= bytes.length,
-              s"ctts run $cnt exceeds the file")
+            cTotal += cnt
+            require(cnt >= 0 && cTotal <= bytes.length,
+              s"ctts samples $cTotal exceed the file")
             var j = 0L
             while (j < cnt) { b += off; j += 1 }
             k += 1

@@ -133,18 +133,24 @@ object Multimodal {
       }
       (rate, mono)
     }
-    Codecs.decodeWav(payload)
-      .orElse(Flac.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
-      .orElse(Mp3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
-      .orElse(Mp2.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
-      .orElse(Mp3L3.decode(payload).map(d => toMono(d.sampleRate, d.samples)))
+    // Elementary-stream dispatch only — a flattened MP4 sample stream must
+    // route HERE, never back through the container path: a crafted 'soun'
+    // sample table covering the whole file would otherwise make the
+    // flattened stream equal the payload and recurse unboundedly.
+    def decodeElementary(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+      Codecs.decodeWav(bytes)
+        .orElse(Flac.decode(bytes).map(d => toMono(d.sampleRate, d.samples)))
+        .orElse(Mp3.decode(bytes).map(d => toMono(d.sampleRate, d.samples)))
+        .orElse(Mp2.decode(bytes).map(d => toMono(d.sampleRate, d.samples)))
+        .orElse(Mp3L3.decode(bytes).map(d => toMono(d.sampleRate, d.samples)))
+    decodeElementary(payload)
       // MP4-carried audio: sample table → one MPEG frame per sample →
-      // re-concatenated elementary stream → the same layer dispatch
+      // re-concatenated elementary stream → elementary dispatch only
       // (samples of any other codec simply fail the inner dispatch)
       .orElse(Option.when(Mp4.isMp4(payload))(())
         .flatMap(_ => Mp4.audioSamples(payload))
         .filter(_.nonEmpty)
-        .flatMap(ss => decodeAnyAudio(ss.toArray.flatten)))
+        .flatMap(ss => decodeElementary(ss.toArray.flatten)))
   }
 
   /** The audio-decode dispatch for tests/queries: (sampleRate, mono
@@ -249,9 +255,17 @@ object Multimodal {
     * complete JPEG per sample is the MJPEG layout; PNG/PGM/H.264-I_PCM
     * samples decode through the same dispatch). `stride` keeps every
     * n-th frame — the frame-sampling knob a training pipeline uses.
+    * `keyframesOnly` restricts sampling to the track's sync samples
+    * (its `stss` box, [[Mp4.syncSamples]]; a track with NO stss box
+    * declares every sample a sync sample per ISO 14496-12 §8.6.2 —
+    * the all-intra case), and `stride` then counts KEYFRAMES, not raw
+    * sample indices — the decodable-subset contract a frame sampler
+    * needs over predictive-coded tracks. `frame_idx` stays the
+    * original sample index either way.
     * Non-MP4 or non-decodable payloads yield no rows, never garbage.
     * Per-partition batches; no driver involvement. */
-  def videoFrames(media: DataFrame, stride: Int = 1): Dataset[VideoFrame] = {
+  def videoFrames(media: DataFrame, stride: Int = 1,
+      keyframesOnly: Boolean = false): Dataset[VideoFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     require(stride >= 1, "stride must be >= 1")
@@ -268,8 +282,17 @@ object Multimodal {
         // (MJPEG/PNG/PGM) go through the magic dispatch
         val avcC = if (meta.tracks(idx).codec == "avc1")
           Mp4.codecConfig(m.payload, idx, "avcC") else None
+        val sync: Int => Boolean =
+          if (!keyframesOnly) _ => true
+          else Mp4.syncSamples(m.payload, idx) match {
+            case Some(ss) =>
+              val set = ss.toSet; i => set.contains(i + 1L) // stss is 1-based
+            case None => _ => true // no stss box = every sample is sync
+          }
         table.zipWithIndex
-          .collect { case ((off, len), i) if i % stride == 0 =>
+          .filter { case (_, i) => sync(i) }
+          .zipWithIndex // second index counts only the kept (sync) frames
+          .collect { case (((off, len), i), k) if k % stride == 0 =>
             (m.payload.slice(off.toInt, off.toInt + len), i)
           }
           .flatMap { case (bytes, i) =>

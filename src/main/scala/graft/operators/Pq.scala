@@ -885,8 +885,11 @@ object Pq {
     * distance itself, so sq_err = Σ_m min_j ‖v_m − c_mj‖² — exactly
     * equal to [[reconstructionError]]'s per-vector sq_err (ties share
     * the distance value), and the OPQ error in the rotated space equals
-    * the original-space error (R orthogonal). Subvectors are staged as
-    * attributes in their own projection before the argmin tree
+    * the original-space error (R orthogonal). The rotated column is
+    * re-normalized (a FP no-op on an already-unit vector) so the OPQ
+    * half reproduces the former rotate→re-normalize→encode scan
+    * bit-for-bit, not merely up to low-order rounding. Subvectors are
+    * staged as attributes in their own projection before the argmin tree
     * references them nCodes times each (the [[encode]] staging
     * contract). Returns one row: (err_pq, err_opq). */
   def quantizerErrors(corpus: DataFrame, id: String, vec: String,
@@ -895,7 +898,7 @@ object Pq {
     val e0 = corpus.select(col(id).as("vec_id"),
       normalized(toDouble(col(vec))).as("e"))
     val withRot = e0.select(col("e"),
-      rotateCol(col("e"), opq.rotation).as("er"))
+      normalized(rotateCol(col("e"), opq.rotation)).as("er"))
     val subs = withRot.select(
       (0 until pqm.nSub).map(m =>
         slice(col("e"), m * pqm.subDim + 1, pqm.subDim).as(s"_p_$m")) ++

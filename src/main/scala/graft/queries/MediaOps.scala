@@ -566,6 +566,78 @@ object MediaOps {
         TRUE AS lossless
       FROM documents"""))
 
+  /** q152: MPEG-1 audio carried IN MP4 under the hash gate — the audio
+    * twin of q150/q151: per row a Layer II elementary stream is encoded
+    * (q126's codec), split into its exact frame grid by header
+    * arithmetic ([[graft.multimodal.MpegAudio.splitFrames]] — the grid
+    * must tile the stream EXACTLY), and written as one MP4 sample per
+    * frame with real stss (every 3rd frame sync) and ctts (constant
+    * +1152 composition offset) sidecars. The certified boolean then
+    * walks everything back through the container: `audioSamples`
+    * re-reads each frame byte-for-byte, `syncSamples` round-trips the
+    * stss table, `sampleTimes` reproduces the stts decode grid and the
+    * ctts presentation offsets, and the PRODUCTION audio dispatch
+    * ([[graft.multimodal.Multimodal.decodeAudio]] — the Multimodal MP4
+    * carriage branch) decodes the whole file to PCM at >30 dB SNR
+    * (q126 measures >40 dB on this codec; 10 dB margin). A broken
+    * sample table, timing box, frame grid or dispatch flips the
+    * boolean (or the closed-form counts) and the hash. */
+  private val q152 = NamedQuery(
+    "q152_audio_in_mp4",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 3000 + 1800).as("ns"),
+          (col("doc_id") % 150 + 200).as("freq"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, nsL, freq) =>
+          import graft.multimodal.{Mp2, Mp4, MpegAudio, Multimodal}
+          val rate = 32000
+          val n = nsL.toInt
+          val tone = Array.tabulate(n)(t =>
+            (0.4 * 32768.0 * math.sin(2 * math.Pi * freq * t / rate)).toInt)
+          val stream = Mp2.encode(rate, Array(tone))
+          val nf = ((n + 481 + 1151) / 1152)
+          val frames = MpegAudio.splitFrames(stream)
+          val gridOk = frames.exists(fs => fs.length == nf &&
+            fs.toArray.flatten.sameElements(stream))
+          val fseq = frames.getOrElse(Seq.empty)
+          val sync = (1L to nf.toLong by 3).toSeq
+          val payload = Mp4.writeWithSamples(rate.toLong, nf * 1152L,
+            Seq((Mp4.TrackSpec("soun", "mp4a", 0, 0, rate.toLong,
+              nf * 1152L, nf.toLong), fseq)),
+            syncs = Map(0 -> sync),
+            cttsRuns = Map(0 -> Seq((nf.toLong, 1152L))))
+          val samplesOk = Mp4.audioSamples(payload).exists(ss =>
+            ss.length == nf && ss.zip(fseq).forall { case (a, b) =>
+              a.sameElements(b) })
+          val stssOk = Mp4.syncSamples(payload, 0).contains(sync)
+          val wantTimes = (0 until nf).map(i => (1152L * i, 1152L * i + 1152L))
+          val timesOk = Mp4.sampleTimes(payload, 0).contains(wantTimes)
+          val snrOk = Multimodal.decodeAudio(payload).exists {
+            case (r, mono) =>
+              var sig = 0.0; var err = 0.0
+              var i = 0
+              while (i < n - 32) {
+                val want = tone(i) / 32768.0
+                val got = mono(481 + i)
+                sig += want * want; err += (got - want) * (got - want)
+                i += 1
+              }
+              r == rate && mono.length == nf * 1152 && sig > 0 &&
+                10.0 * math.log10(sig / math.max(err, 1e-300)) > 30.0
+          }
+          (id, nf.toLong, sync.length.toLong,
+            gridOk && samplesOk && stssOk && timesOk && snrOk)
+        })
+        .toDF("doc_id", "n_frames", "n_sync", "carriage_ok")
+    },
+    Some("""SELECT doc_id,
+        CAST(((n_chars % 3000 + 1800) + 481 + 1151) // 1152 AS BIGINT) AS n_frames,
+        CAST((((n_chars % 3000 + 1800) + 481 + 1151) // 1152 + 2) // 3 AS BIGINT) AS n_sync,
+        TRUE AS carriage_ok
+      FROM documents"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151)
+    q144, q146, q147, q150, q151, q152)
 }

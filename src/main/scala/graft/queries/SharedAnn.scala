@@ -53,6 +53,7 @@ object SharedAnn {
     val LshBits = 48          // sign-LSH hyperplanes (q74)
     val LshBands = 12         // sign-LSH bands (q74)
     val Dims = 64             // embedding dimensionality
+    val NProbes = 50          // certificate probe-set size (vec_id < NProbes)
   }
 
   private val cache =
@@ -67,8 +68,11 @@ object SharedAnn {
     scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Unit]()
 
   /** Drop every cached artifact built on `sc` and delete its temp index
-    * dirs. Called by the context-end listener; public for tests. */
-  def evict(sc: org.apache.spark.SparkContext): Unit = {
+    * dirs. Called by the context-end listener; public for tests. Takes
+    * [[memoLock]] (listener callbacks run on a separate thread) so an
+    * in-flight build inside [[memo]] cannot insert its entry AFTER
+    * eviction completed and leak one orphan artifact per racing build. */
+  def evict(sc: org.apache.spark.SparkContext): Unit = memoLock.synchronized {
     cache.keys.filter(_._1.sparkContext eq sc).foreach { k =>
       cache.remove(k).foreach {
         case dir: String => graft.TempDirs.delete(dir)
@@ -104,7 +108,7 @@ object SharedAnn {
 
   /** The registered probe set every ANN query/cert uses. */
   def probes(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+    Tables.embeddings(s, d).filter(col("vec_id") < Cfg.NProbes)
 
   /** Exact brute-force cosine top-5 per probe — the shared quadratic
     * ground truth (and q70's registered result). Computed once per

@@ -618,7 +618,7 @@ object StreamingQueries {
       q.awaitTermination()
       // batch-appended reference over the same final corpus
       Pq.appendIvfPqIndex(newVecs, "vec_id", "embedding", refIdx, spill = 2)
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < SharedAnn.Cfg.NProbes)
       def probeOf(dir: String): DataFrame =
         Pq.probeIvfPqIndex(s, dir, probes, "vec_id", "embedding", 5,
           nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   private def probes(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+    SharedAnn.probes(s, d)
 
   /** Exact cosine top-5 per probe vector — also the recall-cert family's
     * shared ground truth ([[SharedAnn.exactTop5]]: one scan per session,
@@ -23,7 +23,7 @@ object VectorOps {
     (s, d) => SharedAnn.exactTop5(s, d),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
-      p AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+      p AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 50),
       j AS (SELECT p.q_id, n.vec_id,
               list_dot_product(p.qe, n.e) / (p.qn * n.nrm) AS cos_raw
             FROM p CROSS JOIN n WHERE n.vec_id <> p.q_id),

@@ -12,9 +12,14 @@ import org.apache.spark.sql.types._
   *
   *   SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.ScaleBench [size] [nImages]"
   *
+  * Executor-thread concurrency is sized to the granted heap by default
+  * ([[threadsForHeap]]: ~1.5 threads/GiB, clamped to [4, 32]), because
+  * concurrent task working memory scales with threads — a fixed
+  * local[32] OOMs intermittently below ~24 GiB. `SPARK_GRAFT_CPUS`
+  * overrides.
+  *
   * Driver-heap ceiling proof: the same full-frame run completes with the
-  * WHOLE local-mode JVM capped at 4 GiB once executor-thread concurrency
-  * is sized to the heap —
+  * WHOLE local-mode JVM capped at 4 GiB —
   *
   *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 sbt "runMain graft.tools.ScaleBench 4096 3"
   *   → status=ok, 176.6 s (measured round 5; 185.2 s re-measured round 7)
@@ -72,10 +77,35 @@ object ScaleBench {
         (col("v") + coalesce(col("star_v"), lit(0.0))).as("v"))
   }
 
+  /** Default executor-thread count derived from the heap actually
+    * granted to this JVM: ~1.5 threads per pinned GiB, clamped to
+    * [4, min(32, cores)]. Concurrent task working memory (box-join
+    * build sides, sort/agg buffers, codegen scratch) scales with
+    * THREADS, not data, so a fixed local[32] is only safe above
+    * ~24 GiB — at 16 GiB it intermittently OOMs in the photometry
+    * stage (measured round 10: 2 of 3 runs). Sizing threads to heap
+    * makes every heap shape reproducible: 4 GiB → 6, 16 GiB → 24,
+    * ≥24 GiB → 32. `SPARK_GRAFT_CPUS` still overrides. */
+  def threadsForHeap(heapBytes: Long, cores: Int): Int = {
+    val perGib = 1.5
+    val byHeap = math.floor(heapBytes / (1L << 30).toDouble * perGib).toInt
+    math.max(4, math.min(math.min(32, cores), byHeap))
+  }
+
   def main(args: Array[String]): Unit = {
+    // RuntimeMXBean uptime at entry ≈ JVM init cost, which at big -Xms
+    // is dominated by -XX:+AlwaysPreTouch faulting in the pinned heap —
+    // recorded so provenance separates one-time pre-touch from the run
+    val initMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+    val heapBytes = Runtime.getRuntime.maxMemory()
+    val heapGib = heapBytes / (1L << 30).toDouble
     val size = if (args.nonEmpty) args(0).toInt else 4096
     val nImages = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      threadsForHeap(heapBytes, Runtime.getRuntime.availableProcessors).toString)
+    println(f"SCALE-CONFIG heap=$heapGib%.1fg threads=$cpus " +
+      f"jvm_init=${initMs / 1000.0}%.1f s (init ≈ AlwaysPreTouch at large -Xms)")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -118,7 +148,8 @@ object ScaleBench {
       val n = res.catalog.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE size=${size}x$size images=$nImages pixels=${size.toLong * size * nImages}%,d " +
-        f"status=${res.status} fwhm=${res.fwhm}%.2f stars=$n wall=$dt%.1f s")
+        f"status=${res.status} fwhm=${res.fwhm}%.2f stars=$n wall=$dt%.1f s " +
+        f"heap=$heapGib%.1fg threads=$cpus")
     } else {
       // epoch-level concurrency (runEpochs): independent epochs overlap
       // their stages across the executor pool — the cluster story's

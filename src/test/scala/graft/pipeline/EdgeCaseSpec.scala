@@ -121,7 +121,7 @@ class EdgeCaseSpec extends SparkSpec {
 
 /** Plan-shape regression guards: the optimizations SURVEY.md §4 relies on
   * must stay visible in the physical plan. */
-class PlanSpec extends SparkSpec {
+class OperatorPlanSpec extends SparkSpec {
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
