@@ -22,6 +22,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     Mp4.parseMeta(b)
     Mp4.sampleTable(b, 0)
     Mp4.videoSamples(b)
+    Mp4.audioSamples(b)
+    Mp4.syncSamples(b, 0)
+    Mp4.sampleTimes(b, 0)
+    MpegAudio.splitFrames(b)
+    Multimodal.decodeAudio(b) // incl. the MP4-carriage dispatch branch
     val f = Multimodal.features(b)
     assert(f.length === Multimodal.FeatureLen)
   }
@@ -64,7 +69,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       Mp4.writeWithSamples(1000, 80, Seq(
         (Mp4.TrackSpec("vide", "mjpa", 16, 16, 1000, 80, 2),
           Seq(Jpeg.encodeGray(16, 16, Array.fill(256)(0.5)),
-            Jpeg.encodeGray(16, 16, Array.fill(256)(0.25)))))))
+            Jpeg.encodeGray(16, 16, Array.fill(256)(0.25)))))), {
+        // audio-in-MP4 with stss + ctts: corruption must not escape the
+        // carriage walk (sample tables, timing boxes, frame re-split)
+        val fs = MpegAudio.splitFrames(Mp2.encode(32000, Array(sine)))
+          .getOrElse(Seq.empty)
+        Mp4.writeWithSamples(32000, fs.length * 1152L, Seq(
+          (Mp4.TrackSpec("soun", "mp4a", 0, 0, 32000,
+            fs.length * 1152L, fs.length.toLong), fs)),
+          syncs = Map(0 -> (1L to fs.length.toLong by 2).toSeq),
+          cttsRuns = Map(0 -> Seq((fs.length.toLong, 1152L))))
+      })
     for (seed <- seeds; _ <- 1 to 150) {
       val b = seed.clone()
       val flips = 1 + rnd.nextInt(4)
