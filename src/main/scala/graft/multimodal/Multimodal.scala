@@ -158,6 +158,41 @@ object Multimodal {
   def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Double])] =
     decodeAnyAudio(payload)
 
+  /** Frequency-domain audio features: the energy at each requested DFT
+    * bin over the first `n` samples — |Σ_t x_t·e^(-2πi·k·t/n)|² / n²,
+    * the per-band spectral profile a training-data audio pipeline
+    * filters on (tonality, dominant pitch, band-limited corruption,
+    * speech/music priors). A direct per-bin evaluation rather than a
+    * full FFT: feature extraction wants a HANDFUL of bands (|bins| ≪
+    * log n makes Goertzel/direct cheaper than an n·log n transform),
+    * the cost is per-row CPU inside a mapPartitions batch — no shuffle,
+    * no driver involvement, embarrassingly parallel at 100 TB — and the
+    * straight-line sum is the same arithmetic a SQL oracle can express
+    * (SUM(x·COS θ), SUM(x·SIN θ)), keeping the feature hash-gateable.
+    * A signal shorter than `n` is zero-padded by construction (the sum
+    * just ends); an empty signal yields all-zero energies. */
+  def bandEnergies(samples: Array[Double], n: Int, bins: Array[Int]): Array[Double] = {
+    require(n > 0, "window must be positive")
+    val m = math.min(n, samples.length)
+    val out = new Array[Double](bins.length)
+    var b = 0
+    while (b < bins.length) {
+      val w = 2.0 * math.Pi * bins(b) / n
+      var re = 0.0
+      var im = 0.0
+      var t = 0
+      while (t < m) {
+        val ang = w * t
+        re += samples(t) * math.cos(ang)
+        im -= samples(t) * math.sin(ang)
+        t += 1
+      }
+      out(b) = (re * re + im * im) / (n.toDouble * n)
+      b += 1
+    }
+    out
+  }
+
   /** Feature extraction over partition batches. Repartitioning by doc_id
     * spreads decode work evenly; each task processes its batch without
     * driver involvement — the 100 TB path is embarrassingly parallel. */

@@ -638,6 +638,65 @@ object MediaOps {
         TRUE AS carriage_ok
       FROM documents"""))
 
+  /** q153: frequency-domain audio features under the hash gate — the
+    * spectral twin of q105's time-domain features. Doc d carries a
+    * 0.5-amplitude sine at (d mod 20 + 1) cycles per 64 samples,
+    * PCM16-quantized through a real WAV round-trip (encode → production
+    * [[graft.multimodal.Multimodal.decodeAudio]] dispatch), then
+    * [[graft.multimodal.Multimodal.bandEnergies]] measures the 20 DFT
+    * bins 2k' (k' = 1..20) over the first 128 samples — k cycles/64 is
+    * exactly bin 2k at n = 128, so the dominant band is k by
+    * construction (coherent, zero leakage up to quantization noise),
+    * off-band energy is pure quantizer noise (~1e-9, rounds to 0), and
+    * the tonality flag has ~7 orders of magnitude of margin. The oracle
+    * evaluates the IDENTICAL straight-line sums (SUM(v·COS), SUM(v·SIN)
+    * per bin) on the closed-form quantized signal — a wrong window,
+    * bin map, normalization, or decode breaks the hash. */
+  private val q153 = NamedQuery(
+    "q153_spectral_bands",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 300 + 200).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val (_, mono) = Multimodal.decodeAudio(payload).get
+          val bins = Array.tabulate(20)(i => 2 * (i + 1))
+          val e = Multimodal.bandEnergies(mono, 128, bins)
+          var dom = 0
+          var i = 1
+          while (i < e.length) { if (e(i) > e(dom)) dom = i; i += 1 }
+          (id, (dom + 1).toLong, e(dom), e.sum - e(dom))
+        })
+        .toDF("doc_id", "dom_band", "e_dom_raw", "e_off_raw")
+        .select(col("doc_id"), col("dom_band"),
+          round(col("e_dom_raw"), 6).as("e_dom"),
+          round(col("e_off_raw"), 6).as("e_off"),
+          (col("e_dom_raw") > lit(1000.0) * col("e_off_raw")).as("tonal"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 20 + 1 AS k FROM documents),
+      s AS (SELECT d.doc_id, d.k, tt.t,
+              FLOOR(0.5 * SIN(2 * pi() * d.k * tt.t / 64.0) * 32767 + 0.5)
+                / 32768.0 AS v
+            FROM d, UNNEST(generate_series(0, 127)) AS tt(t)),
+      e AS (SELECT s.doc_id, s.k, bb.b,
+              (POWER(SUM(s.v * COS(2 * pi() * (2 * bb.b) * s.t / 128.0)), 2)
+             + POWER(SUM(s.v * SIN(2 * pi() * (2 * bb.b) * s.t / 128.0)), 2))
+                / 16384.0 AS en
+            FROM s, UNNEST(generate_series(1, 20)) AS bb(b)
+            GROUP BY s.doc_id, s.k, bb.b),
+      a AS (SELECT doc_id, ARG_MAX(b, en) AS dom_band, MAX(en) AS e_dom_raw,
+              SUM(en) - MAX(en) AS e_off_raw
+            FROM e GROUP BY doc_id)
+      SELECT doc_id, CAST(dom_band AS BIGINT) AS dom_band,
+        ROUND(e_dom_raw, 6) AS e_dom, ROUND(e_off_raw, 6) AS e_off,
+        e_dom_raw > 1000.0 * e_off_raw AS tonal
+      FROM a"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152)
+    q144, q146, q147, q150, q151, q152, q153)
 }
