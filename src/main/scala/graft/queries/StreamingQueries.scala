@@ -571,9 +571,16 @@ object StreamingQueries {
     * the FROZEN centroid+codebook sidecars. Because placement and
     * encoding are pure functions of the frozen model, the streamed index
     * must be BIT-IDENTICAL to a batch append of the same vectors: the
-    * certificate probes both (refine re-rank against the source) and
-    * gates on zero row difference — no "approximately ingested", the
-    * exact growing-corpus contract a 100 TB serving index needs. */
+    * certificate diffs the COMPLETE index contents of both arms
+    * (multiset over (vec_id, cell, codes) — every placement and every
+    * code of every row, not a probe sample) and gates on zero rows
+    * either way. Content identity subsumes probe identity: probing is a
+    * pure function of index content and the probe set (on-disk ≡
+    * in-memory is PqSpec-proven, and the append-path SERVING quality is
+    * q142's gate), so the streamed index is certified servable without
+    * re-running two probe+refine scans here — no "approximately
+    * ingested", the exact growing-corpus contract a 100 TB serving
+    * index needs. */
   private val q143 = NamedQuery(
     "q143_streaming_index_ingest",
     (s, d) => {
@@ -618,26 +625,25 @@ object StreamingQueries {
       q.awaitTermination()
       // batch-appended reference over the same final corpus
       Pq.appendIvfPqIndex(newVecs, "vec_id", "embedding", refIdx, spill = 2)
-      val probes = emb.filter(col("vec_id") < SharedAnn.Cfg.NProbes)
-      def probeOf(dir: String): DataFrame =
-        Pq.probeIvfPqIndex(s, dir, probes, "vec_id", "embedding", 5,
-          nprobe = 6, refineWith = Some((emb, "vec_id", "embedding")))
-          .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
-      // pinned: each probe lineage feeds both directions of the diff
-      val a = probeOf(streamIdx).localCheckpoint()
-      val b = probeOf(refIdx).localCheckpoint()
+      // whole-index multiset diff: every row's placement AND codes must
+      // agree both ways (pinned once per side; two exceptAll consumers)
+      def contentOf(dir: String): DataFrame =
+        s.read.parquet(dir).select(col("vec_id"), col("cell"), col("codes"))
+          .localCheckpoint()
+      val a = contentOf(streamIdx)
+      val b = contentOf(refIdx)
       val nMismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
-      val idxRows = s.read.parquet(streamIdx).count()
+      val idxRows = a.count()
       val nTotal = emb.count()
       Seq(
         ("stream_ingest_batches_ge_2", 2.0, nBatches.get() >= 2L),
-        ("stream_vs_batch_probe_identical", 0.0, nMismatch == 0L),
+        ("stream_vs_batch_index_identical", 0.0, nMismatch == 0L),
         ("stream_index_rows_complete", 1.0, idxRows == 2L * nTotal))
         .toDF("check", "threshold", "pass")
     },
     Some("SELECT \"check\", CAST(threshold AS DOUBLE) AS threshold, pass " +
       "FROM (VALUES ('stream_ingest_batches_ge_2', 2.0, true), " +
-      "('stream_vs_batch_probe_identical', 0.0, true), " +
+      "('stream_vs_batch_index_identical', 0.0, true), " +
       "('stream_index_rows_complete', 1.0, true)) " +
       "AS t(\"check\", threshold, pass)"))
 
