@@ -158,6 +158,34 @@ object Multimodal {
   def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Double])] =
     decodeAnyAudio(payload)
 
+  /** Sample-rate conversion by linear interpolation — the cheap
+    * canonical-rate normalization path an audio training pipeline runs
+    * on every clip before feature extraction (windowed-sinc is the
+    * higher-quality upgrade; linear is what bulk pipelines actually use
+    * when the downstream consumer is a feature extractor, and its exact
+    * closed form keeps the operator hash-gateable). Output length is
+    * ⌊n·dst/src⌋; output sample i reads source position i·src/dst with
+    * the fractional part interpolated between the two neighbors (the
+    * final neighbor clamps). Per-row CPU in a mapPartitions batch — no
+    * shuffle, embarrassingly parallel at 100 TB. */
+  def resampleLinear(mono: Array[Double], srcRate: Int, dstRate: Int): Array[Double] = {
+    require(srcRate > 0 && dstRate > 0, "rates must be positive")
+    if (mono.isEmpty) return Array.emptyDoubleArray
+    val nOut = (mono.length.toLong * dstRate / srcRate).toInt
+    val out = new Array[Double](nOut)
+    var i = 0
+    while (i < nOut) {
+      val num = i.toLong * srcRate
+      val j = (num / dstRate).toInt
+      val frac = (num % dstRate).toDouble / dstRate
+      val a = mono(j)
+      val b = if (j + 1 < mono.length) mono(j + 1) else mono(j)
+      out(i) = a + (b - a) * frac
+      i += 1
+    }
+    out
+  }
+
   /** Frequency-domain audio features: the energy at each requested DFT
     * bin over the first `n` samples — |Σ_t x_t·e^(-2πi·k·t/n)|² / n²,
     * the per-band spectral profile a training-data audio pipeline

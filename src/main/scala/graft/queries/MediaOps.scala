@@ -697,6 +697,60 @@ object MediaOps {
         e_dom_raw > 1000.0 * e_off_raw AS tonal
       FROM a"""))
 
+  /** q154: sample-rate conversion under the hash gate. The q105 signal
+    * rides the same real WAV round-trip, then
+    * [[graft.multimodal.Multimodal.resampleLinear]] converts 8000 →
+    * 6000 Hz (ratio 3/4: output i reads source position 4i/3, so j and
+    * the interpolation fraction are exact rationals both engines
+    * compute identically) and the features of the RESAMPLED signal are
+    * summarized. The oracle rebuilds the quantized source in closed
+    * form and evaluates the identical lerp `v_j + (v_{j+1} − v_j)·frac`
+    * per output sample — a wrong output-length formula, source-position
+    * map, or interpolation breaks the hash. */
+  private val q154 = NamedQuery(
+    "q154_audio_resample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val (_, mono) = Multimodal.decodeAudio(payload).get
+          val out = Multimodal.resampleLinear(mono, 8000, 6000)
+          val n = out.length
+          (id, n.toLong, math.sqrt(out.map(v => v * v).sum / n),
+            out.map(math.abs).max)
+        })
+        .toDF("doc_id", "n_out", "rms_raw", "peak_raw")
+        .select(col("doc_id"), col("n_out"),
+          round(col("rms_raw"), 6).as("rms"),
+          round(col("peak_raw"), 6).as("peak"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 50 AS ns,
+        doc_id % 20 + 1 AS k FROM documents),
+      o AS (SELECT d.doc_id, d.ns, d.k, tt.i,
+              CAST(tt.i * 8000 // 6000 AS BIGINT) AS j,
+              (tt.i * 8000 % 6000) / 6000.0 AS frac
+            FROM d, UNNEST(generate_series(0,
+              CAST(d.ns * 6000 // 8000 AS BIGINT) - 1)) AS tt(i)),
+      v AS (SELECT o.doc_id, o.ns, o.i,
+              FLOOR(0.5 * SIN(2 * pi() * o.k * o.j / 64.0) * 32767 + 0.5)
+                / 32768.0 AS vj,
+              FLOOR(0.5 * SIN(2 * pi() * o.k
+                  * LEAST(o.j + 1, o.ns - 1) / 64.0) * 32767 + 0.5)
+                / 32768.0 AS vj1,
+              o.frac
+            FROM o),
+      r AS (SELECT doc_id, i, vj + (vj1 - vj) * frac AS s FROM v)
+      SELECT doc_id, COUNT(*) AS n_out,
+        ROUND(SQRT(AVG(s * s)), 6) AS rms,
+        ROUND(MAX(ABS(s)), 6) AS peak
+      FROM r GROUP BY doc_id"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152, q153)
+    q144, q146, q147, q150, q151, q152, q153, q154)
 }
