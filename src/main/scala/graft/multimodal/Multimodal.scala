@@ -272,6 +272,34 @@ object Multimodal {
       case None => (metaW, metaH, decodeGridStub(payload, metaW, metaH))
     }
 
+  /** Center crop: the standard vision-pipeline spatial normalization
+    * (crop to the centered cw×ch window — a training transform applied
+    * before resize so aspect-ratio outliers don't stretch). Offsets are
+    * ⌊(dim − crop)/2⌋; a crop larger than the image clamps to the image
+    * (no padding — the caller letterboxes if it needs fixed shape).
+    * Returns (actual width, actual height, row-major pixels). Pure
+    * per-row array work — mapPartitions-parallel at 100 TB. */
+  def centerCrop(pixels: Array[Double], w: Int, h: Int, cw: Int,
+      ch: Int): (Int, Int, Array[Double]) = {
+    require(cw > 0 && ch > 0, "crop dims must be positive")
+    require(pixels.length == w * h, "pixel buffer must be w*h")
+    val ow = math.min(cw, w)
+    val oh = math.min(ch, h)
+    val ox = (w - ow) / 2
+    val oy = (h - oh) / 2
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = pixels((y + oy) * w + (x + ox))
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
   /** Resize: area-average (box) resampling of the decoded grid to
     * targetW × targetH. PGM payloads resample their REAL pixels; other
     * formats resample the stub grid. Runs per partition batch like

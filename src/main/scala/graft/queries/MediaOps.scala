@@ -751,6 +751,54 @@ object MediaOps {
         ROUND(MAX(ABS(s)), 6) AS peak
       FROM r GROUP BY doc_id"""))
 
+  /** q155: center crop under the hash gate — the q104 PGM image rides
+    * the real encode → decode dispatch, then
+    * [[graft.multimodal.Multimodal.centerCrop]] takes the centered
+    * (w/2+1)×(h/2+1) window (offsets ⌊(dim−crop)/2⌋). The q104 pixel
+    * pattern ((x + y + d) mod 256)/255 is integer-exact through the
+    * 8-bit round trip, so beyond the rounded mean the gate carries an
+    * EXACT integer checksum (Σ of the cropped 8-bit values) the oracle
+    * reproduces in closed form from the crop offsets — any off-by-one
+    * in offset, window, or row stride shifts the checksum. */
+  private val q155 = NamedQuery(
+    "q155_center_crop",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
+          (col("n_chars") % 12 + 4).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            (((i % w) + (i / w) + id) % 256).toDouble / 255.0
+          }
+          val payload = Codecs.encodePgm(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val (cw, ch, crop) =
+            Multimodal.centerCrop(dec, dw, dh, dw / 2 + 1, dh / 2 + 1)
+          (id, cw.toLong, ch.toLong, crop.sum / crop.length,
+            crop.map(v => math.round(v * 255)).sum)
+        })
+        .toDF("doc_id", "cw", "ch", "mean_raw", "checksum")
+        .select(col("doc_id"), col("cw"), col("ch"),
+          round(col("mean_raw"), 6).as("mean_lum"), col("checksum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 16 + 4 AS w,
+        n_chars % 12 + 4 AS h FROM documents),
+      c AS (SELECT doc_id, w, h, w // 2 + 1 AS cw, h // 2 + 1 AS ch,
+              (w - (w // 2 + 1)) // 2 AS ox,
+              (h - (h // 2 + 1)) // 2 AS oy
+            FROM d),
+      p AS (SELECT c.doc_id, c.cw, c.ch,
+              ((xx.x + c.ox) + (yy.y + c.oy) + c.doc_id) % 256 AS pv
+            FROM c, UNNEST(generate_series(0, c.cw - 1)) AS xx(x),
+                    UNNEST(generate_series(0, c.ch - 1)) AS yy(y))
+      SELECT doc_id, CAST(cw AS BIGINT) AS cw, CAST(ch AS BIGINT) AS ch,
+        ROUND(AVG(pv / 255.0), 6) AS mean_lum,
+        CAST(SUM(pv) AS BIGINT) AS checksum
+      FROM p GROUP BY doc_id, cw, ch"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152, q153, q154)
+    q144, q146, q147, q150, q151, q152, q153, q154, q155)
 }
