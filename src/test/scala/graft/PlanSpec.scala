@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
 
+  test("per-row media gates are shuffle-free mapPartitions chains (q152–q155)") {
+    // codec round-trips, spectral bins, resampling and cropping are pure
+    // per-row CPU — an Exchange would mean the embarrassingly-parallel
+    // 100 TB path picked up a shuffle
+    for (name <- Seq("q152_audio_in_mp4", "q153_spectral_bands",
+        "q154_audio_resample", "q155_center_crop")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
+    }
+  }
+
   test("PII scrub is a pure projection — zero exchanges (q102)") {
     val plan = finalPlan(q("q102_pii_scrub"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
