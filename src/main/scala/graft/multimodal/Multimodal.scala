@@ -300,6 +300,28 @@ object Multimodal {
     (ow, oh, out)
   }
 
+  /** Letterbox pad: center the image on a tw×th canvas of `fill` — the
+    * complement of [[centerCrop]] (crop shrinks to the window, letterbox
+    * grows to the canvas; together with [[resize]] they are the standard
+    * fixed-shape vision-preprocessing triad). The target must contain
+    * the image (this operator never discards pixels — compose with
+    * centerCrop when it should). Offsets ⌊(target − dim)/2⌋. Pure
+    * per-row array work — mapPartitions-parallel at 100 TB. */
+  def letterbox(pixels: Array[Double], w: Int, h: Int, tw: Int, th: Int,
+      fill: Double): (Int, Int, Array[Double]) = {
+    require(tw >= w && th >= h, "letterbox target must contain the image")
+    require(pixels.length == w * h, "pixel buffer must be w*h")
+    val ox = (tw - w) / 2
+    val oy = (th - h) / 2
+    val out = Array.fill(tw * th)(fill)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels, y * w, out, (y + oy) * tw + ox, w)
+      y += 1
+    }
+    (tw, th, out)
+  }
+
   /** Resize: area-average (box) resampling of the decoded grid to
     * targetW × targetH. PGM payloads resample their REAL pixels; other
     * formats resample the stub grid. Runs per partition batch like

@@ -799,6 +799,64 @@ object MediaOps {
         CAST(SUM(pv) AS BIGINT) AS checksum
       FROM p GROUP BY doc_id, cw, ch"""))
 
+  /** q156: letterbox pad under the hash gate — the q104 PGM image rides
+    * the real encode → decode dispatch, then
+    * [[graft.multimodal.Multimodal.letterbox]] centers it on a
+    * (w + d mod 4 + 1)×(h + 3) canvas of white (fill 1.0 = 8-bit 255).
+    * The gate carries TWO exact integer sums over the canvas's 8-bit
+    * values: the plain checksum (sensitive to fill and canvas area) and
+    * a position-weighted checksum Σ (x + tw·y)·v (sensitive to WHERE
+    * the image landed — a one-pixel placement error shifts it). The
+    * oracle walks the full canvas in closed form with the interior/pad
+    * CASE split. */
+  private val q156 = NamedQuery(
+    "q156_letterbox_pad",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
+          (col("n_chars") % 12 + 4).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            (((i % w) + (i / w) + id) % 256).toDouble / 255.0
+          }
+          val payload = Codecs.encodePgm(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val (tw, th, out) = Multimodal.letterbox(dec, dw, dh,
+            dw + (id % 4).toInt + 1, dh + 3, 1.0)
+          var sum = 0L
+          var pos = 0L
+          var i = 0
+          while (i < out.length) {
+            val v = math.round(out(i) * 255)
+            sum += v
+            pos += ((i % tw) + tw.toLong * (i / tw)) * v
+            i += 1
+          }
+          (id, tw.toLong, th.toLong, sum, pos)
+        })
+        .toDF("doc_id", "tw", "th", "checksum", "pos_checksum")
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 16 + 4 AS w,
+        n_chars % 12 + 4 AS h FROM documents),
+      c AS (SELECT doc_id, w, h, w + doc_id % 4 + 1 AS tw, h + 3 AS th
+            FROM d),
+      g AS (SELECT c.*, (c.tw - c.w) // 2 AS ox, (c.th - c.h) // 2 AS oy
+            FROM c),
+      p AS (SELECT g.doc_id, g.tw, g.th, xx.x, yy.y,
+              CASE WHEN xx.x >= g.ox AND xx.x < g.ox + g.w
+                    AND yy.y >= g.oy AND yy.y < g.oy + g.h
+                THEN ((xx.x - g.ox) + (yy.y - g.oy) + g.doc_id) % 256
+                ELSE 255 END AS pv
+            FROM g, UNNEST(generate_series(0, g.tw - 1)) AS xx(x),
+                    UNNEST(generate_series(0, g.th - 1)) AS yy(y))
+      SELECT doc_id, CAST(tw AS BIGINT) AS tw, CAST(th AS BIGINT) AS th,
+        CAST(SUM(pv) AS BIGINT) AS checksum,
+        CAST(SUM((x + tw * y) * pv) AS BIGINT) AS pos_checksum
+      FROM p GROUP BY doc_id, tw, th"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152, q153, q154, q155)
+    q144, q146, q147, q150, q151, q152, q153, q154, q155, q156)
 }

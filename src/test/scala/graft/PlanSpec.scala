@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
     // per-row CPU — an Exchange would mean the embarrassingly-parallel
     // 100 TB path picked up a shuffle
     for (name <- Seq("q152_audio_in_mp4", "q153_spectral_bands",
-        "q154_audio_resample", "q155_center_crop")) {
+        "q154_audio_resample", "q155_center_crop", "q156_letterbox_pad")) {
       val plan = finalPlan(q(name))
       assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
     }

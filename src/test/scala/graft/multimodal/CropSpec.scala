@@ -47,4 +47,33 @@ class CropSpec extends AnyFunSuite {
       Multimodal.centerCrop(grid(4, 4), 4, 4, 0, 2)
     }
   }
+
+  test("letterbox centers the image and fills the border") {
+    val g = grid(3, 2)
+    val (tw, th, out) = Multimodal.letterbox(g, 3, 2, 7, 5, -1.0)
+    assert((tw, th) === (7, 5))
+    // ox = (7-3)/2 = 2, oy = (5-2)/2 = 1
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val v = out(y * 7 + x)
+      if (x >= 2 && x < 5 && y >= 1 && y < 3)
+        assert(v === (y - 1) * 100.0 + (x - 2))
+      else assert(v === -1.0)
+    }
+  }
+
+  test("letterbox to the same size is the identity; crop∘letterbox too") {
+    val g = grid(4, 3)
+    assert(Multimodal.letterbox(g, 4, 3, 4, 3, 0.0)._3.sameElements(g))
+    // padding then center-cropping back recovers the image EXACTLY when
+    // both remainders are even (offsets align); 4->8, 3->5 qualifies
+    val (tw, th, padded) = Multimodal.letterbox(g, 4, 3, 8, 5, 0.0)
+    val (_, _, back) = Multimodal.centerCrop(padded, tw, th, 4, 3)
+    assert(back.sameElements(g))
+  }
+
+  test("letterbox refuses to discard pixels") {
+    intercept[IllegalArgumentException] {
+      Multimodal.letterbox(grid(4, 3), 4, 3, 3, 5, 0.0)
+    }
+  }
 }
