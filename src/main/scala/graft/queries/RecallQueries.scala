@@ -263,28 +263,26 @@ object RecallQueries {
     "q127_ann_ivf_append_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val base = emb.filter(col("vec_id") % 4 =!= 0)
-      val appended = graft.TempDirs.create("graft_ivf_appended")
-      Similarity.writeIvfIndex(base, "vec_id", "embedding", appended,
-        nCells = 16, iters = 3, spill = 2)
+      // start from a file COPY of the shared 75 %-base build (PqSpec
+      // proves build determinism, so copy ≡ identical rebuild) and
+      // append into the copy — the shared artifact stays pristine
+      val appended = SharedAnn.copyIndex(
+        SharedAnn.baseIvfIndexDir(s, d), "graft_ivf_appended")
       Similarity.appendIvfIndex(emb.filter(col("vec_id") % 8 === 0),
         "vec_id", "embedding", appended, spill = 2)
       Similarity.appendIvfIndex(emb.filter(col("vec_id") % 8 === 4),
         "vec_id", "embedding", appended, spill = 2)
       val compacted = graft.TempDirs.create("graft_ivf_compacted")
       Similarity.compactIvfIndex(s, appended, compacted)
-      // rebuilt arm = q112's shared full-corpus build (identical
-      // configuration, deterministic — probed read-only here)
-      val rebuilt = SharedAnn.fullIvfIndexDir(s, d)
       // shared brute-force ground truth feeds BOTH recall summaries
       val exact = SharedAnn.exactTop5(s, d)
       val app = topkSummary(topkRecall(exact,
         Similarity.probeIvfIndex(s, compacted, probes(s, d), "vec_id",
           "embedding", 5, nprobe = 6)))
         .select(col("n_probes"), col("macro_recall").as("macro_appended"))
-      val reb = topkSummary(topkRecall(exact,
-        Similarity.probeIvfIndex(s, rebuilt, probes(s, d), "vec_id",
-          "embedding", 5, nprobe = 6)))
+      // rebuilt arm = q112's registered probe of the shared full-corpus
+      // build — the IDENTICAL computation, read once from the memo
+      val reb = topkSummary(topkRecall(exact, SharedAnn.fullIvfProbe(s, d)))
         .select(col("macro_recall").as("macro_rebuilt"))
       app.join(reb)
     },
@@ -387,8 +385,6 @@ object RecallQueries {
         "vec_id", "embedding", appended, spill = 2)
       val compacted = graft.TempDirs.create("graft_ivfpq_compacted")
       Pq.compactIvfPqIndex(s, appended, compacted)
-      // rebuilt arm = q141's shared full-corpus build (read-only probe)
-      val rebuilt = SharedAnn.fullIvfPqIndexDir(s, d)
       // shared brute-force ground truth feeds BOTH recall summaries
       val exact = SharedAnn.exactTop5(s, d)
       val app = topkSummary(topkRecall(exact,
@@ -396,10 +392,10 @@ object RecallQueries {
           "embedding", 5, nprobe = 6,
           refineWith = Some((emb, "vec_id", "embedding")))))
         .select(col("n_probes"), col("macro_recall").as("macro_appended"))
+      // rebuilt arm = q141's registered probe of the shared full-corpus
+      // build — the IDENTICAL computation, read once from the memo
       val reb = topkSummary(topkRecall(exact,
-        Pq.probeIvfPqIndex(s, rebuilt, probes(s, d), "vec_id",
-          "embedding", 5, nprobe = 6,
-          refineWith = Some((emb, "vec_id", "embedding")))))
+        SharedAnn.fullIvfPqProbe(s, d)))
         .select(col("macro_recall").as("macro_rebuilt"))
       app.join(reb)
     },
@@ -478,10 +474,10 @@ object RecallQueries {
           "embedding", 5, nprobe = 6,
           refineWith = Some((emb, "vec_id", "embedding")))))
         .select(col("n_probes"), col("macro_recall").as("macro_appended"))
+      // rebuilt arm = q148's registered probe of the shared full-corpus
+      // build — the IDENTICAL computation, read once from the memo
       val reb = topkSummary(topkRecall(exact,
-        Pq.probeIvfPqIndex(s, SharedAnn.opqFullIvfPqIndexDir(s, d),
-          probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
-          refineWith = Some((emb, "vec_id", "embedding")))))
+        SharedAnn.opqFullIvfPqProbe(s, d)))
         .select(col("macro_recall").as("macro_rebuilt"))
       app.join(reb)
     },

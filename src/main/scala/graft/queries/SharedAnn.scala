@@ -196,6 +196,52 @@ object SharedAnn {
       dir
     }
 
+  /** q112's registered on-disk IVF probe result (nprobe=6, no refine)
+    * — memoized because q127's rebuilt arm is the IDENTICAL probe over
+    * the same read-only build: one checkpointed result serves both
+    * consumers instead of two full probe scans (round-12 task 1). */
+  def fullIvfProbe(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "fullIvfProbe") {
+      Similarity.probeIvfIndex(s, fullIvfIndexDir(s, d), probes(s, d),
+        "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe)
+        .localCheckpoint()
+    }
+
+  /** q141's registered on-disk IVF-PQ probe result (nprobe=6, refine
+    * re-rank against the source table) — memoized because q142's
+    * rebuilt arm is the IDENTICAL probe over the same read-only build. */
+  def fullIvfPqProbe(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "fullIvfPqProbe") {
+      Pq.probeIvfPqIndex(s, fullIvfPqIndexDir(s, d), probes(s, d),
+        "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe,
+        refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding")))
+        .localCheckpoint()
+    }
+
+  /** q148's registered on-disk OPQ-IVFPQ probe result — memoized
+    * because q149's rebuilt arm is the IDENTICAL probe over the same
+    * read-only build. */
+  def opqFullIvfPqProbe(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "opqFullIvfPqProbe") {
+      Pq.probeIvfPqIndex(s, opqFullIvfPqIndexDir(s, d), probes(s, d),
+        "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe,
+        refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding")))
+        .localCheckpoint()
+    }
+
+  /** On-disk plain-IVF index over the 75 % base corpus (q127's
+    * starting point — the IVF twin of [[baseIvfPqIndexDir]]) —
+    * READ-ONLY: appending consumers must [[copyIndex]] it first. */
+  def baseIvfIndexDir(s: SparkSession, d: String): String =
+    memo(s, d, "baseIvfIndexDir") {
+      val dir = TempDirs.create("graft_ivf_base")
+      Similarity.writeIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", dir,
+        nCells = Cfg.NCells, iters = Cfg.Iters, spill = Cfg.Spill)
+      dir
+    }
+
   /** On-disk IVF-PQ index over the 75 % base corpus
     * (`vec_id % 4 =!= 0`, q142/q143's shared starting point) —
     * READ-ONLY: appending consumers must [[copyIndex]] it first. */

@@ -139,8 +139,7 @@ object VectorOps {
     * cells and ranking are); approximate by construction → rows-only. */
   private val q112 = NamedQuery(
     "q112_ann_ivf_index_probe",
-    (s, d) => Similarity.probeIvfIndex(s, SharedAnn.fullIvfIndexDir(s, d),
-      probes(s, d), "vec_id", "embedding", 5, nprobe = 6),
+    (s, d) => SharedAnn.fullIvfProbe(s, d),
     None,
     note = Some("On-disk IVF probe results are approximate by " +
       "construction; recall and append/compact maintenance drift are " +
@@ -220,9 +219,7 @@ object VectorOps {
     * (raw vectors are never duplicated into the index). */
   private val q141 = NamedQuery(
     "q141_ivfpq_index_probe",
-    (s, d) => Pq.probeIvfPqIndex(s, SharedAnn.fullIvfPqIndexDir(s, d),
-      probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
-      refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding"))),
+    (s, d) => SharedAnn.fullIvfPqProbe(s, d),
     None,
     note = Some("On-disk IVF-PQ probe; PqSpec asserts it returns exactly " +
       "the in-memory q138 results (same trained model, deterministic), " +
@@ -238,9 +235,7 @@ object VectorOps {
     * the refine never touches the rotated form). */
   private val q148 = NamedQuery(
     "q148_opq_index_probe",
-    (s, d) => Pq.probeIvfPqIndex(s, SharedAnn.opqFullIvfPqIndexDir(s, d),
-      probes(s, d), "vec_id", "embedding", 5, nprobe = 6,
-      refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding"))),
+    (s, d) => SharedAnn.opqFullIvfPqProbe(s, d),
     None,
     note = Some("On-disk OPQ-IVFPQ probe; PqSpec asserts it returns " +
       "exactly the in-memory opqIvfPqTopK results (same trained " +

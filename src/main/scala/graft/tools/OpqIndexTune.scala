@@ -17,7 +17,9 @@ object OpqIndexTune {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
-    val probes = emb.filter(col("vec_id") < 10)
+    // tune on the SAME probe population the certificates gate on
+    val probes = emb.filter(
+      col("vec_id") < graft.queries.SharedAnn.Cfg.NProbes)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       probes, "vec_id", "embedding", 5)
       .select(col("q_id"), col("vec_id")).localCheckpoint()

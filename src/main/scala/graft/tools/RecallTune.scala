@@ -17,7 +17,9 @@ object RecallTune {
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.embeddings(spark, d).cache()
     emb.count()
-    val probes = emb.filter(col("vec_id") < 10)
+    // tune on the SAME probe population the certificates gate on
+    val probes = emb.filter(
+      col("vec_id") < graft.queries.SharedAnn.Cfg.NProbes)
 
     def recallOf(exact: DataFrame, approx: DataFrame): Double = {
       val e = exact.select(col("q_id"), col("vec_id"))

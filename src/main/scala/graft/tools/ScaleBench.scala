@@ -85,11 +85,12 @@ object ScaleBench {
     * ~24 GiB — at 16 GiB it intermittently OOMs in the photometry
     * stage (measured round 10: 2 of 3 runs). Sizing threads to heap
     * makes every heap shape reproducible: 4 GiB → 6, 16 GiB → 24,
-    * ≥24 GiB → 32. `SPARK_GRAFT_CPUS` still overrides. */
+    * ≥24 GiB → 32. The floor is min(4, cores) so a <4-core box is
+    * never oversubscribed. `SPARK_GRAFT_CPUS` still overrides. */
   def threadsForHeap(heapBytes: Long, cores: Int): Int = {
     val perGib = 1.5
     val byHeap = math.floor(heapBytes / (1L << 30).toDouble * perGib).toInt
-    math.max(4, math.min(math.min(32, cores), byHeap))
+    math.max(math.min(4, cores), math.min(math.min(32, cores), byHeap))
   }
 
   def main(args: Array[String]): Unit = {
