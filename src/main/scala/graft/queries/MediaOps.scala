@@ -857,6 +857,64 @@ object MediaOps {
         CAST(SUM((x + tw * y) * pv) AS BIGINT) AS pos_checksum
       FROM p GROUP BY doc_id, tw, th"""))
 
+  /** q157: KEYFRAME-ONLY video sampling under the hash gate — the
+    * composed decodable-subset path q150 and q152 gate only piecewise
+    * (q150 strides raw sample indices; q152 round-trips the stss table
+    * without decoding through it). Per row an MJPEG MP4 is written with
+    * a REAL stss sidecar declaring every 3rd sample a sync sample, then
+    * [[graft.multimodal.Multimodal.videoFrames]] runs with
+    * `keyframesOnly = true, stride = 2`: sampling restricts to the sync
+    * set AND the stride counts KEYFRAMES (kept = sync frames 0, 6, …),
+    * while `frame_idx` stays the ORIGINAL sample index. The oracle keeps
+    * exactly the frames with f % 6 = 0 (sync ∧ even keyframe ordinal)
+    * and mirrors q150's closed-form per-frame luminance — a sampler that
+    * strides raw indices, ignores stss, or renumbers frames flips rows
+    * or values and the hash. */
+  private val q157 = NamedQuery(
+    "q157_keyframe_sampling",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5 + 3).as("nf"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nfL) =>
+          val nf = nfL.toInt
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(16 * 16) { i =>
+              val bx = (i % 16) / 8; val by = (i / 16) / 8
+              ((bx * 7 + by * 13 + f * 17 + id) % 256).toDouble / 255.0
+            }
+            graft.multimodal.Jpeg.encodeGray(16, 16, px)
+          }
+          val sync = (1L to nf.toLong by 3) // 1-based: samples 0,3,6 sync
+          val payload = graft.multimodal.Mp4.writeWithSamples(1000,
+            nf * 40L, Seq((graft.multimodal.Mp4.TrackSpec("vide", "mjpa",
+              16, 16, 1000, nf * 40L, nf.toLong), frames)),
+            syncs = Map(0 -> sync))
+          graft.multimodal.Multimodal.MediaRow(id, "video", payload,
+            16, 16, 1)
+        }).toDF()
+      graft.multimodal.Multimodal
+        .videoFrames(media, stride = 2, keyframesOnly = true)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 5 + 3 AS nf FROM documents),
+      f AS (SELECT d.doc_id, ff.f FROM d,
+              UNNEST(generate_series(0, d.nf - 1)) AS ff(f)
+            WHERE ff.f % 6 = 0),
+      b AS (SELECT doc_id, f,
+              CAST((bx.x * 7 + by.y * 13 + f * 17 + doc_id) % 256
+                AS DOUBLE) / 255.0 AS v
+            FROM f, UNNEST([0, 1]) AS bx(x), UNNEST([0, 1]) AS by(y))
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        ROUND(AVG(v), 6) AS mean_lum
+      FROM b GROUP BY doc_id, f"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152, q153, q154, q155, q156)
+    q144, q146, q147, q150, q151, q152, q153, q154, q155, q156, q157)
 }
