@@ -915,6 +915,142 @@ object MediaOps {
         ROUND(AVG(v), 6) AS mean_lum
       FROM b GROUP BY doc_id, f"""))
 
+  /** q158: the COMPOSED vision-preprocessing funnel under one hash —
+    * q122's curation-funnel pattern for the pixel triad: real PGM decode
+    * → [[graft.multimodal.Multimodal.centerCrop]] to (w/2+1)×(h/2+1) →
+    * [[graft.multimodal.Multimodal.letterbox]] onto the FIXED 12×10
+    * white canvas every training batch wants (max crop is 10×8, so the
+    * canvas always contains the crop). q155/q156 gate the stages
+    * piecewise; this gates their composition — both exact integer
+    * checksums (plain + position-weighted) shift if either stage's
+    * offsets, window, or stride is off by one RELATIVE to the other.
+    * The oracle walks the canvas in closed form with the pad/interior
+    * CASE split composed through both offset maps. */
+  private val q158 = NamedQuery(
+    "q158_vision_funnel",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
+          (col("n_chars") % 12 + 4).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, wl, hl) =>
+          val w = wl.toInt; val h = hl.toInt
+          val px = Array.tabulate(w * h) { i =>
+            (((i % w) + (i / w) + id) % 256).toDouble / 255.0
+          }
+          val payload = Codecs.encodePgm(w, h, px)
+          val (dw, dh, dec) = Multimodal.decodeImage(payload, 0, 0)
+          val (cw, ch, crop) =
+            Multimodal.centerCrop(dec, dw, dh, dw / 2 + 1, dh / 2 + 1)
+          val (tw, th, out) = Multimodal.letterbox(crop, cw, ch, 12, 10, 1.0)
+          var sum = 0L
+          var pos = 0L
+          var i = 0
+          while (i < out.length) {
+            val v = math.round(out(i) * 255)
+            sum += v
+            pos += ((i % tw) + tw.toLong * (i / tw)) * v
+            i += 1
+          }
+          (id, cw.toLong, ch.toLong, sum, pos)
+        })
+        .toDF("doc_id", "cw", "ch", "checksum", "pos_checksum")
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 16 + 4 AS w,
+        n_chars % 12 + 4 AS h FROM documents),
+      c AS (SELECT doc_id, w, h, w // 2 + 1 AS cw, h // 2 + 1 AS ch,
+              (w - (w // 2 + 1)) // 2 AS ox1,
+              (h - (h // 2 + 1)) // 2 AS oy1
+            FROM d),
+      g AS (SELECT c.*, (12 - c.cw) // 2 AS ox2, (10 - c.ch) // 2 AS oy2
+            FROM c),
+      p AS (SELECT g.doc_id, g.cw, g.ch, xx.x, yy.y,
+              CASE WHEN xx.x >= g.ox2 AND xx.x < g.ox2 + g.cw
+                    AND yy.y >= g.oy2 AND yy.y < g.oy2 + g.ch
+                THEN ((xx.x - g.ox2 + g.ox1) + (yy.y - g.oy2 + g.oy1)
+                      + g.doc_id) % 256
+                ELSE 255 END AS pv
+            FROM g, UNNEST(generate_series(0, 11)) AS xx(x),
+                    UNNEST(generate_series(0, 9)) AS yy(y))
+      SELECT doc_id, CAST(cw AS BIGINT) AS cw, CAST(ch AS BIGINT) AS ch,
+        CAST(SUM(pv) AS BIGINT) AS checksum,
+        CAST(SUM((x + 12 * y) * pv) AS BIGINT) AS pos_checksum
+      FROM p GROUP BY doc_id, cw, ch"""))
+
+  /** q159: the COMPOSED audio-canonicalization funnel under one hash —
+    * the q105 tone rides the real WAV round-trip, is rate-converted
+    * 8000 → 6000 Hz ([[graft.multimodal.Multimodal.resampleLinear]],
+    * q154's stage), and the RESAMPLED signal feeds
+    * [[graft.multimodal.Multimodal.bandEnergies]] (q153's stage, bins
+    * 1–8 over the first 128 samples) — decode → resample → featurize,
+    * the per-clip pipeline a training corpus actually runs, gated as a
+    * composition rather than piecewise. The oracle rebuilds the exact
+    * lerped signal (quantized source, exact-rational fractions) and
+    * evaluates the identical straight-line DFT sums on it — a stage
+    * wired in the wrong order, a length/offset slip between stages, or
+    * a wrong window breaks the hash. */
+  private val q159 = NamedQuery(
+    "q159_audio_funnel",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val (_, mono) = Multimodal.decodeAudio(payload).get
+          val out = Multimodal.resampleLinear(mono, 8000, 6000)
+          val bins = Array.tabulate(8)(_ + 1)
+          val e = Multimodal.bandEnergies(out, 128, bins)
+          (id, out.length.toLong, e(1), e(3), e(5), e.sum)
+        })
+        .toDF("doc_id", "n_out", "e2_raw", "e4_raw", "e6_raw", "et_raw")
+        .select(col("doc_id"), col("n_out"),
+          round(col("e2_raw"), 6).as("e2"),
+          round(col("e4_raw"), 6).as("e4"),
+          round(col("e6_raw"), 6).as("e6"),
+          round(col("et_raw"), 6).as("e_total"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 50 AS ns,
+        doc_id % 20 + 1 AS k FROM documents),
+      o AS (SELECT d.doc_id, d.ns, d.k, tt.i,
+              CAST(tt.i * 8000 // 6000 AS BIGINT) AS j,
+              (tt.i * 8000 % 6000) / 6000.0 AS frac
+            FROM d, UNNEST(generate_series(0,
+              CAST(d.ns * 6000 // 8000 AS BIGINT) - 1)) AS tt(i)),
+      v AS (SELECT o.doc_id, o.i,
+              FLOOR(0.5 * SIN(2 * pi() * o.k * o.j / 64.0) * 32767 + 0.5)
+                / 32768.0 AS vj,
+              FLOOR(0.5 * SIN(2 * pi() * o.k
+                  * LEAST(o.j + 1, o.ns - 1) / 64.0) * 32767 + 0.5)
+                / 32768.0 AS vj1,
+              o.frac
+            FROM o),
+      r AS (SELECT doc_id, i, vj + (vj1 - vj) * frac AS s FROM v),
+      n AS (SELECT doc_id, COUNT(*) AS n_out FROM r GROUP BY doc_id),
+      e AS (SELECT r.doc_id, bb.b,
+              (POWER(SUM(r.s * COS(2 * pi() * bb.b * r.i / 128.0)), 2)
+             + POWER(SUM(r.s * SIN(2 * pi() * bb.b * r.i / 128.0)), 2))
+                / 16384.0 AS en
+            FROM r, UNNEST(generate_series(1, 8)) AS bb(b)
+            WHERE r.i < 128
+            GROUP BY r.doc_id, bb.b),
+      p AS (SELECT doc_id,
+              SUM(CASE WHEN b = 2 THEN en END) AS e2_raw,
+              SUM(CASE WHEN b = 4 THEN en END) AS e4_raw,
+              SUM(CASE WHEN b = 6 THEN en END) AS e6_raw,
+              SUM(en) AS et_raw
+            FROM e GROUP BY doc_id)
+      SELECT n.doc_id, n.n_out, ROUND(p.e2_raw, 6) AS e2,
+        ROUND(p.e4_raw, 6) AS e4, ROUND(p.e6_raw, 6) AS e6,
+        ROUND(p.et_raw, 6) AS e_total
+      FROM n JOIN p USING (doc_id)"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
-    q144, q146, q147, q150, q151, q152, q153, q154, q155, q156, q157)
+    q144, q146, q147, q150, q151, q152, q153, q154, q155, q156, q157,
+    q158, q159)
 }
