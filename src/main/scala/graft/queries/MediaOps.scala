@@ -1050,7 +1050,70 @@ object MediaOps {
         ROUND(p.et_raw, 6) AS e_total
       FROM n JOIN p USING (doc_id)"""))
 
+  /** q160: windowed-sinc sample-rate conversion under the hash gate —
+    * q154's drill for the QUALITY path
+    * ([[graft.multimodal.Multimodal.resampleSinc]]): the q105 tone rides
+    * the real WAV round-trip, then the Hann-windowed sinc kernel
+    * (taps = 8, anti-alias cutoff c = 6000/8000 = 0.75) converts
+    * 8000 → 6000 Hz. Every phase is the exact rational
+    * (i·8000 − j·6000)/6000 and the kernel is a finite closed form, so
+    * the oracle evaluates the IDENTICAL 16-term dot product per output
+    * sample on the closed-form quantized source (zero-padded outside
+    * [0, ns)) — a wrong cutoff, window, tap range, or center map breaks
+    * the hash. The SNR/quality claims (beats lerp by >10 dB mid-band,
+    * >40 dB on a planted band-limited tone) are ResampleSpec's bars. */
+  private val q160 = NamedQuery(
+    "q160_sinc_resample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val (_, mono) = Multimodal.decodeAudio(payload).get
+          val out = Multimodal.resampleSinc(mono, 8000, 6000, taps = 8)
+          val n = out.length
+          (id, n.toLong, math.sqrt(out.map(v => v * v).sum / n),
+            out.map(math.abs).max)
+        })
+        .toDF("doc_id", "n_out", "rms_raw", "peak_raw")
+        .select(col("doc_id"), col("n_out"),
+          round(col("rms_raw"), 6).as("rms"),
+          round(col("peak_raw"), 6).as("peak"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 50 AS ns,
+        doc_id % 20 + 1 AS k FROM documents),
+      o AS (SELECT d.doc_id, d.ns, d.k, tt.i,
+              CAST(tt.i * 8000 // 6000 AS BIGINT) AS j0
+            FROM d, UNNEST(generate_series(0,
+              CAST(d.ns * 6000 // 8000 AS BIGINT) - 1)) AS tt(i)),
+      t AS (SELECT o.doc_id, o.ns, o.k, o.i, o.j0 + dd.t AS j
+            FROM o, UNNEST(generate_series(-7, 8)) AS dd(t)),
+      w AS (SELECT doc_id, ns, k, i, j,
+              (i * 8000 - j * 6000) / 6000.0 AS u
+            FROM t),
+      e AS (SELECT doc_id, ns, k, i, j, u,
+              (CASE WHEN i * 8000 - j * 6000 = 0 THEN 0.75
+                    ELSE 0.75 * SIN(pi() * 0.75 * u) / (pi() * 0.75 * u)
+               END)
+              * (0.5 + 0.5 * COS(pi() * u / 8)) AS kv,
+              CASE WHEN j >= 0 AND j < ns
+                THEN FLOOR(0.5 * SIN(2 * pi() * k * j / 64.0) * 32767 + 0.5)
+                     / 32768.0
+                ELSE 0.0 END AS xv
+            FROM w),
+      r AS (SELECT doc_id, i, SUM(xv * kv) AS s
+            FROM e GROUP BY doc_id, i)
+      SELECT doc_id, COUNT(*) AS n_out,
+        ROUND(SQRT(AVG(s * s)), 6) AS rms,
+        ROUND(MAX(ABS(s)), 6) AS peak
+      FROM r GROUP BY doc_id"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
     q144, q146, q147, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159)
+    q158, q159, q160)
 }
