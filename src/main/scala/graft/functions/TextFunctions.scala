@@ -17,6 +17,28 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")
 
+  /** Unicode canonical composition (NFC) — the normalization a real
+    * corpus needs BEFORE exact dedup: decomposed and precomposed accent
+    * sequences are byte-distinct but canonically equal, so un-normalized
+    * exact dedup silently keeps both (q161/q162 gate this against
+    * DuckDB's `nfc_normalize`). Per-row JVM CPU (java.text.Normalizer)
+    * inside typed map/mapPartitions operators — never a SQL UDF. */
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  /** Extended-grapheme-cluster count (user-perceived characters) — the
+    * length a truncation/chunking policy should budget with: a combining
+    * mark adds a codepoint but not a grapheme. java.text.BreakIterator's
+    * character instance implements the same UAX #29 clustering DuckDB's
+    * `length_grapheme` counts. */
+  def graphemeLen(s: String): Long = {
+    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    it.setText(s)
+    var n = 0L
+    while (it.next() != java.text.BreakIterator.DONE) n += 1
+    n
+  }
+
   /** Scala-side replica of [[tokens]] for typed flatMap operators
     * (shingling, substring windows): SQL `trim` strips SPACES only, and
     * the collapse-then-split keeps leading/trailing empty tokens — a plain

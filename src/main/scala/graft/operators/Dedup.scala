@@ -25,6 +25,29 @@ object Dedup {
       .agg(min(col(id)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"), length(col(text)).as("n_chars"))
 
+  /** [[exact]] under Unicode canonical equivalence: texts are NFC-
+    * composed (TextFunctions.nfc, per-row typed map — no SQL UDF) before
+    * grouping, so byte-distinct but canonically-equal documents
+    * (decomposed vs precomposed accents) collapse to one survivor —
+    * the normalization pass a real multi-source corpus needs before any
+    * content-hash dedup. Same scale shape as [[exact]]: the only
+    * shuffle is the groupBy on the (normalized) content key. */
+  def exactNormalized(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val norm = df
+      .select(col(id).cast("long").as("_id"), col(text).as("_text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, graft.functions.TextFunctions.nfc(t))
+      })
+      .toDF("_id", "norm_text")
+    norm.groupBy(col("norm_text"))
+      .agg(min(col("_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"),
+        length(col("norm_text")).as("n_chars"))
+  }
+
   /** Distinct word-n-gram shingle set per document: (doc_id, shingle).
     * Typed flatMap (JVM sliding window) rather than the interpreted
     * higher-order-function lambda — measured ~8× faster on the shingle

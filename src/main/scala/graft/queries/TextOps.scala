@@ -488,8 +488,102 @@ object TextOps {
         ROUND(EXP(AVG(nll)), 6) AS perplexity
       FROM nl GROUP BY doc_id"""))
 
+  /** q161: Unicode normalization facts under the hash gate. The fixture
+    * text is pure ASCII (NFC-invariant — verified against the corpus),
+    * so each row PLANTS a decomposed accent pair (base letter +
+    * combining mark, chosen by doc_id) on an 8-char prefix, then
+    * certifies the full normalization surface against DuckDB's native
+    * `nfc_normalize`/`length_grapheme`: the composed string ITSELF (a
+    * cross-engine string equality — Java's Normalizer and DuckDB's
+    * utf8proc must agree byte-for-byte), the codepoint lengths before
+    * and after (composition removes exactly one codepoint), and the
+    * grapheme count (the combining mark never added one — UAX #29
+    * clustering via BreakIterator ≡ length_grapheme). */
+  private val q161 = NamedQuery(
+    "q161_unicode_normalize",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, b) =>
+          val pair = (id % 4) match {
+            case 0 => "e\u0301" // composes to U+00E9
+            case 1 => "A\u0300" // composes to U+00C0
+            case 2 => "o\u0308" // composes to U+00F6
+            case _ => "n\u0303" // composes to U+00F1
+          }
+          val raw = b + pair
+          val norm = graft.functions.TextFunctions.nfc(raw)
+          (id, norm,
+            raw.codePointCount(0, raw.length).toLong,
+            norm.codePointCount(0, norm.length).toLong,
+            graft.functions.TextFunctions.graphemeLen(raw),
+            norm != raw)
+        })
+        .toDF("doc_id", "norm_str", "raw_len", "norm_len", "glen", "changed")
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 8) AS b FROM documents),
+      p AS (SELECT doc_id, b || CASE doc_id % 4
+              WHEN 0 THEN 'e' || chr(769)
+              WHEN 1 THEN 'A' || chr(768)
+              WHEN 2 THEN 'o' || chr(776)
+              ELSE 'n' || chr(771) END AS raw
+            FROM d)
+      SELECT doc_id, nfc_normalize(raw) AS norm_str,
+        CAST(LENGTH(raw) AS BIGINT) AS raw_len,
+        CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS norm_len,
+        CAST(length_grapheme(raw) AS BIGINT) AS glen,
+        nfc_normalize(raw) <> raw AS changed
+      FROM p"""))
+
+  /** q162: NORMALIZED exact dedup (Dedup.exactNormalized) — q60's drill
+    * for the canonical-equivalence gap: per document two byte-DISTINCT
+    * variants are planted (prefix + precomposed é/À/ö/ñ vs prefix + the
+    * decomposed base+combining pair). Raw exact dedup keeps both;
+    * NFC-normalized dedup must collapse each canonical pair to its
+    * min-id survivor (n_copies ≥ 2 — exactly 2 unless two documents
+    * share a prefix AND an accent class, which the global grouping and
+    * the oracle both honor). A normalizer that misses a composition, or
+    * a survivor rule that drifts from min-id, flips rows and the hash. */
+  private val q162 = NamedQuery(
+    "q162_normalized_dedup",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .as[(Long, String)]
+        .flatMap { case (id, b) =>
+          val pre = (id % 4) match {
+            case 0 => "\u00e9"; case 1 => "\u00c0"
+            case 2 => "\u00f6"; case _ => "\u00f1"
+          }
+          val dec = (id % 4) match {
+            case 0 => "e\u0301"; case 1 => "A\u0300"
+            case 2 => "o\u0308"; case _ => "n\u0303"
+          }
+          Seq((id * 2, b + pre), (id * 2 + 1, b + dec))
+        }
+        .toDF("row_id", "s")
+      Dedup.exactNormalized(rows, "row_id", "s")
+        .withColumn("n_chars", col("n_chars").cast(LongType))
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 8) AS b FROM documents),
+      r AS (SELECT doc_id * 2 AS row_id, b || CASE doc_id % 4
+              WHEN 0 THEN chr(233) WHEN 1 THEN chr(192)
+              WHEN 2 THEN chr(246) ELSE chr(241) END AS s
+            FROM d
+            UNION ALL
+            SELECT doc_id * 2 + 1, b || CASE doc_id % 4
+              WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'A' || chr(768)
+              WHEN 2 THEN 'o' || chr(776) ELSE 'n' || chr(771) END
+            FROM d)
+      SELECT MIN(row_id) AS doc_id, COUNT(*) AS n_copies,
+        CAST(LENGTH(nfc_normalize(s)) AS BIGINT) AS n_chars
+      FROM r GROUP BY nfc_normalize(s)"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139)
+      q107, q139, q161, q162)
 }

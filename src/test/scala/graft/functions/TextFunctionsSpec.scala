@@ -34,6 +34,34 @@ class TextFunctionsSpec extends SparkSpec {
       assert(s.toSeq === q.toSeq, s"case '$c'")
   }
 
+  // every non-ASCII char below is spelled as a \u escape: raw source
+  // literals can be silently NFC-composed by editor/tool chains, which
+  // would turn these composition assertions into tautologies
+  test("nfc composes decomposed sequences and is idempotent") {
+    assert(TextFunctions.nfc("e\u0301") === "\u00e9")
+    assert(TextFunctions.nfc("A\u0300") === "\u00c0")
+    assert(TextFunctions.nfc("o\u0308n\u0303") === "\u00f6\u00f1")
+    // already-composed and plain ASCII are fixed points
+    assert(TextFunctions.nfc("\u00e9") === "\u00e9")
+    assert(TextFunctions.nfc("plain ascii 42") === "plain ascii 42")
+    // idempotence on a mixed string (x + marks has no composed form)
+    val s = "Cafe\u0301 caf\u00e9 x\u0331\u0302"
+    assert(TextFunctions.nfc(TextFunctions.nfc(s)) === TextFunctions.nfc(s))
+    // canonical equivalence: both spellings meet at the same bytes
+    assert(TextFunctions.nfc("Cafe\u0301") === TextFunctions.nfc("Caf\u00e9"))
+  }
+
+  test("graphemeLen counts clusters, not codepoints") {
+    assert(TextFunctions.graphemeLen("abc") === 3L)
+    assert(TextFunctions.graphemeLen("e\u0301") === 1L) // base + mark
+    assert(TextFunctions.graphemeLen("x\u0331\u0302") === 1L) // 2 marks
+    assert(TextFunctions.graphemeLen("a\u0301b\u0300") === 2L)
+    assert(TextFunctions.graphemeLen("") === 0L)
+    // an astral-plane codepoint (2 UTF-16 units) is one grapheme
+    assert(TextFunctions.graphemeLen(
+      new String(Character.toChars(0x1D11E))) === 1L)
+  }
+
   test("IntVec: growth, slice append, exact toArray") {
     val v = new IntVec(2)
     (0 until 1000).foreach(i => v += i * 3)
