@@ -418,8 +418,22 @@ object Similarity {
   /** Embedding near-dup pairs at corpus scale: sign-LSH band buckets
     * generate candidates (self-join keyed by band — linear shuffle, never
     * the n² cross product), then exact cosine verifies, so precision never
-    * degrades — only recall trades against nBits/nBands. The all-pairs
-    * exact form lives in Dedup.embeddingNearDup; this is its scale path. */
+    * degrades — only recall trades against nBits/nBands.
+    *
+    * SIZE THE BANDS TO THE CORPUS: a band has 2^(nBits/nBands) buckets,
+    * a count that does not grow with the data — once the corpus
+    * outgrows it, per-bucket self-joins degenerate toward all-pairs.
+    * The registered q88 config (4 bits/band × 16 bands, recall 1.0 at
+    * cos 0.45, q97-certified) is fixture-tuned: measured on the
+    * sf1 → sf10 decade (20 k → 200 k vectors) its growth slope is 3.0.
+    * At scale either grow bits/band ≈ log2(n / target bucket size)
+    * (and bands with it, to hold the recall product), or — for this
+    * MODERATE-threshold regime, where per-bit agreement is weak —
+    * prefer the cell-partitioned path ([[graft.operators.Dedup.semanticDedup]]
+    * with nCells ∝ n: within-cell work n²/nCells stays linear;
+    * measured in tools.NearDupScale). Banding stays the right tool in
+    * the HIGH-threshold regime (q62's J ≥ 0.9 MinHash bands).
+    * The all-pairs exact form lives in Dedup.embeddingNearDup. */
   def lshNearDupPairs(corpus: DataFrame, id: String, vec: String,
       threshold: Double, dims: Int, nBits: Int = 64, nBands: Int = 16,
       seed: Long = 42L): DataFrame = {

@@ -71,7 +71,13 @@ object SharedAnn {
     * dirs. Called by the context-end listener; public for tests. Takes
     * [[memoLock]] (listener callbacks run on a separate thread) so an
     * in-flight build inside [[memo]] cannot insert its entry AFTER
-    * eviction completed and leak one orphan artifact per racing build. */
+    * eviction completed and leak one orphan artifact per racing build.
+    * Known trade-off: the listener-bus thread can block behind a long
+    * in-flight build during shutdown. Accepted — builds are bounded
+    * (minutes at worst), correctness beats shutdown latency here, and
+    * a finer-grained scheme (per-context stopping flag checked between
+    * build stages) buys latency only by reintroducing the leak window
+    * it would have to re-close. */
   def evict(sc: org.apache.spark.SparkContext): Unit = memoLock.synchronized {
     cache.keys.filter(_._1.sparkContext eq sc).foreach { k =>
       cache.remove(k).foreach {

@@ -112,10 +112,28 @@ object GenScale {
       (d, c) =>
         if (c == 0) d
         else {
+          // signed cyclic shift: the shift alone repeats every 64
+          // copies (copies c and c+64 would carry IDENTICAL vectors —
+          // cross-copy exact dups corrupting the near-dup workload at
+          // 100 copies), so compose it with a per-copy ±1 diagonal
+          // keyed by an odd-multiplier hash of c (unique mod 2³¹, so
+          // no two copies share both shift and signs). A signed
+          // permutation is still orthogonal: within-copy dot products
+          // and norms are preserved EXACTLY, cross-copy cosine
+          // collapses to noise.
           val rot = (7 * c) % 64
+          val seed = c * 2654435761L
+          // the outer cast pins the element type back to the SOURCE's
+          // (float in the driver fixture): the ±1 multiply would
+          // otherwise widen to double and every reader with a pinned
+          // float schema (the streaming source) would fail on the file
+          val elem = d.schema("embedding").dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType.sql
           d.withColumn("embedding", expr(
             s"""transform(sequence(0, size(embedding) - 1),
-                i -> element_at(embedding, ((i + $rot) % size(embedding)) + 1))"""))
+                i -> cast(element_at(embedding, ((i + $rot) % size(embedding)) + 1)
+                     * (1 - 2 * cast(shiftright(${seed}L, cast(i % 31 as int)) & 1 as int)) as $elem))"""))
         }
     })
 

@@ -65,12 +65,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
 
-  test("per-row media gates are shuffle-free mapPartitions chains (q152–q155)") {
-    // codec round-trips, spectral bins, resampling and cropping are pure
+  test("per-row media gates are shuffle-free mapPartitions chains (q152–q160)") {
+    // codec round-trips, spectral bins, resampling, cropping, keyframe
+    // sampling, the composed funnels and unicode normalization are pure
     // per-row CPU — an Exchange would mean the embarrassingly-parallel
     // 100 TB path picked up a shuffle
     for (name <- Seq("q152_audio_in_mp4", "q153_spectral_bands",
-        "q154_audio_resample", "q155_center_crop", "q156_letterbox_pad")) {
+        "q154_audio_resample", "q155_center_crop", "q156_letterbox_pad",
+        "q157_keyframe_sampling", "q158_vision_funnel",
+        "q159_audio_funnel", "q160_sinc_resample",
+        "q161_unicode_normalize")) {
       val plan = finalPlan(q(name))
       assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
     }
