@@ -1113,7 +1113,83 @@ object MediaOps {
         ROUND(MAX(ABS(s)), 6) AS peak
       FROM r GROUP BY doc_id"""))
 
+  /** q163: the QUALITY-path audio funnel under one hash — q159's
+    * composition with the windowed-sinc stage swapped in: decode →
+    * [[graft.multimodal.Multimodal.resampleSinc]] (q160's kernel) →
+    * [[graft.multimodal.Multimodal.bandEnergies]] (q153's bins). The
+    * oracle rebuilds the sinc-resampled signal as the exact 16-term
+    * kernel dot product per output sample, then evaluates the identical
+    * straight-line DFT sums on it — certifying that the quality
+    * resampler composes with feature extraction exactly as the lerp
+    * path does (same window, same bins, same lengths). */
+  private val q163 = NamedQuery(
+    "q163_sinc_funnel",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
+          (col("doc_id") % 20 + 1).as("k"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, ns, k) =>
+          val samples = Array.tabulate(ns.toInt)(t =>
+            0.5 * math.sin(2 * math.Pi * k * t / 64.0))
+          val payload = Codecs.encodeWav(8000, samples)
+          val (_, mono) = Multimodal.decodeAudio(payload).get
+          val out = Multimodal.resampleSinc(mono, 8000, 6000, taps = 8)
+          val bins = Array.tabulate(8)(_ + 1)
+          val e = Multimodal.bandEnergies(out, 128, bins)
+          (id, out.length.toLong, e(1), e(3), e(5), e.sum)
+        })
+        .toDF("doc_id", "n_out", "e2_raw", "e4_raw", "e6_raw", "et_raw")
+        .select(col("doc_id"), col("n_out"),
+          round(col("e2_raw"), 6).as("e2"),
+          round(col("e4_raw"), 6).as("e4"),
+          round(col("e6_raw"), 6).as("e6"),
+          round(col("et_raw"), 6).as("e_total"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars % 400 + 50 AS ns,
+        doc_id % 20 + 1 AS k FROM documents),
+      o AS (SELECT d.doc_id, d.ns, d.k, tt.i,
+              CAST(tt.i * 8000 // 6000 AS BIGINT) AS j0
+            FROM d, UNNEST(generate_series(0,
+              CAST(d.ns * 6000 // 8000 AS BIGINT) - 1)) AS tt(i)),
+      t AS (SELECT o.doc_id, o.ns, o.k, o.i, o.j0 + dd.t AS j
+            FROM o, UNNEST(generate_series(-7, 8)) AS dd(t)),
+      w AS (SELECT doc_id, ns, k, i, j,
+              (i * 8000 - j * 6000) / 6000.0 AS u
+            FROM t),
+      e AS (SELECT doc_id, ns, k, i, j, u,
+              (CASE WHEN i * 8000 - j * 6000 = 0 THEN 0.75
+                    ELSE 0.75 * SIN(pi() * 0.75 * u) / (pi() * 0.75 * u)
+               END)
+              * (0.5 + 0.5 * COS(pi() * u / 8)) AS kv,
+              CASE WHEN j >= 0 AND j < ns
+                THEN FLOOR(0.5 * SIN(2 * pi() * k * j / 64.0) * 32767 + 0.5)
+                     / 32768.0
+                ELSE 0.0 END AS xv
+            FROM w),
+      r AS (SELECT doc_id, i, SUM(xv * kv) AS s
+            FROM e GROUP BY doc_id, i),
+      n AS (SELECT doc_id, COUNT(*) AS n_out FROM r GROUP BY doc_id),
+      b AS (SELECT r.doc_id, bb.b,
+              (POWER(SUM(r.s * COS(2 * pi() * bb.b * r.i / 128.0)), 2)
+             + POWER(SUM(r.s * SIN(2 * pi() * bb.b * r.i / 128.0)), 2))
+                / 16384.0 AS en
+            FROM r, UNNEST(generate_series(1, 8)) AS bb(b)
+            WHERE r.i < 128
+            GROUP BY r.doc_id, bb.b),
+      p AS (SELECT doc_id,
+              SUM(CASE WHEN b = 2 THEN en END) AS e2_raw,
+              SUM(CASE WHEN b = 4 THEN en END) AS e4_raw,
+              SUM(CASE WHEN b = 6 THEN en END) AS e6_raw,
+              SUM(en) AS et_raw
+            FROM b GROUP BY doc_id)
+      SELECT n.doc_id, n.n_out, ROUND(p.e2_raw, 6) AS e2,
+        ROUND(p.e4_raw, 6) AS e4, ROUND(p.e6_raw, 6) AS e6,
+        ROUND(p.et_raw, 6) AS e_total
+      FROM n JOIN p USING (doc_id)"""))
+
   val all: Seq[NamedQuery] = Seq(q104, q105, q115, q116, q117, q120, q126,
     q144, q146, q147, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160)
+    q158, q159, q160, q163)
 }
