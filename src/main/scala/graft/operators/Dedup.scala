@@ -607,7 +607,30 @@ object Dedup {
     * ×spill², precision stays 1.0 (every candidate is still
     * exact-verified). */
   def semanticDedup(df: DataFrame, id: String, vec: String,
-      nCells: Int, tau: Double, spill: Int = 2): DataFrame = {
+      nCells: Int, tau: Double, spill: Int = 2): DataFrame =
+    cellNearDupPairs(df, id, vec, nCells, tau, spill)
+      .select(col("id_b").as("drop_id"))
+      .distinct()
+
+  /** Cell-partitioned near-dup PAIRS — [[semanticDedup]]'s candidate
+    * machinery surfaced as a pair relation (id_a, id_b, cosine), the
+    * schema of the exact [[embeddingNearDup]] and of the banded
+    * `Similarity.lshNearDupPairs`. This is the registered scale path for
+    * the MODERATE-threshold regime (q88, cos ≥ 0.45): sign-LSH banding is
+    * ρ-limited there (per-bit agreement at cos 0.45 is only 0.65, so any
+    * banding that holds recall admits ~n^1.6 candidates and a fixed
+    * bucket count degenerates to all-pairs — measured slope 3.0 on the
+    * sf1→sf10 decade), while trained cells confine the pairwise scan to
+    * within-cell: with nCells ∝ corpus the n²/nCells work stays LINEAR
+    * (measured slope 0.58, tools/NearDupScale).
+    *
+    * Every candidate is exact-verified against `threshold` at the cell
+    * join, so precision is 1.0 by construction; recall is the spill/cell
+    * tradeoff certified driver-visibly (q97). A pair met through several
+    * shared spill cells carries a bit-identical cosine, so the pair dedup
+    * keeps one deterministic row. */
+  def cellNearDupPairs(df: DataFrame, id: String, vec: String,
+      nCells: Int, threshold: Double, spill: Int = 2): DataFrame = {
     val (assigned, cents) =
       Similarity.trainCellsWithCentroids(df, id, vec, nCells)
     val v = df.select(col(id).as("vec_id"),
@@ -623,10 +646,77 @@ object Dedup {
       }
     val a = memb.select(col("cell"), col("vec_id").as("id_a"), col("e").as("ea"))
     val b = memb.select(col("cell"), col("vec_id").as("id_b"), col("e").as("eb"))
+    // threshold filter runs AT the cell join, so the pair-dedup exchange
+    // shuffles only (id_a, id_b, cosine) scalars for surviving near-dups
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(VectorFunctions.dot(col("ea"), col("eb")) >= tau)
-      .select(col("id_b").as("drop_id"))
-      .distinct()
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.dot(col("ea"), col("eb")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
+  /** [[cellNearDupPairs]] with the cell count SIZED TO THE CORPUS —
+    * nCells = max(8, ⌈n / vectorsPerCell⌉) from one cheap count (parquet
+    * row-group metadata at the sources), the invariant that keeps the
+    * within-cell n²/nCells work linear as the corpus grows. This is the
+    * form a registered production query should use: a fixture-tuned
+    * constant cell count is exactly the scale bug the fixed 16-bucket
+    * LSH banding had.
+    *
+    * Defaults measured on the fixture decade (tools/CellPairTune, cos
+    * 0.45): spill=4 / 2000 vectors-per-cell holds pair recall 1.000 /
+    * 1.000 / 0.993 at 500 / 2 k / 20 k vectors while per-vector work
+    * stays a constant ~spill²·vectorsPerCell dot products. spill=2
+    * (semanticDedup's default; half the index) measured 0.49–0.79 at
+    * the same threshold — too lossy for a pair-level contract. */
+  def cellNearDupPairsAuto(df: DataFrame, id: String, vec: String,
+      threshold: Double, spill: Int = 4, vectorsPerCell: Int = 2000): DataFrame = {
+    val n = df.count()
+    val nCells = math.max(8L, (n + vectorsPerCell - 1) / vectorsPerCell).toInt
+    cellNearDupPairs(df, id, vec, nCells, threshold, spill)
+  }
+
+  /** Exact embedding near-dup pairs TOUCHING a deterministic hash-anchor
+    * subset — the certificate-scale form of [[embeddingNearDup]]'s
+    * all-pairs ground truth. Anchors are the ~`cap` vectors with
+    * xxhash64(id) ≡ 0 (mod ⌈n/cap⌉); the result is every exact pair with
+    * an anchor on EITHER end, computed as one broadcast scan (n·cap dot
+    * products — linear in the corpus, a ground-truth arm that stays
+    * runnable at every decade, vs the n²/2 all-pairs form that takes ~28
+    * min/rep at 200 k vectors). When n ≤ cap every vector is an anchor
+    * and the result IS the full exact pair set, so fixture-scale gates
+    * are unchanged by the capping. */
+  def embeddingNearDupAnchored(df: DataFrame, id: String, vec: String,
+      threshold: Double, cap: Int = 4096): DataFrame = {
+    val n = df.count()
+    val stride = math.max(1L, n / cap)
+    val v = df.select(col(id).cast("long").as("vid"),
+      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e"))
+    val anch = v.filter(pmod(xxhash64(col("vid")), lit(stride)) === 0)
+      .select(col("vid").as("aid"), col("e").as("ae"))
+    v.join(broadcast(anch), col("vid") =!= col("aid"))
+      .select(least(col("vid"), col("aid")).as("id_a"),
+        greatest(col("vid"), col("aid")).as("id_b"),
+        VectorFunctions.dot(col("e"), col("ae")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= threshold)
+      // an anchor–anchor pair arrives once from each side with a
+      // bit-identical cosine; keep one row
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
+  /** Anchor predicate matching [[embeddingNearDupAnchored]]'s subset for
+    * a corpus of `n` rows — callers restrict an APPROXIMATE pair set to
+    * pairs touching the same anchors before comparing against the
+    * anchored ground truth. */
+  def anchorTouches(n: Long, idA: org.apache.spark.sql.Column,
+      idB: org.apache.spark.sql.Column, cap: Int = 4096): org.apache.spark.sql.Column = {
+    val stride = math.max(1L, n / cap)
+    pmod(xxhash64(idA.cast("long")), lit(stride)) === 0 ||
+      pmod(xxhash64(idB.cast("long")), lit(stride)) === 0
   }
 }

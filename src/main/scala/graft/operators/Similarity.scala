@@ -415,25 +415,25 @@ object Similarity {
         col("rank"))
   }
 
-  /** Embedding near-dup pairs at corpus scale: sign-LSH band buckets
-    * generate candidates (self-join keyed by band — linear shuffle, never
-    * the n² cross product), then exact cosine verifies, so precision never
-    * degrades — only recall trades against nBits/nBands.
+  /** Embedding near-dup pairs via sign-LSH band buckets: the band
+    * self-join generates candidates (linear shuffle, never the n² cross
+    * product), then exact cosine verifies, so precision never degrades —
+    * only recall trades against nBits/nBands.
     *
-    * SIZE THE BANDS TO THE CORPUS: a band has 2^(nBits/nBands) buckets,
-    * a count that does not grow with the data — once the corpus
-    * outgrows it, per-bucket self-joins degenerate toward all-pairs.
-    * The registered q88 config (4 bits/band × 16 bands, recall 1.0 at
-    * cos 0.45, q97-certified) is fixture-tuned: measured on the
-    * sf1 → sf10 decade (20 k → 200 k vectors) its growth slope is 3.0.
-    * At scale either grow bits/band ≈ log2(n / target bucket size)
-    * (and bands with it, to hold the recall product), or — for this
-    * MODERATE-threshold regime, where per-bit agreement is weak —
-    * prefer the cell-partitioned path ([[graft.operators.Dedup.semanticDedup]]
-    * with nCells ∝ n: within-cell work n²/nCells stays linear;
-    * measured in tools.NearDupScale). Banding stays the right tool in
-    * the HIGH-threshold regime (q62's J ≥ 0.9 MinHash bands).
-    * The all-pairs exact form lives in Dedup.embeddingNearDup. */
+    * THIS IS A HIGH-THRESHOLD-REGIME TOOL, and the bands must be SIZED
+    * TO THE CORPUS — prefer [[lshNearDupPairsAuto]], which does both
+    * checks for you. A band has 2^(nBits/nBands) buckets, a count that
+    * does not grow with the data: once the corpus outgrows it, per-bucket
+    * self-joins degenerate toward all-pairs (the round-12 registered q88
+    * config — 4 bits × 16 bands at cos 0.45 — measured growth slope 3.0
+    * on the sf1→sf10 decade, which is why q88 is now registered on
+    * [[graft.operators.Dedup.cellNearDupPairsAuto]]). And at MODERATE
+    * thresholds no banding works: per-bit agreement p₁ = 1−θ/π is ~0.65
+    * at cos 0.45, so bands long enough to reject random pairs need
+    * exponentially many copies to hold recall (ρ = ln p₁ / ln ½ ≈ 0.62 →
+    * candidates ~n^1.6 at best). Banding is right where p₁ is high —
+    * cos ≥ ~0.8, the regime of q62's J ≥ 0.9 MinHash bands. The
+    * all-pairs exact form lives in Dedup.embeddingNearDup. */
   def lshNearDupPairs(corpus: DataFrame, id: String, vec: String,
       threshold: Double, dims: Int, nBits: Int = 64, nBands: Int = 16,
       seed: Long = 42L): DataFrame = {
@@ -465,5 +465,45 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("cosine_raw"), 6).as("cosine"))
+  }
+
+  /** [[lshNearDupPairs]] with the banding SIZED TO THE CORPUS AND THE
+    * THRESHOLD — the registration-safe form:
+    *
+    *  - bits/band b = max(4, ⌈log₂(n / targetBucket)⌉), so the expected
+    *    per-band bucket population stays ≤ targetBucket as the corpus
+    *    grows (the fixed-bucket degeneration the round-12 sweep caught
+    *    cannot happen);
+    *  - bands L = ⌈ln(1−recallTarget) / ln(1−p₁ᵇ)⌉ with p₁ = 1−θ/π, the
+    *    smallest band count whose amplified collision probability still
+    *    meets `recallTarget` AT the threshold (higher above it).
+    *
+    * The two rules interact: growing b (forced by corpus growth) shrinks
+    * p₁ᵇ, which inflates L — geometrically in b when p₁ is small. The
+    * method REFUSES (IllegalArgumentException) when L would exceed
+    * `maxBands`: that is the ρ-limit telling you banding cannot hold
+    * both recall and subquadratic candidates at this (threshold, n) —
+    * use [[graft.operators.Dedup.cellNearDupPairsAuto]] (the moderate-
+    * threshold scale path q88 registers) instead of silently shipping a
+    * config that degenerates. At cos 0.85 (p₁ ≈ 0.82) the rule yields
+    * e.g. b=7/L=12 at 100 k vectors — comfortably inside the cap. */
+  def lshNearDupPairsAuto(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, dims: Int, targetBucket: Int = 256,
+      recallTarget: Double = 0.95, maxBands: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold < 1, "cosine threshold in (0,1)")
+    val n = corpus.count()
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val b = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    val pBand = math.pow(p1, b)
+    val l = math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand)).toInt
+    require(l >= 1 && l <= maxBands,
+      s"sign-LSH cannot hold recall $recallTarget at cos >= $threshold for " +
+        s"n=$n without $l bands (> $maxBands): per-bit agreement p1=" +
+        f"$p1%.3f is too weak for banding — use Dedup.cellNearDupPairsAuto " +
+        "(the moderate-threshold cell-partitioned scale path) instead")
+    lshNearDupPairs(corpus, id, vec, threshold, dims,
+      nBits = b * l, nBands = l, seed = seed)
   }
 }

@@ -87,22 +87,28 @@ object VectorOps {
       "recall@5 vs brute force is hash-gated by the q96_ann_lsh_recall " +
       "certificate."))
 
-  /** LSH-banded embedding near-dup (the scale path of q72's exact
-    * all-pairs): approximate candidate generation → rows-only check;
-    * recall vs the exact pairs is certified by q97. Banded FOR the
-    * registered 0.45 threshold: 4 bits/band × 16 bands gives per-band
-    * collision (1−θ/π)⁴ ≈ 0.18 at cos 0.45, so P(candidate) ≈ 0.96 at
-    * the threshold and higher above it — measured recall 1.0 (the old
-    * 8-bit banding was tuned for the ≥0.9 regime and recalled 0.14). */
+  /** Cell-partitioned embedding near-dup (the scale path of q72's exact
+    * all-pairs at the MODERATE cos 0.45 threshold): trained-cell
+    * candidate generation (Dedup.cellNearDupPairsAuto — nCells sized to
+    * the corpus, spill 4) → rows-only check; recall/precision vs the
+    * exact pairs are certified by q97. Re-registered off sign-LSH
+    * banding in round 13: the round-12 second-decade sweep measured the
+    * fixture-tuned 4-bit banding degenerating toward all-pairs (slope
+    * 3.0 — 16 buckets/band regardless of corpus size), and at this
+    * threshold per-bit agreement is only 0.65, so NO banding holds both
+    * recall and subquadratic candidates. The cell path is measured
+    * linear (within-cell work n²/nCells with nCells ∝ n); banding stays
+    * registered where it is right — the high-threshold regime (q62's
+    * MinHash at J ≥ 0.9; Similarity.lshNearDupPairsAuto sizes bands to
+    * the corpus for that regime). */
   private val q88 = NamedQuery(
-    "q88_embedding_neardup_lsh",
-    (s, d) => Similarity.lshNearDupPairs(
-      Tables.embeddings(s, d), "vec_id", "embedding", 0.45, dims = 64,
-      nBits = 64, nBands = 16),
+    "q88_embedding_neardup_cells",
+    (s, d) => Dedup.cellNearDupPairsAuto(
+      Tables.embeddings(s, d), "vec_id", "embedding", 0.45),
     None,
-    note = Some("LSH-banded candidate generation is hash-function-" +
-      "specific; recall and precision vs the exact all-pairs set are " +
-      "hash-gated by the q97_neardup_lsh_recall certificate."))
+    note = Some("Cell-partitioned candidate generation is " +
+      "quantizer-specific; recall and precision vs the exact all-pairs " +
+      "set are hash-gated by the q97_neardup_cells_recall certificate."))
 
   /** Higher-order array functions over the embedding vectors: exists /
     * forall (as filter-length predicates on both engines), fold

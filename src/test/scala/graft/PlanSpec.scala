@@ -280,6 +280,26 @@ class PlanSpec extends SparkSpec {
     assert(transforms < 64, s"$transforms ArrayTransform nodes — staging collapsed")
   }
 
+  test("flagship q22 pre-prunes the window input map-side; counts broadcast") {
+    // the round-13 bounded-sort rewrite: the rank filter sits directly over
+    // a single-function window, so InferWindowGroupLimit must plan a
+    // Partial WindowGroupLimit BEFORE the exchange (each input partition
+    // prunes to its local top-35 per group — the window's post-shuffle
+    // input is ≤ 35·|groups| rows per input partition, never the full
+    // table), and the trim's group counts must arrive as a broadcast-
+    // joined aggregate, not a second full-partition window
+    val plan = finalPlan(q("q22_catalog_trim"))
+    assert(plan.contains("row_number(), 35, Partial"),
+      s"no map-side partial window group limit:\n$plan")
+    assert(plan.contains("row_number(), 35, Final"),
+      s"no final window group limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group counts not broadcast-joined:\n$plan")
+    // exactly one window function remains (rnd); cnt must NOT be a window
+    assert("windowspecdefinition".r.findAllIn(plan).length <= 2,
+      s"count window crept back in:\n$plan")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape

@@ -583,3 +583,86 @@ class SimilaritySpec extends SparkSpec {
       rows.sortBy(r => (r._1, r._4)).toSeq)
   }
 }
+
+/** Round-13 near-dup scale-path operators: the cell-partitioned pair
+  * relation q88 registers, the anchored exact arm q97's certificate uses,
+  * and the corpus-sized LSH auto-banding (with its moderate-threshold
+  * refusal). */
+class CellNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters with planted near-copies (ids 100..)
+  private def jitter(v: Array[Double], eps: Double, seed: Int): Array[Double] =
+    v.zipWithIndex.map { case (x, i) =>
+      x + eps * math.sin(seed * 12.9898 + i * 78.233)
+    }
+  private def base(cluster: Int): Array[Double] = {
+    val v = Array.fill(8)(0.05); v(cluster) = 1.0; v
+  }
+  private val originals = (0 until 40).map { i =>
+    (i.toLong, jitter(base(i % 2), 0.15, i).map(_.toFloat).toSeq)
+  }
+  private val dups = (0 until 10).map { i =>
+    (100L + i, jitter(base(i % 2), 0.15, i).map(x => (x * 1.0001).toFloat).toSeq)
+  }
+  private val emb = (originals ++ dups).toDF("vec_id", "embedding")
+
+  test("cellNearDupPairs: exact-verified subset, planted pairs recalled") {
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cells = Dedup.cellNearDupPairsAuto(emb, "vec_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // precision 1.0 with identical cosines
+    assert(cells.keySet.subsetOf(exact.keySet))
+    cells.foreach { case (k, c) => assert(c === exact(k), s"cosine differs at $k") }
+    // every planted (original, copy) pair lands in one shared cell
+    (0 until 10).foreach { i =>
+      assert(cells.contains((i.toLong, 100L + i)), s"planted pair $i missed")
+    }
+    // deterministic: same corpus, same pairs
+    val again = Dedup.cellNearDupPairsAuto(emb, "vec_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === cells)
+  }
+
+  test("anchored exact arm: full corpus when n <= cap, anchor-filtered otherwise") {
+    val full = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val anchoredAll = Dedup.embeddingNearDupAnchored(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(anchoredAll === full, "cap >= n must reproduce the all-pairs set")
+    // small cap: exactly the exact pairs touching the hash-anchor subset
+    val n = emb.count()
+    val sub = Dedup.embeddingNearDupAnchored(emb, "vec_id", "embedding", 0.9, cap = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.9)
+      .filter(Dedup.anchorTouches(n, col("id_a"), col("id_b"), cap = 8))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sub === expected)
+    assert(sub.nonEmpty && sub.size < full.size,
+      s"cap=8 should strictly subset (${sub.size} of ${full.size})")
+  }
+
+  test("lshNearDupPairsAuto: corpus-sized bands recall planted high-cos pairs") {
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val auto = Similarity.lshNearDupPairsAuto(emb, "vec_id", "embedding",
+      0.999, dims = 8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(auto.subsetOf(exact))
+    // p1 at cos 0.999 is ~0.99: the sizing rule keeps recall ~1 here
+    val recall = auto.size.toDouble / exact.size
+    assert(recall >= 0.9, s"auto-banded recall too low: $recall")
+  }
+
+  test("lshNearDupPairsAuto refuses the moderate-threshold regime") {
+    // cos 0.45 with 6-bit bands needs ~90 bands for recall 0.999 — over
+    // the cap; the rule must throw and point at the cell path, not ship a
+    // degenerate config
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairsAuto(emb, "vec_id", "embedding", 0.45,
+        dims = 8, targetBucket = 1, recallTarget = 0.999)
+    }
+    assert(e.getMessage.contains("cellNearDupPairsAuto"))
+  }
+}
