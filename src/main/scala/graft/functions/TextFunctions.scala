@@ -26,18 +26,80 @@ object TextFunctions {
   def nfc(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
+  /** One reusable UAX #29 grapheme iterator per thread: BreakIterator
+    * construction is the dominant cost in per-row hot paths (typed
+    * map/mapPartitions call these once per document), and instances are
+    * mutable but fully reusable via setText — a ThreadLocal serves both
+    * Spark task threads and driver-side calls without sharing state. */
+  private val graphemeIter =
+    ThreadLocal.withInitial[java.text.BreakIterator](() =>
+      java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT))
+
   /** Extended-grapheme-cluster count (user-perceived characters) — the
     * length a truncation/chunking policy should budget with: a combining
     * mark adds a codepoint but not a grapheme. java.text.BreakIterator's
     * character instance implements the same UAX #29 clustering DuckDB's
     * `length_grapheme` counts. */
   def graphemeLen(s: String): Long = {
-    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    val it = graphemeIter.get()
     it.setText(s)
     var n = 0L
     while (it.next() != java.text.BreakIterator.DONE) n += 1
     n
   }
+
+  /** Grapheme-cluster boundary offsets of `s`: UTF-16 char positions
+    * b(0)=0 < … < b(nG) = s.length, one entry PAST each cluster — the
+    * walk both [[graphemeLen]] and [[chunkByGraphemes]] budget with. */
+  def graphemeBoundaries(s: String): Array[Int] = {
+    val it = graphemeIter.get()
+    it.setText(s)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](s.length + 1)
+    buf += 0
+    var b = it.next()
+    while (b != java.text.BreakIterator.DONE) { buf += b; b = it.next() }
+    buf.toArray
+  }
+
+  /** Grapheme-budgeted overlapping chunks: windows of `win` grapheme
+    * clusters at a `stride`-cluster step — the truncation policy a real
+    * corpus needs where q108's codepoint windows mis-budget combined
+    * characters (a decomposed é is 2 codepoints but 1 user-perceived
+    * character, and a window must never split base from combining mark).
+    * Returns (chunk_idx, start_pos, chunk, chunk_glen) per window, where
+    * start_pos is the 1-based CODEPOINT offset of the chunk (the
+    * engine-neutral provenance unit: Java char offsets would diverge
+    * from any non-UTF-16 engine on supplementary-plane text). An empty
+    * or short document yields exactly one (possibly short) chunk, like
+    * the codepoint chunker. */
+  def chunkByGraphemes(s: String, win: Int, stride: Int): Seq[(Long, Long, String, Long)] = {
+    require(win > 0 && stride > 0, "window and stride must be positive")
+    val b = graphemeBoundaries(s)
+    val nG = b.length - 1
+    val nChunks = math.max(1L, ((nG - win + stride - 1) max 0) / stride + 1)
+    (0L until nChunks).map { k =>
+      val gs = (k * stride).toInt
+      val ge = math.min(gs + win, nG)
+      val startChar = b(gs)
+      (k, s.codePointCount(0, startChar) + 1L,
+        s.substring(startChar, b(ge)), (ge - gs).toLong)
+    }
+  }
+
+  /** Unicode compatibility composition (NFKC) + Locale.ROOT lowercase —
+    * the aggressive normalization a multi-source corpus needs before
+    * content-hash dedup when canonically-DISTINCT spellings should also
+    * collapse: ligatures (ﬁ → fi), fullwidth forms (Ａ → A), unit squares
+    * (㎞ → km), roman numerals (Ⅸ → IX), then case-fold. The fold is
+    * Locale.ROOT String.toLowerCase, NOT full UAX case folding — the one
+    * visible divergence is ß (full folding maps it to ss; toLowerCase
+    * keeps it), a documented policy choice matching what e.g. most SQL
+    * engines' lower() does. NFC-only canonical dedup is
+    * [[graft.operators.Dedup.exactNormalized]]'s gentler sibling. */
+  def nfkcFold(s: String): String =
+    java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFKC)
+      .toLowerCase(java.util.Locale.ROOT)
 
   /** Scala-side replica of [[tokens]] for typed flatMap operators
     * (shingling, substring windows): SQL `trim` strips SPACES only, and

@@ -205,7 +205,17 @@ object Multimodal {
     * window is exactly zero at |u| = taps, so the operator stays
     * hash-gateable (q160) next to the lerp path (q154). Per-row CPU in
     * a mapPartitions batch — no shuffle, embarrassingly parallel at
-    * 100 TB; cost is 2·taps multiplies per output sample. */
+    * 100 TB; cost is 2·taps multiplies per output sample.
+    *
+    * GAIN CONTRACT: the kernel is applied UNNORMALIZED — the finite
+    * window's sum over the 2·taps lattice phases is not exactly 1, so
+    * passband/DC gain carries a small phase-dependent ripple (~1e-3 at
+    * taps = 8; ResampleSpec's DC tolerance admits it). That is the price
+    * of the hash-gateable closed form: a per-phase kernel-sum division
+    * would make every output a ratio of two 16-term sums and push the
+    * oracle out of exact-SQL reach. Callers needing exactly unit DC gain
+    * should divide by the per-phase kernel sum themselves (one extra
+    * accumulator in the same loop). */
   def resampleSinc(mono: Array[Double], srcRate: Int, dstRate: Int,
       taps: Int = 8): Array[Double] = {
     require(srcRate > 0 && dstRate > 0, "rates must be positive")

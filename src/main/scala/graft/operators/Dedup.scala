@@ -32,17 +32,33 @@ object Dedup {
     * the normalization pass a real multi-source corpus needs before any
     * content-hash dedup. Same scale shape as [[exact]]: the only
     * shuffle is the groupBy on the (normalized) content key. */
-  def exactNormalized(df: DataFrame, id: String, text: String): DataFrame = {
+  def exactNormalized(df: DataFrame, id: String, text: String): DataFrame =
+    exactUnder(df, id, text)(graft.functions.TextFunctions.nfc)
+
+  /** [[exact]] under COMPATIBILITY equivalence plus case folding
+    * (TextFunctions.nfkcFold — NFKC then Locale.ROOT lowercase): byte-
+    * distinct spellings that differ only by ligature, fullwidth form,
+    * compatibility symbol, or letter case collapse to one survivor — the
+    * aggressive dedup pass for corpora mixing OCR, CJK-width, and
+    * styled-text sources, where [[exactNormalized]]'s canonical-only NFC
+    * keeps ﬁle / file / FILE as three distinct documents. Same scale
+    * shape: one groupBy on the normalized content key. */
+  def exactNormalizedCompat(df: DataFrame, id: String, text: String): DataFrame =
+    exactUnder(df, id, text)(graft.functions.TextFunctions.nfkcFold)
+
+  /** Shared machinery of the normalized exact-dedup family: per-row JVM
+    * normalization (typed mapPartitions — no SQL UDF), then the single
+    * content-key groupBy with deterministic min-id survivor. */
+  private def exactUnder(df: DataFrame, id: String, text: String)(
+      norm: String => String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val norm = df
+    val normed = df
       .select(col(id).cast("long").as("_id"), col(text).as("_text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (i, t) =>
-        (i, graft.functions.TextFunctions.nfc(t))
-      })
+      .mapPartitions(_.map { case (i, t) => (i, norm(t)) })
       .toDF("_id", "norm_text")
-    norm.groupBy(col("norm_text"))
+    normed.groupBy(col("norm_text"))
       .agg(min(col("_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"),
         length(col("norm_text")).as("n_chars"))

@@ -190,26 +190,48 @@ object PhotometryRel {
       FROM v3 GROUP BY g"""))
 
   /** Deterministic synthetic point sets for the spatial joins: coordinates
-    * from exact integer arithmetic so both engines see identical doubles. */
-  private def partPointsSql =
-    "SELECT p_partkey AS id, (p_partkey*37%1000)/10.0 AS x, (p_partkey*91%1000)/10.0 AS y FROM part"
-  private def suppPointsSql =
-    "SELECT s_suppkey AS id, (s_suppkey*53%1000)/10.0 AS x, (s_suppkey*17%1000)/10.0 AS y FROM supplier"
+    * from exact integer arithmetic so both engines see identical doubles.
+    *
+    * BOTH sets AREA-SCALE with the catalog (the q29 rule, extended to the
+    * two-set join in round 13): each 1000-key block occupies its own
+    * 100-unit x-strip, so point density — and the per-point candidate
+    * count of the radius-20 NN search — is scale-invariant. The old
+    * part-vs-supplier derivation kept every point on ONE 100×100 plate,
+    * so a 10× catalog densified it 10× and the NN workload itself grew
+    * quadratically (measured slope 3.8 on the sf1 → sf10 decade — a
+    * fixture-shape artifact, not an operator property: real surveys grow
+    * sky area, they don't densify one plate). Both sets now derive from
+    * `part` (stars vs the 1-in-20 reference catalog of calculate_shift),
+    * sharing one key space so the strip term tiles them consistently at
+    * every SF and under GenScale's constant per-copy key shifts. */
+  private def starPointsSql =
+    """SELECT p_partkey AS id,
+      (p_partkey*37%1000)/10.0 + FLOOR(p_partkey/1000.0)*100.0 AS x,
+      (p_partkey*91%1000)/10.0 AS y FROM part"""
+  private def refPointsSql =
+    """SELECT p_partkey AS id,
+      (p_partkey*53%1000)/10.0 + FLOOR(p_partkey/1000.0)*100.0 AS x,
+      (p_partkey*17%1000)/10.0 AS y FROM part WHERE p_partkey % 20 = 0"""
+
+  private def starPoints(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.part(s, d).select(col("p_partkey").as("id"),
+      ((col("p_partkey") * 37 % 1000) / 10.0 +
+        floor(col("p_partkey") / lit(1000.0)) * lit(100.0)).as("x"),
+      ((col("p_partkey") * 91 % 1000) / 10.0).as("y"))
+  private def refPoints(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.part(s, d).filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("id"),
+        ((col("p_partkey") * 53 % 1000) / 10.0 +
+          floor(col("p_partkey") / lit(1000.0)) * lit(100.0)).as("x"),
+        ((col("p_partkey") * 17 % 1000) / 10.0).as("y"))
 
   /** calculate_shift (core.py:148-177): nearest-neighbor join with
     * radius-20 cut, via the grid-bucketed exact NN join. */
   private val q27 = NamedQuery(
     "q27_nn_shift_match",
-    (s, d) => {
-      val a = Tables.part(s, d).select(col("p_partkey").as("id"),
-        ((col("p_partkey") * 37 % 1000) / 10.0).as("x"),
-        ((col("p_partkey") * 91 % 1000) / 10.0).as("y"))
-      val b = Tables.supplier(s, d).select(col("s_suppkey").as("id"),
-        ((col("s_suppkey") * 53 % 1000) / 10.0).as("x"),
-        ((col("s_suppkey") * 17 % 1000) / 10.0).as("y"))
-      SpatialJoins.nearestNeighbor(a, "id", "x", "y", b, "id", "x", "y", 20.0)
-    },
-    Some(s"""WITH a AS ($partPointsSql), b AS ($suppPointsSql),
+    (s, d) => SpatialJoins.nearestNeighbor(
+      starPoints(s, d), "id", "x", "y", refPoints(s, d), "id", "x", "y", 20.0),
+    Some(s"""WITH a AS ($starPointsSql), b AS ($refPointsSql),
       j AS (SELECT a.id AS left_id, b.id AS right_id,
               SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist,
               a.x - b.x AS dx, a.y - b.y AS dy,
@@ -228,7 +250,7 @@ object PhotometryRel {
         median(col("dy")).as("med_dy"),
         count(lit(1)).as("n_matched"))
     },
-    Some(s"""WITH a AS ($partPointsSql), b AS ($suppPointsSql),
+    Some(s"""WITH a AS ($starPointsSql), b AS ($refPointsSql),
       j AS (SELECT a.id AS left_id, b.id AS right_id,
               SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist,
               a.x - b.x AS dx, a.y - b.y AS dy,

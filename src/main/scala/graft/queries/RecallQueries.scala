@@ -305,22 +305,37 @@ object RecallQueries {
     ("ivf_append_macro_drift_le_0.30", 0.30,
       col("macro_rebuilt") - col("macro_appended") <= 0.30))
 
-  /** q133: SemDeDup (cluster-partitioned semantic dedup,
-    * Dedup.semanticDedup) vs the exact all-pairs drop set under the same
-    * threshold and keep-lowest-id rule. Every semantic drop is
-    * exact-verified within its cell, so the drop set is a SUBSET of the
-    * exact one — precision must be exactly 1.0; recall is the price of
-    * confining comparisons to cells (|corpus|²/nCells work instead of
-    * |corpus|²) — measured 0.786 (sf0.01) / 0.830 (sf0.1), gated 0.50. */
+  /** q133: SemDeDup (cluster-partitioned semantic dedup — the operator
+    * behind Dedup.semanticDedup, at its spill=2 config) vs the exact drop
+    * set under the same threshold and keep-lowest-id rule. Every semantic
+    * drop is exact-verified within its cell, so the drop set is a SUBSET
+    * of the exact one — precision must be exactly 1.0; recall is the
+    * price of confining comparisons to cells (|corpus|²/nCells work
+    * instead of |corpus|²) — measured 0.786 (sf0.01) / 0.830 (sf0.1),
+    * gated 0.50.
+    *
+    * Scale-true since round 13 on both axes, with gate rows unchanged at
+    * the driver SFs: (a) the cell count is SIZED TO THE CORPUS
+    * (max(8, ⌈n/2000⌉) — exactly the old fixed 8 at sf0.01/sf0.1, 100
+    * cells at 200 k vectors, keeping the within-cell work linear), and
+    * (b) both arms are restricted to the q97-style anchor-touching pairs
+    * (at the driver SFs every vector is an anchor, so the drop sets are
+    * byte-identical to the unanchored form; past the first decade the
+    * exact arm stays one linear broadcast scan instead of the all-pairs
+    * sweep that measured ~28 min/rep at sf10). */
   private val q133 = cert(
     "q133_semantic_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
+      val n = emb.count()
+      val exact = Dedup.embeddingNearDupAnchored(
+          emb, "vec_id", "embedding", 0.45)
         .select(col("id_b").as("drop_id")).distinct()
         .withColumn("ex", lit(1))
-      val sem = Dedup.semanticDedup(emb, "vec_id", "embedding",
-          nCells = 8, tau = 0.45)
+      val sem = Dedup.cellNearDupPairsAuto(emb, "vec_id", "embedding",
+          0.45, spill = 2)
+        .filter(Dedup.anchorTouches(n, col("id_a"), col("id_b")))
+        .select(col("id_b").as("drop_id")).distinct()
         .withColumn("sm", lit(1))
       exact.join(sem, Seq("drop_id"), "full_outer")
         .agg(coalesce(sum(col("ex")), lit(0L)).as("n_exact"),

@@ -582,8 +582,58 @@ object TextOps {
         CAST(LENGTH(nfc_normalize(s)) AS BIGINT) AS n_chars
       FROM r GROUP BY nfc_normalize(s)"""))
 
+  /** q165: COMPATIBILITY-equivalence dedup (Dedup.exactNormalizedCompat —
+    * NFKC + case fold), q162's drill for the gap NFC leaves open: per
+    * document two byte-distinct variants are planted whose difference is
+    * compatibility-only (ligature ﬁ / fullwidth Ａ９ / unit square ㎞ /
+    * roman numeral Ⅸ) against the plain-ASCII uppercase spelling. NFC
+    * dedup keeps both (they are canonically DISTINCT); NFKC+fold must
+    * collapse each pair to its min-id survivor. DuckDB has no
+    * nfkc_normalize, so the oracle reconstructs the expected normalized
+    * key from the planted structure's closed form (lower(prefix) + the
+    * known compatibility target) — Java's NFKC table drifting from
+    * Unicode's published decompositions, or a fold miss, flips rows and
+    * the hash. */
+  private val q165 = NamedQuery(
+    "q165_compat_dedup",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .as[(Long, String)]
+        .flatMap { case (id, b) =>
+          val compat = (id % 4) match {
+            case 0 => "\ufb01le"             // ﬁ ligature + "le" → "file"
+            case 1 => "\uff21\uff19"         // fullwidth A, 9    → "a9"
+            case 2 => "\u339e\uff12"         // ㎞ square, full 2 → "km2"
+            case _ => "\u2168"               // roman numeral Ⅸ  → "ix"
+          }
+          val ascii = (id % 4) match {
+            case 0 => "FILE"; case 1 => "A9"
+            case 2 => "KM2"; case _ => "IX"
+          }
+          Seq((id * 2, b + compat), (id * 2 + 1, b + ascii))
+        }
+        .toDF("row_id", "s")
+      Dedup.exactNormalizedCompat(rows, "row_id", "s")
+        .withColumn("n_chars", col("n_chars").cast(LongType))
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 8) AS b FROM documents),
+      r AS (SELECT doc_id * 2 AS row_id, lower(b) || CASE doc_id % 4
+              WHEN 0 THEN 'file' WHEN 1 THEN 'a9'
+              WHEN 2 THEN 'km2' ELSE 'ix' END AS k
+            FROM d
+            UNION ALL
+            SELECT doc_id * 2 + 1, lower(b) || CASE doc_id % 4
+              WHEN 0 THEN 'file' WHEN 1 THEN 'a9'
+              WHEN 2 THEN 'km2' ELSE 'ix' END
+            FROM d)
+      SELECT MIN(row_id) AS doc_id, COUNT(*) AS n_copies,
+        CAST(LENGTH(k) AS BIGINT) AS n_chars
+      FROM r GROUP BY k"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162)
+      q107, q139, q161, q162, q165)
 }

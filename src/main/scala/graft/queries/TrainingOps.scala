@@ -154,6 +154,60 @@ object TrainingOps {
         CAST(LENGTH(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
       FROM c"""))
 
+  /** q164: GRAPHEME-budgeted document chunking — q108's window/stride
+    * policy re-budgeted in user-perceived characters
+    * (TextFunctions.chunkByGraphemes): a decomposed accent is 2
+    * codepoints but 1 grapheme, and a window must never split base from
+    * combining mark, so real truncation policies count clusters, not
+    * codepoints. The fixture text is pure ASCII (grapheme ≡ codepoint —
+    * nothing to test), so each row DECORATES a 16-char prefix with a
+    * combining acute after every third character; the Spark side then
+    * runs the GENERAL BreakIterator walk (5-grapheme windows, stride 3,
+    * codepoint provenance offsets) while the oracle reconstructs the
+    * same chunks from the planted structure's closed form (grapheme g
+    * starts at codepoint g + ⌊(g+2)/3⌋) and re-counts each chunk with
+    * DuckDB's native `length_grapheme` — a UAX #29 disagreement, an
+    * off-by-one in the boundary walk, or a split cluster all flip the
+    * hash. */
+  private val q164 = NamedQuery(
+    "q164_grapheme_chunking",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("b"))
+        .as[(Long, String)]
+        .flatMap { case (id, b) =>
+          val sb = new StringBuilder
+          var i = 0
+          while (i < b.length) {
+            sb.append(b.charAt(i))
+            if (i % 3 == 0) sb.append('\u0301') // after 1-based chars 1,4,7,…
+            i += 1
+          }
+          graft.functions.TextFunctions.chunkByGraphemes(sb.toString, 5, 3)
+            .map { case (k, pos, chunk, glen) => (id, k, pos, chunk, glen) }
+        }
+        .toDF("doc_id", "chunk_idx", "start_pos", "chunk", "chunk_glen")
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 16) AS b FROM documents),
+      dec AS (SELECT doc_id, length(b) AS ng,
+            string_agg(substr(b, CAST(u.i AS INTEGER), 1) ||
+              CASE WHEN u.i % 3 = 1 THEN chr(769) ELSE '' END, '' ORDER BY u.i) AS s
+          FROM d, UNNEST(generate_series(1, length(b))) AS u(i)
+          GROUP BY doc_id, b),
+      c AS (SELECT doc_id, ng, s, u.k AS chunk_idx,
+            u.k * 3 AS gs, LEAST(u.k * 3 + 5, ng) AS ge
+          FROM dec, UNNEST(generate_series(0,
+            GREATEST(CAST(CEIL(CAST(ng - 5 AS DOUBLE) / 3) AS BIGINT), 0))) AS u(k)),
+      p AS (SELECT doc_id, chunk_idx,
+            gs + (gs + 2) // 3 + 1 AS start_pos,
+            substr(s, CAST(gs + (gs + 2) // 3 + 1 AS INTEGER),
+              CAST(ge + (ge + 2) // 3 - gs - (gs + 2) // 3 AS INTEGER)) AS chunk
+          FROM c)
+      SELECT doc_id, chunk_idx, CAST(start_pos AS BIGINT) AS start_pos, chunk,
+        CAST(length_grapheme(chunk) AS BIGINT) AS chunk_glen
+      FROM p"""))
+
   /** q111: Z-order spatial keys — interleave, then deinterleave back;
     * the round trip is the bijection certificate and the whole chain is
     * one codegen'd integer projection. Coordinates derive from fixture
@@ -280,5 +334,5 @@ object TrainingOps {
       FROM h"""))
 
   val all: Seq[NamedQuery] =
-    Seq(q100, q101, q102, q103, q108, q111, q118, q129, q130)
+    Seq(q100, q101, q102, q103, q108, q111, q118, q129, q130, q164)
 }

@@ -5,29 +5,30 @@ import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 
 /** Scale demonstration for embedding near-dup at a MODERATE cosine
-  * threshold (0.45) — what the second sweep decade (sf1 → sf10)
-  * caught, measured: the registered q88 banding (4 bits/band × 16
-  * bands, fixture-tuned for recall 1.0 and certified by q97) has only
-  * 2⁴ = 16 buckets per band, a count that does NOT grow with the
-  * corpus — at 200 k vectors each bucket holds ~12.5 k vectors and
-  * candidate generation degenerates toward all-pairs (measured slope
-  * 3.0 on the sf1 → sf10 decade; the q97 certificate's exact
-  * ground-truth arm is quadratic by design and measured 6.1).
+  * threshold (0.45) — the round-12 second sweep decade (sf1 → sf10)
+  * measured the then-registered q88 banding (4 bits/band × 16 bands,
+  * fixture-tuned for recall 1.0) degenerating toward all-pairs: 2⁴ = 16
+  * buckets per band, a count that does NOT grow with the corpus, so at
+  * 200 k vectors each bucket held ~12.5 k vectors (measured slope 3.0;
+  * the then-quadratic exact ground-truth arm measured 6.1).
   *
   * The scale-appropriate shape for this threshold regime is the
-  * CELL-PARTITIONED path (q133's operator): trained k-means cells
-  * confine the pairwise scan to within-cell, so with nCells grown
-  * ∝ corpus (n/1000 here) the within-cell work n²/nCells stays LINEAR
-  * in n. This tool times it at a given SF dir so the claim is a
-  * measurement, not an argument:
+  * CELL-PARTITIONED path: trained k-means cells confine the pairwise
+  * scan to within-cell, so with nCells grown ∝ corpus the within-cell
+  * work n²/nCells stays LINEAR in n. This tool first measured that
+  * claim (slope 0.58 over the decade at nCells = n/1000, spill 2);
+  * since round 13 the measurement became the shipped config — q88
+  * registers Dedup.cellNearDupPairsAuto and q97/q133 certify it
+  * against the anchored exact arm. The `lsh` mode keeps the old
+  * banding runnable for comparison:
   *
   *   sbt "runMain graft.tools.NearDupScale target/sf1"
   *   sbt "runMain graft.tools.NearDupScale target/sf10"
   *
-  * (Sign-LSH banding remains the right tool for the HIGH-threshold
-  * regime — at J ≥ 0.9 a long band keeps per-bit agreement high, which
-  * is exactly where q62's MinHash banding lives. Recall at the
-  * registered thresholds is certified separately, q97/q133.)
+  * (Banding remains the right tool for the HIGH-threshold regime — at
+  * J ≥ 0.9 a long band keeps per-bit agreement high, which is exactly
+  * where q62's MinHash banding lives; Similarity.lshNearDupPairsAuto
+  * sizes bands to the corpus there and refuses regimes it cannot hold.)
   */
 object NearDupScale {
   def main(args: Array[String]): Unit = {

@@ -74,3 +74,54 @@ class TextFunctionsSpec extends SparkSpec {
     assert((new IntVec()).isEmpty)
   }
 }
+
+/** Round-13 grapheme-budget + compatibility-normalization surface. */
+class GraphemeChunkSpec extends SparkSpec {
+
+  test("graphemeBoundaries and graphemeLen agree; combining marks attach") {
+    val s = "áb́́c" // á (2cp), b́́ (3cp), c — 3 clusters
+    val b = TextFunctions.graphemeBoundaries(s)
+    assert(b.toSeq === Seq(0, 2, 5, 6))
+    assert(TextFunctions.graphemeLen(s) === 3L)
+    assert(TextFunctions.graphemeBoundaries("").toSeq === Seq(0))
+    assert(TextFunctions.graphemeLen("") === 0L)
+  }
+
+  test("chunkByGraphemes never splits a cluster and budgets graphemes") {
+    // 7 clusters, every one 2 codepoints: aX bX cX dX eX fX gX (X = U+0301)
+    val s = "abcdefg".flatMap(c => Seq(c, '́')).mkString
+    val chunks = TextFunctions.chunkByGraphemes(s, 3, 2)
+    // windows at graphemes 0, 2, 4 — the last window reaches the end, so
+    // no further stride starts (q108's ceil((n-win)/stride)+1 policy)
+    assert(chunks.map(_._1) === Seq(0L, 1L, 2L))
+    assert(chunks.map(_._4) === Seq(3L, 3L, 3L))
+    // codepoint start offsets: cluster g starts at codepoint 2g
+    assert(chunks.map(_._2) === Seq(1L, 5L, 9L))
+    // every chunk starts with a base char and ends with the combining mark
+    chunks.foreach { case (_, _, c, _) =>
+      assert(!c.isEmpty && c.last == '́' && c.head != '́', c)
+    }
+    // short and empty inputs yield exactly one chunk
+    assert(TextFunctions.chunkByGraphemes("ab", 5, 3) ===
+      Seq((0L, 1L, "ab", 2L)))
+    assert(TextFunctions.chunkByGraphemes("", 5, 3) === Seq((0L, 1L, "", 0L)))
+    // supplementary-plane text: start_pos counts codepoints, not chars
+    val sup = "😀😁😂" // 3 emoji, 6 chars
+    val sc = TextFunctions.chunkByGraphemes(sup, 1, 1)
+    assert(sc.map(_._2) === Seq(1L, 2L, 3L))
+    assert(sc.map(_._3) === Seq("😀", "😁", "😂"))
+  }
+
+  test("nfkcFold collapses compatibility variants and case") {
+    val f = TextFunctions.nfkcFold _
+    assert(f("ﬁle") === "file")       // ligature
+    assert(f("Ａ９") === "a9")     // fullwidth + case
+    assert(f("㎞２") === "km2")    // unit square
+    assert(f("Ⅸ") === "ix")           // roman numeral
+    assert(f("FILE") === "file")
+    // canonical-only input folds too (NFKC ⊇ NFC)
+    assert(f("é") === "é")
+    // documented policy: Locale.ROOT lowercase, not full case folding
+    assert(f("straße") === "straße")
+  }
+}

@@ -139,10 +139,21 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q22: the three windows share one exchange") {
+  test("q22: bounded-sort shape — pruned window shuffle + tiny count agg") {
+    // round-13 rewrite: the window path shuffles only each partition's
+    // local top-35 per group (Partial WindowGroupLimit before its
+    // exchange), and the trim's group counts travel through a SEPARATE
+    // partial+final aggregate exchange of |groups| rows that broadcasts
+    // back — two exchanges by design, neither carrying the full table
+    // (the old one-exchange shape pushed every row through three
+    // single-task window sorts: a 100× parallelism ceiling)
     val p = plan("q22_catalog_trim")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$p")
+    assert(exchanges === 2, s"expected window + count-agg shuffles, plan:\n$p")
+    assert(p.contains("row_number(), 35, Partial"),
+      s"window exchange input not pre-pruned:\n$p")
+    assert(p.contains("partial_count"), s"count agg not partial+final:\n$p")
+    assert(p.contains("BroadcastExchange"), s"counts not broadcast back:\n$p")
   }
 
   test("q25: udaf aggregate runs partial+final (two ObjectHashAggregate)") {
