@@ -697,7 +697,12 @@ object Dedup {
 
   /** Exact embedding near-dup pairs TOUCHING a deterministic hash-anchor
     * subset — the certificate-scale form of [[embeddingNearDup]]'s
-    * all-pairs ground truth. Anchors are the ~`cap` vectors with
+    * all-pairs ground truth. cap = 2048 saturates BY the sf0.1 gate
+    * (n = 2000 ≤ cap keeps every vector an anchor there), so the
+    * n² → n·cap work transition is complete before the first sweep
+    * decade and every decade after measures the linear n·cap regime —
+    * a larger cap would smear the transition across sf0.1 → sf1 and
+    * read as a superlinear certificate slope. Anchors are the ~`cap` vectors with
     * xxhash64(id) ≡ 0 (mod ⌈n/cap⌉); the result is every exact pair with
     * an anchor on EITHER end, computed as one broadcast scan (n·cap dot
     * products — linear in the corpus, a ground-truth arm that stays
@@ -706,7 +711,7 @@ object Dedup {
     * and the result IS the full exact pair set, so fixture-scale gates
     * are unchanged by the capping. */
   def embeddingNearDupAnchored(df: DataFrame, id: String, vec: String,
-      threshold: Double, cap: Int = 4096): DataFrame = {
+      threshold: Double, cap: Int = 2048): DataFrame = {
     val n = df.count()
     val stride = math.max(1L, n / cap)
     val v = df.select(col(id).cast("long").as("vid"),
@@ -730,7 +735,7 @@ object Dedup {
     * pairs touching the same anchors before comparing against the
     * anchored ground truth. */
   def anchorTouches(n: Long, idA: org.apache.spark.sql.Column,
-      idB: org.apache.spark.sql.Column, cap: Int = 4096): org.apache.spark.sql.Column = {
+      idB: org.apache.spark.sql.Column, cap: Int = 2048): org.apache.spark.sql.Column = {
     val stride = math.max(1L, n / cap)
     pmod(xxhash64(idA.cast("long")), lit(stride)) === 0 ||
       pmod(xxhash64(idB.cast("long")), lit(stride)) === 0
