@@ -300,6 +300,18 @@ class PlanSpec extends SparkSpec {
       s"count window crept back in:\n$plan")
   }
 
+  test("q84's percentile bounds aggregate and broadcast — no window sort") {
+    // the zscale bounds must arrive as a grouped aggregate joined back,
+    // never an unbounded-frame window over the 3-value key (which would
+    // sort the full table in |groups| tasks — the q22 ceiling)
+    val plan = finalPlan(q("q84_zscale_stretch"))
+    assert(!plan.contains("Window"), s"percentile window crept back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounds not broadcast-joined:\n$plan")
+    assert(plan.contains("partial_percentile"),
+      s"percentile not partial+final:\n$plan")
+  }
+
   test("pure rank top-k gets WindowGroupLimit pushdown") {
     // q11 itself computes percent_rank/ntile (full-partition functions), so
     // group-limit pruning is rightly blocked there; the pure ranking shape
