@@ -55,6 +55,70 @@ object Layout {
     }.mkString(" + ")
   }
 
+  /** Hilbert-curve key: the position of grid cell (x, y) along the
+    * order-`bits` Hilbert space-filling curve (a 2^bits × 2^bits grid).
+    * Strictly better clustering than [[zorderKey]] for read-side pruning:
+    * consecutive keys are always GRID NEIGHBOURS (Manhattan distance 1 —
+    * the curve never teleports the way Z-order does at quadrant seams),
+    * so a file covering a key range covers one connected, square-ish
+    * region and its per-file min/max stays tight on both dimensions even
+    * across quadrant boundaries.
+    *
+    * The classic iterative index construction (quadrant digit + rotate,
+    * e.g. Hamilton, "Compact Hilbert Indices", 2008) is inherently
+    * sequential in the bit levels — each level rewrites (x, y) — so it is
+    * unrolled as `bits` chained projections via `withColumns`, one per
+    * level, all plain when/bitwise expression trees. Catalyst keeps the
+    * levels as named intermediates (multi-referenced non-cheap
+    * expressions are not inlined by CollapseProject) and whole-stage
+    * codegen fuses the chain into one pass, so the key evaluates
+    * scan-parallel with no shuffle and no UDF.
+    *
+    * Adds `out` (LongType) to `df`; `x`/`y` must be non-negative and
+    * < 2^bits (callers mod/clamp first, as with [[zorderKey]]). */
+  def withHilbertKey(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val n = 1L << bits
+    val hx = s"__${out}_hx"; val hy = s"__${out}_hy"
+    var cur = df.withColumns(Map(
+      hx -> x.cast("long"), hy -> y.cast("long"), out -> lit(0L)))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(col(hx).bitwiseAND(lit(s)) =!= 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col(hy).bitwiseAND(lit(s)) =!= 0, lit(1L)).otherwise(lit(0L))
+      // quadrant digit in the rotated frame, then reflect+swap the frame
+      cur = cur.withColumns(Map(
+        out -> (col(out) + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)),
+        hx -> when(ry === 1, col(hx))
+          .when(rx === 1, lit(n - 1) - col(hy)).otherwise(col(hy)),
+        hy -> when(ry === 1, col(hy))
+          .when(rx === 1, lit(n - 1) - col(hx)).otherwise(col(hx))))
+      s >>= 1
+    }
+    cur.drop(hx, hy)
+  }
+
+  /** Scalar reference for [[withHilbertKey]] (tests + driver-side plan
+    * audits): same algorithm, plain Long arithmetic. */
+  def hilbertIndex(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    require(x0 >= 0 && x0 < n && y0 >= 0 && y0 < n, s"($x0,$y0) outside 2^$bits grid")
+    var x = x0; var y = y0; var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Range-partitioned two-pass prefix sum of `valueCol` in `orderCol`
     * order — the scale form of `sum(...) over (order by ... rows
     * unbounded preceding)`, whose naive plan is a SINGLE-PARTITION sort

@@ -80,5 +80,57 @@ object LayoutOps {
         FROM c GROUP BY 1"""))
   }
 
-  val all: Seq[NamedQuery] = Seq(q132, q134)
+  /** q167: HILBERT-curve clustering keys over (l_partkey, l_suppkey) mod
+    * 64 (order-6 curve, 4096 cells), summarized per 16-key curve run —
+    * q132's gate shape, for the layout that beats Z-order at quadrant
+    * seams (consecutive keys are always grid neighbours, so every
+    * written file covers one CONNECTED square-ish tile). The Spark side
+    * is Layout.withHilbertKey's unrolled per-level projections evaluated
+    * per ROW; the oracle restates the same quadrant-digit + rotate
+    * recurrence as a RECURSIVE CTE over the distinct cells — an
+    * independent executable statement of the algorithm, not a rendering
+    * of the Column tree — weighted back by cell row counts. min/max of
+    * both dimensions per run IS the pruning story, as in q132. */
+  private val q167 = {
+    val bits = 6
+    NamedQuery(
+      "q167_hilbert_layout",
+      (s, d) => {
+        val rows = Tables.lineitem(s, d).select(
+          (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
+        Layout.withHilbertKey(rows, col("x"), col("y"), bits, "h")
+          .groupBy(shiftrightunsigned(col("h"), 4).as("hbucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+            sum(col("h")).as("h_sum"))
+      },
+      Some("""
+        WITH RECURSIVE pts AS MATERIALIZED (
+          SELECT l_partkey % 64 AS x0, l_suppkey % 64 AS y0,
+                 COUNT(*) AS nr
+          FROM lineitem GROUP BY 1, 2),
+        hil AS (
+          SELECT x0, y0, nr, x0 AS x, y0 AS y,
+                 CAST(0 AS BIGINT) AS h, CAST(32 AS BIGINT) AS s
+          FROM pts
+          UNION ALL
+          SELECT x0, y0, nr,
+            CASE WHEN (y & s) <> 0 THEN x
+                 WHEN (x & s) <> 0 THEN 63 - y ELSE y END,
+            CASE WHEN (y & s) <> 0 THEN y
+                 WHEN (x & s) <> 0 THEN 63 - x ELSE x END,
+            h + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END),
+                            CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END),
+            s // 2
+          FROM hil WHERE s > 0)
+        SELECT CAST(h >> 4 AS BIGINT) AS hbucket,
+               CAST(SUM(nr) AS BIGINT) AS n_rows,
+               MIN(x0) AS min_x, MAX(x0) AS max_x,
+               MIN(y0) AS min_y, MAX(y0) AS max_y,
+               CAST(SUM(h * nr) AS BIGINT) AS h_sum
+        FROM hil WHERE s = 0 GROUP BY 1"""))
+  }
+
+  val all: Seq[NamedQuery] = Seq(q132, q134, q167)
 }

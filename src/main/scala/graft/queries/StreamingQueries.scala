@@ -3,6 +3,7 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import graft.{NamedQuery, Tables, TempDirs}
+import graft.operators.Dedup
 import graft.streaming.{EventStreams, KeyedParquetSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -130,6 +131,26 @@ object StreamingQueries {
       dir
     })
 
+  /** Stage the documents table as an n-file parquet directory,
+    * RANGE-partitioned by doc_id so a document never splits across files
+    * — each file-per-trigger micro-batch then carries complete documents,
+    * which is what lets per-shard screening aggregates be final (q168). */
+  private def stageDocs(s: SparkSession, d: String, nFiles: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"docs-$nFiles"), {
+      val dir = TempDirs.create("graft_stream_docs")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
   private def eventStream(s: SparkSession, dir: String): DataFrame =
     s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
@@ -153,12 +174,13 @@ object StreamingQueries {
     * every micro-batch into a fresh keyed parquet sink; returns the sink's
     * final contents. */
   private def runToSink(s: SparkSession, out: DataFrame, mode: OutputMode,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      perBatch: DataFrame => DataFrame = identity): DataFrame = {
     val sinkDir = TempDirs.create("graft_stream_sink")
     val q = out.writeStream.outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        KeyedParquetSink.upsertBatch(batch, bid, sinkDir)
+        KeyedParquetSink.upsertBatch(perBatch(batch), bid, sinkDir)
       }
       .start()
     q.awaitTermination()
@@ -330,6 +352,46 @@ object StreamingQueries {
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts <= p.ts
        AND c.ts >= p.ts - INTERVAL 30 MINUTE"""))
+
+  /** q168: STREAM-STATIC broadcast join — continuous-ingestion
+    * DECONTAMINATION ≡ the batch operator, under the hash gate. The
+    * corpus replays as doc-ranged file micro-batches; each arriving
+    * shard's shingles (Dedup.shingleSet — a stateless typed flatMap, so
+    * it runs UNCHANGED on the stream) join the STATIC benchmark shingle
+    * set as a broadcast — the stream-static join Structured Streaming
+    * re-plans per micro-batch, the shape a continuously-ingesting corpus
+    * screens new shards with. The per-shard (doc, bench) overlap counts
+    * are FINAL because staging range-partitions by doc_id (a document
+    * never splits across files), so every micro-batch upserts complete
+    * rows; the final sink must equal the whole-corpus batch query. */
+  private val q168 = NamedQuery(
+    "q168_streaming_decontamination",
+    (s, d) => {
+      val dir = stageDocs(s, d, nFiles = 4)
+      val benchSh = Dedup.shingleSet(
+          Tables.documents(s, d).filter(col("doc_id") % 12 === 0),
+          "doc_id", "text", 3)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+        .localCheckpoint()
+      withStatePartitions(s, 8) {
+        val corpus = docStream(s, dir).filter(col("doc_id") % 12 =!= 0)
+        val joined = Dedup.shingleSet(corpus, "doc_id", "text", 3)
+          .join(broadcast(benchSh), Seq("shingle"))
+          .select(col("doc_id"), col("bench_id"))
+        runToSink(s, joined, OutputMode.Append(), Seq("doc_id", "bench_id"),
+          perBatch = b => b.groupBy(col("doc_id"), col("bench_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= 2))
+      }
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
+      c AS (SELECT * FROM sh WHERE doc_id % 12 != 0),
+      b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 12 = 0)
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM c JOIN b USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
   /** q124: STREAMING DEDUP ≡ batch DISTINCT under the hash gate. The
     * staged replay delivers every event twice (second copy in later
@@ -648,5 +710,5 @@ object StreamingQueries {
       "AS t(\"check\", threshold, pass)"))
 
   val all: Seq[NamedQuery] =
-    Seq(q93, q94, q113, q114, q123, q124, q128, q143)
+    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168)
 }

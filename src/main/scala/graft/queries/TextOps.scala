@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object TextOps {
 
   /** Shared tokenization SQL mirror (see TextFunctions.tokens). */
-  private val toksSql =
+  private[queries] val toksSql =
     """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
 
   /** Exact dedup with deterministic survivor. */
@@ -632,8 +632,54 @@ object TextOps {
         CAST(LENGTH(k) AS BIGINT) AS n_chars
       FROM r GROUP BY k"""))
 
+  /** q166: LINE-LEVEL corpus dedup (Dedup.lineDedup — the CCNet /
+    * RefinedWeb boilerplate pass): drop every line shared by more than
+    * maxDocFreq distinct documents, keep the rest in order. The fixture
+    * docs are single-line, so the gate plants a 4-line page per document
+    * — a near-unique header, a 1-in-10 shared nav line (~n/10 docs), a
+    * corpus-wide copyright footer (every doc), and a near-unique tail —
+    * and the operator must drop exactly the middle two at the driver SFs
+    * while preserving header/tail order and counting both sides. The
+    * oracle rebuilds the same pages and states the rule relationally
+    * (unnest + distinct-doc HAVING + ordered string_agg), so survivor
+    * CONTENT, line ORDER, and the kept/dropped split are all under the
+    * hash. */
+  private val q166 = NamedQuery(
+    "q166_line_dedup",
+    (s, d) => {
+      val b = substring(col("text"), 1, 12)
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("h "), b),
+          concat(lit("shared "), (col("doc_id") % 10).cast("string")),
+          lit("(c) corpus boilerplate"),
+          concat(lit("t "), b)).as("text"))
+      Dedup.lineDedup(pages, "doc_id", "text", maxDocFreq = 5)
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 12) AS b FROM documents),
+      pages AS (SELECT doc_id,
+          'h ' || b || chr(10) ||
+          'shared ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ||
+          '(c) corpus boilerplate' || chr(10) ||
+          't ' || b AS text
+        FROM d),
+      arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM pages),
+      lines AS (SELECT doc_id, unnest(a) AS line,
+          generate_subscripts(a, 1) AS pos FROM arr),
+      drp AS (SELECT line FROM lines GROUP BY line
+          HAVING COUNT(DISTINCT doc_id) > 5),
+      fl AS (SELECT l.doc_id, l.pos, l.line,
+          (p.line IS NOT NULL) AS dropped
+        FROM lines l LEFT JOIN drp p USING (line))
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+          chr(10) ORDER BY pos), '') AS clean_text,
+        CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM fl GROUP BY doc_id"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165)
+      q107, q139, q161, q162, q165, q166)
 }

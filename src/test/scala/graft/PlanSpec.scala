@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hilbert key chain is one shuffle-free codegen stage (q167)") {
+    // the unrolled quadrant-digit + rotate levels must stay NAMED
+    // per-level projections (CollapseProject inlining them would blow the
+    // expression tree up exponentially) fused into a single
+    // WholeStageCodegen pass with no exchange before the summary agg
+    import org.apache.spark.sql.functions.col
+    val keyed = graft.operators.Layout.withHilbertKey(
+      graft.Tables.lineitem(spark, dir).select(
+        (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y")),
+      col("x"), col("y"), 6, "h")
+    val plan = finalPlan(keyed)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val stages = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(stages.size === 1, s"key chain split across codegen stages:\n$plan")
+    assert(plan.length < 20000, s"expression blow-up (${plan.length} chars)")
+  }
+
   test("PII scrub is a pure projection — zero exchanges (q102)") {
     val plan = finalPlan(q("q102_pii_scrub"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")

@@ -83,6 +83,33 @@ class LayoutSpec extends SparkSpec {
     assert(xHit === 2, s"x-stripe box overlap: $xHit buckets of 16")
   }
 
+  test("withHilbertKey matches the scalar reference on the exhaustive 6-bit grid") {
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = Layout.withHilbertKey(rows.toDF("x", "y"), col("x"), col("y"), 6, "h")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h === Layout.hilbertIndex(6, x, y), s"($x,$y)")
+    }
+    assert(got.map(_._3).distinct.length === 64 * 64)
+  }
+
+  test("hilbert consecutive keys are grid neighbours; z-order teleports") {
+    val m = (for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (Layout.hilbertIndex(6, x, y), x, y)).sortBy(_._1).toVector
+    assert(m.map(_._1) === (0L until 4096L).toVector) // bijection onto the grid
+    // the defining locality property: the curve NEVER teleports
+    m.zip(m.tail).foreach { case ((_, x0, y0), (h, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L, s"jump before h=$h")
+    }
+    // contrast: Morton order jumps at every quadrant seam
+    val zm = (for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (mortonRef(x, y, 6), x, y)).sortBy(_._1).toVector
+    val zJumps = zm.zip(zm.tail).count { case ((_, x0, y0), (_, x1, y1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0) != 1L
+    }
+    assert(zJumps > 1000, s"expected many z-order seam jumps, got $zJumps")
+  }
+
   test("prefixSum equals the single-partition global window") {
     val df = (1L to 5000L).map(i => (i, (i * 7919) % 1000)).toDF("k", "v")
     val naive = df.withColumn("cumsum",

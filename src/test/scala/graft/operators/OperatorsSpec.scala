@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === 1L)
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps order, counts both sides") {
+    val pages = Seq(
+      (1L, "alpha one\nboiler\nbody a\ntail 1"),
+      (2L, "alpha two\nboiler\nbody b\ntail 2"),
+      (3L, "alpha three\nboiler\nbody c"),
+      (4L, "boiler\nboiler\nonly boiler doc"), // within-doc repeat: both dropped
+      (5L, "boiler") // all-boilerplate doc survives with empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(pages, "doc_id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 5)
+    assert(out(1L) === ((1L, "alpha one\nbody a\ntail 1", 3L, 1L)))
+    assert(out(2L) === ((2L, "alpha two\nbody b\ntail 2", 3L, 1L)))
+    assert(out(4L) === ((4L, "only boiler doc", 1L, 2L)))
+    assert(out(5L) === ((5L, "", 0L, 1L)))
+  }
+
   test("ngram jaccard finds exact and near dup pairs only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
