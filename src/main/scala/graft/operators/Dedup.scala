@@ -298,6 +298,60 @@ object Dedup {
     jaccardFromPairs(pairShingles, counts, threshold)
   }
 
+  /** The MinHash band signatures of [[minhashLshPairs]] computed ROW-
+    * LOCALLY: tokens → n-gram shingles → per-hash minima → per-band XOR
+    * fold, all as expressions over the single text value, emitting
+    * (doc_id, band, band_sig). Value-identical to the batch pipeline's
+    * band signatures — the same xxhash64(k, shingle) chain over the same
+    * tokenization (shingle multiplicity cannot move a min; DedupSpec
+    * pins the equality on the fixture docs) — but with ZERO shuffle and
+    * no per-document grouping, so it runs unchanged on a STREAMING
+    * DataFrame (q169's incremental near-dup) where a groupBy-based
+    * signature could not precede stateful pairing. Documents shorter
+    * than n tokens emit no rows, as in the batch form. */
+  def bandKeys(df: DataFrame, id: String, text: String, n: Int,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val toks = tokens(col(text))
+    val withShingles = df
+      .select(col(id).as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("doc_id"), transform(
+        sequence(lit(0), size(col("_toks")) - n),
+        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))).as("_sh"))
+    val bandStructs = (0 until bands).map { b =>
+      val members = (0 until numHashes).filter(_ % bands == b)
+      val sigExpr = members.map { k =>
+        val mh = array_min(transform(col("_sh"), s => xxhash64(lit(k), s)))
+        xxhash64(lit(k), mh)
+      }.reduce(_.bitwiseXOR(_))
+      struct(lit(b).as("band"), sigExpr.as("band_sig"))
+    }
+    withShingles
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_sig").as("band_sig"))
+  }
+
+  /** Exact-verify an externally-produced candidate pair set: join each
+    * (id_a, id_b) back to the corpus shingle sets, recount the
+    * intersection from FULL sets, and keep true Jaccard ≥ threshold —
+    * the verification tail of [[minhashLshPairs]], exposed for callers
+    * that discover candidates elsewhere (q169's streaming bucket state).
+    * Banding can only lose recall; this step guarantees precision 1.0. */
+  def verifyCandidates(df: DataFrame, candidates: DataFrame, id: String,
+      text: String, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, id, text, n).localCheckpoint()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairShingles = candidates
+      .select(col("id_a"), col("id_b"))
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .select(col("id_a"), col("id_b"))
+    jaccardFromPairs(pairShingles, counts, threshold)
+  }
+
   /** 64-bit SimHash per document: each token's xxhash64 votes ±1 on every
     * bit position; the sign of the per-bit vote sum sets the bit. One
     * hash aggregation: 64 conditional sums (one per bit) fold map-side, so

@@ -7,7 +7,7 @@ import graft.operators.Dedup
 import graft.streaming.{EventStreams, KeyedParquetSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Driver-visible Structured Streaming correctness (SURVEY.md §2.9): each
   * query here runs a REAL streaming job — file-source micro-batches over a
@@ -393,6 +393,52 @@ object StreamingQueries {
       FROM c JOIN b USING (shingle)
       GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
+  /** q169: STREAMING MinHash-LSH NEAR-DUP — incremental candidate
+    * discovery through cross-batch bucket state, under the q62 hash gate.
+    * Band signatures are computed row-locally on the stream
+    * (Dedup.bandKeys — value-identical to the batch pipeline, zero
+    * shuffle), then flatMapGroupsWithState KEYED BY (band, band_sig)
+    * holds each bucket's membership: a newly-arrived document emits one
+    * candidate pair against every earlier member, so every within-bucket
+    * pair is emitted exactly once no matter how the corpus splits into
+    * micro-batches — the bucket state IS the LSH index, shard-partitioned
+    * by bucket key in the state store, which is how a continuously-
+    * ingesting near-dup service actually holds it (a real deployment
+    * bounds it with a state TTL; the harness replay is finite). The
+    * candidate sink then exact-verifies in batch land (full-set Jaccard
+    * recount, precision 1.0), and the final pairs must equal the batch
+    * operator's — q62's exact-Jaccard oracle, unchanged. */
+  private val q169 = NamedQuery(
+    "q169_streaming_neardup",
+    (s, d) => {
+      import s.implicits._
+      val dir = stageDocs(s, d, nFiles = 4)
+      val candidates = withStatePartitions(s, 8) {
+        val keys = Dedup.bandKeys(docStream(s, dir), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8)
+        val pairs = keys.as[(Long, Int, Long)]
+          .groupByKey { case (_, band, sig) => (band, sig) }
+          .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+                state: GroupState[Seq[Long]]) =>
+              val prior = state.getOption.getOrElse(Seq.empty)
+              val fresh = rows.map(_._1).toSeq.distinct.sorted
+                .filterNot(prior.contains)
+              state.update(prior ++ fresh)
+              (for {
+                (b, i) <- fresh.iterator.zipWithIndex
+                a <- prior.iterator ++ fresh.iterator.take(i)
+              } yield (math.min(a, b), math.max(a, b)))
+          }.toDF("id_a", "id_b")
+        runToSink(s, pairs, OutputMode.Append(), Seq("id_a", "id_b"))
+      }
+      Dedup.verifyCandidates(Tables.documents(s, d), candidates,
+        "doc_id", "text", n = 3, threshold = 0.9)
+    },
+    // the claim IS incremental ≡ batch: q62's exact-Jaccard oracle
+    Some(TextOps.jaccardSql(0.9)))
+
   /** q124: STREAMING DEDUP ≡ batch DISTINCT under the hash gate. The
     * staged replay delivers every event twice (second copy in later
     * micro-batches), and watermarked dropDuplicates must emit each
@@ -710,5 +756,5 @@ object StreamingQueries {
       "AS t(\"check\", threshold, pass)"))
 
   val all: Seq[NamedQuery] =
-    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168)
+    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168, q169)
 }

@@ -27,7 +27,7 @@ object TextOps {
       CAST(LENGTH(text) AS BIGINT) AS n_chars
       FROM documents GROUP BY text"""))
 
-  private def jaccardSql(threshold: Double) =
+  private[queries] def jaccardSql(threshold: Double) =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
              FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),

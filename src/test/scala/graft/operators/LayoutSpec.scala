@@ -110,6 +110,31 @@ class LayoutSpec extends SparkSpec {
     assert(zJumps > 1000, s"expected many z-order seam jumps, got $zJumps")
   }
 
+  test("hilbert box queries span fewer contiguous key ranges than z-order") {
+    // the read-side payoff: a range-pruned scan fetches one contiguous
+    // key range per curve segment crossing the box, so fewer segments =
+    // fewer file-range seeks for the same 2-D predicate. Quadrant-aligned
+    // boxes tie (both curves fill quadrants); UNALIGNED boxes — the
+    // common case — are where Z-order's seam teleports fragment the range
+    def segments(keys: Iterator[Long]): Int = {
+      val ks = keys.toArray.sorted
+      1 + ks.indices.tail.count(i => ks(i) != ks(i - 1) + 1)
+    }
+    def box(x0: Int, x1: Int, y0: Int, y1: Int)(key: (Long, Long) => Long) =
+      segments(for (x <- (x0 until x1).iterator; y <- y0 until y1)
+        yield key(x.toLong, y.toLong))
+    val bits = 8
+    for ((x0, x1, y0, y1) <- Seq((60, 100, 60, 100), (10, 50, 100, 200))) {
+      val h = box(x0, x1, y0, y1)(Layout.hilbertIndex(bits, _, _))
+      val z = box(x0, x1, y0, y1)(mortonRef(_, _, bits))
+      assert(h < z, s"box ($x0,$x1)x($y0,$y1): hilbert $h vs z-order $z")
+    }
+    // aligned quadrant: both are a single range — no false superiority
+    val ha = box(64, 128, 64, 128)(Layout.hilbertIndex(bits, _, _))
+    val za = box(64, 128, 64, 128)(mortonRef(_, _, bits))
+    assert(ha === 1 && za === 1)
+  }
+
   test("prefixSum equals the single-partition global window") {
     val df = (1L to 5000L).map(i => (i, (i * 7919) % 1000)).toDF("k", "v")
     val naive = df.withColumn("cumsum",

@@ -180,6 +180,37 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((5L, "", 0L, 1L)))
   }
 
+  test("row-local bandKeys equal the batch groupBy band signatures") {
+    import org.apache.spark.sql.functions._
+    val (n, k, bands) = (3, 32, 8)
+    // the batch recipe, restated: per-doc minhash via groupBy over the
+    // exploded distinct shingles, then the same per-band XOR fold
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", n)
+    val minCols = (0 until k).map(h =>
+      min(xxhash64(lit(h), col("shingle"))).as(s"mh$h"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val expected = (0 until bands).flatMap { b =>
+      val members = (0 until k).filter(_ % bands == b)
+      sig.select(col("doc_id"),
+        members.map(h => xxhash64(lit(h), col(s"mh$h")))
+          .reduce(_.bitwiseXOR(_)).as("band_sig"))
+        .as[(Long, Long)].collect().map { case (d, s) => (d, b, s) }
+    }.toSet
+    val got = Dedup.bandKeys(docs, "doc_id", "text", n, k, bands)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("verifyCandidates keeps only true-Jaccard pairs from a candidate superset") {
+    import org.apache.spark.sql.functions.col
+    // a superset of candidates incl. junk: exact-verify must keep exactly
+    // the >= 0.9 pairs (1,2 identical) and drop the rest
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.verifyCandidates(docs, cands, "doc_id", "text", 3, 0.9)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 2L)))
+  }
+
   test("ngram jaccard finds exact and near dup pairs only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
