@@ -149,4 +149,146 @@ object TextFunctions {
       sequence(lit(1), least(length(text), lit(maxChars))),
       lit(0L),
       (acc, i) => (acc * lit(31L) + ascii(text.substr(i, lit(1)))) % lit(1000000007L))
+
+  /** Tags whose boundary separates text BLOCKS (a newline in the
+    * extracted text); all other tags are inline (a space). The usual
+    * structural set a web-corpus extractor keys on. */
+  private val HtmlBlockTags = Set(
+    "p", "br", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "tr", "td", "th", "thead", "tbody", "table", "title",
+    "blockquote", "pre", "hr", "section", "article", "header", "footer",
+    "nav", "form", "dl", "dt", "dd")
+
+  private val HtmlEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** HTML → text extraction — the ENTRY stage of every web-trained
+    * corpus (WET-style content extraction), as a single-pass JVM state
+    * machine (per-row typed map/mapPartitions CPU — never a SQL UDF,
+    * never a regex over the whole document). Policy, stated exactly so
+    * a closed-form oracle can reconstruct it:
+    *
+    *   - `<script>`/`<style>` elements are RAW-TEXT: their entire
+    *     content is dropped up to the case-insensitive matching close
+    *     tag (markup-looking strings inside them are not markup);
+    *     unclosed raw-text runs to EOF.
+    *   - `<!-- comments -->` are dropped; `<!`/`<?` bogus markup is
+    *     consumed to the next `>` (the HTML5 bogus-comment rule).
+    *   - Every other tag is replaced by a separator: a NEWLINE when the
+    *     tag name is in [[HtmlBlockTags]] (both open and close count — a
+    *     block boundary is a block boundary), a SPACE otherwise. Tag
+    *     attributes are quote-aware, so `>` inside a quoted attribute
+    *     value does not end the tag.
+    *   - Character references decode: the five XML-core named entities
+    *     plus nbsp (to a plain space), `&#NNN;` decimal and `&#xHH;`
+    *     hex (any scalar value, supplementary planes included); an `&`
+    *     that does not parse as a reference is literal.
+    *   - Raw whitespace in text content (including source newlines) is
+    *     inline: only block-tag separators create line structure.
+    *   - Normalization: per line, horizontal whitespace collapses to one
+    *     space and ends are trimmed; empty lines drop; lines join with
+    *     `\n`.
+    *
+    * The output feeds the rest of the text family directly — notably
+    * line-level dedup (Dedup.lineDedup), which consumes exactly this
+    * line structure. */
+  def htmlToText(html: String): String = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+
+    // index just past the closing '>' of the tag starting at '<' (pos),
+    // honoring quoted attribute values; n if unterminated
+    def tagEnd(pos: Int): Int = {
+      var k = pos + 1
+      var quote: Char = 0
+      while (k < n) {
+        val c = html.charAt(k)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return k + 1
+        k += 1
+      }
+      n
+    }
+
+    def tagNameAt(pos: Int): String = {
+      var k = pos + 1
+      if (k < n && html.charAt(k) == '/') k += 1
+      val st = k
+      while (k < n && html.charAt(k).isLetterOrDigit) k += 1
+      html.substring(st, k).toLowerCase(java.util.Locale.ROOT)
+    }
+
+    // first case-insensitive occurrence of "</name" at or after `from`
+    // whose next char closes the name (whitespace or '>'), else -1
+    def findCloseTag(name: String, from: Int): Int = {
+      val needle = "</" + name
+      var k = from
+      while (k >= 0 && k + needle.length <= n) {
+        if (html.regionMatches(true, k, needle, 0, needle.length)) {
+          val after = k + needle.length
+          if (after >= n || html.charAt(after) == '>' ||
+              Character.isWhitespace(html.charAt(after))) return k
+        }
+        k += 1
+      }
+      -1
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val e = html.indexOf('>', i + 1) // HTML5 bogus comment
+          i = if (e < 0) n else e + 1
+        } else {
+          val name = tagNameAt(i)
+          val isClose = i + 1 < n && html.charAt(i + 1) == '/'
+          val afterOpen = tagEnd(i)
+          if (!isClose && (name == "script" || name == "style")) {
+            val closeAt = findCloseTag(name, afterOpen)
+            out.append(' ')
+            i = if (closeAt < 0) n else tagEnd(closeAt)
+          } else {
+            out.append(if (HtmlBlockTags(name)) '\n' else ' ')
+            i = afterOpen
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (semi < 0 || semi > i + 12) None
+          else {
+            val body = html.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try Some(new String(Character.toChars(
+                Integer.parseInt(body.substring(2), 16))))
+              catch { case _: Exception => None }
+            } else if (body.startsWith("#")) {
+              try Some(new String(Character.toChars(
+                Integer.parseInt(body.substring(1)))))
+              catch { case _: Exception => None }
+            } else HtmlEntities.get(body)
+          }
+        decoded match {
+          case Some(s) => out.append(s); i = semi + 1
+          case None => out.append('&'); i += 1
+        }
+      } else {
+        // raw whitespace in content is inline; only block tags break lines
+        out.append(if (Character.isWhitespace(c)) ' ' else c)
+        i += 1
+      }
+    }
+    out.toString.split("\n", -1).iterator
+      .map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
 }

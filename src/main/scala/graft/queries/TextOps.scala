@@ -678,8 +678,55 @@ object TextOps {
         CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       FROM fl GROUP BY doc_id"""))
 
+  /** q170: HTML → text extraction (TextFunctions.htmlToText — the WET-
+    * style entry stage of a web corpus, a single-pass JVM state machine
+    * run per row, never a SQL UDF). The gate plants a full page per
+    * document — DOCTYPE, title, a style element, an entity in a heading,
+    * a comment, an inline-tagged paragraph with a raw source newline, a
+    * script whose BODY contains markup-looking text (raw-text mode must
+    * drop it, not parse it), decimal/hex character references, and an
+    * &nbsp; — and the oracle reconstructs the expected extraction from
+    * the planted closed form (title/heading/paragraph/list lines in
+    * order), so tag stripping, raw-text handling, entity decoding,
+    * separators, and whitespace normalization are all under the hash.
+    * Fixture prefixes ride inside title/heading with spaces replaced by
+    * underscores so the closed form never depends on trim edge cases. */
+  private val q170 = NamedQuery(
+    "q170_html_extract",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+          translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, b1, b2) =>
+          val html = "<!DOCTYPE html><html><head><title>T " + b1 +
+            "</title><style>p{color:red}</style></head>" +
+            "<body><h1>H &amp; " + b2 + "</h1><!-- hidden -->" +
+            "<p>first <b>bold</b>\npara</p>" +
+            "<script>var s = \"<p>not text</p>\";</script>" +
+            "<p>second &#82;ow &#x41;</p><hr>" +
+            "<ul><li>item &nbsp;one</li></ul></body></html>"
+          val clean = graft.functions.TextFunctions.htmlToText(html)
+          (id, clean, clean.length.toLong)
+        })
+        .toDF("doc_id", "text_clean", "n_chars")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          replace(substr(text, 1, 10), ' ', '_') AS b1,
+          replace(substr(text, 11, 10), ' ', '_') AS b2 FROM documents)
+      SELECT doc_id,
+        'T ' || b1 || chr(10) || 'H & ' || b2 || chr(10) ||
+        'first bold para' || chr(10) || 'second Row A' || chr(10) ||
+        'item one' AS text_clean,
+        CAST(LENGTH('T ' || b1 || chr(10) || 'H & ' || b2 || chr(10) ||
+          'first bold para' || chr(10) || 'second Row A' || chr(10) ||
+          'item one') AS BIGINT) AS n_chars
+      FROM d"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166)
+      q107, q139, q161, q162, q165, q166, q170)
 }

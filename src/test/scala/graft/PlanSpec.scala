@@ -74,7 +74,8 @@ class PlanSpec extends SparkSpec {
         "q154_audio_resample", "q155_center_crop", "q156_letterbox_pad",
         "q157_keyframe_sampling", "q158_vision_funnel",
         "q159_audio_funnel", "q160_sinc_resample",
-        "q161_unicode_normalize", "q163_sinc_funnel")) {
+        "q161_unicode_normalize", "q163_sinc_funnel",
+        "q170_html_extract")) {
       val plan = finalPlan(q(name))
       assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
     }

@@ -112,6 +112,32 @@ class GraphemeChunkSpec extends SparkSpec {
     assert(sc.map(_._3) === Seq("😀", "😁", "😂"))
   }
 
+  test("htmlToText: tags, raw-text elements, comments, entities, normalization") {
+    val f = TextFunctions.htmlToText _
+    // block vs inline separators; raw source newline is inline
+    assert(f("<p>a <b>b</b>\nc</p><p>d</p>") === "a b c\nd")
+    // script/style content dropped wholly, even when it LOOKS like markup
+    assert(f("<p>x</p><script>var s=\"<p>no</p>\";</script><p>y</p>") === "x\ny")
+    assert(f("<style>p{}</style><p>z</p>") === "z")
+    // case-insensitive close tag, attribute on the open tag
+    assert(f("<SCRIPT type=\"text/javascript\">1<2</ScRiPt><p>ok</p>") === "ok")
+    // unclosed raw-text runs to EOF
+    assert(f("<p>keep</p><script>lost forever") === "keep")
+    // comments and HTML5 bogus comments
+    assert(f("a<!-- <p>hidden</p> -->b") === "ab") // a comment is NOT a separator
+    // entities: named, decimal, hex, nbsp, literal ampersand
+    assert(f("&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;") === "<tag> & \"q\" 'a'")
+    assert(f("&#82;&#x41;&#x1F600;") === "RA😀")
+    assert(f("fish & chips &bogus; &#xZZ;") === "fish & chips &bogus; &#xZZ;")
+    assert(f("a&nbsp;b") === "a b")
+    // quote-aware tag scan: '>' inside a quoted attribute
+    assert(f("<a href=\"x>y\">link</a> out") === "link out")
+    // whitespace normalization: collapse, trim, drop empty lines
+    assert(f("<div>  a   b  </div><div>   </div><div>c</div>") === "a b\nc")
+    // bogus markup consumed to '>'
+    assert(f("<!DOCTYPE html><?xml v?><p>t</p>") === "t")
+  }
+
   test("nfkcFold collapses compatibility variants and case") {
     val f = TextFunctions.nfkcFold _
     assert(f("ﬁle") === "file")       // ligature
