@@ -163,6 +163,24 @@ object TextFunctions {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ")
 
+  /** HTML → text BLOCKS with per-block anchor counts — the state
+    * machine behind [[htmlToText]], exposed because boilerplate
+    * classification (q171) needs the block structure WITH link counts:
+    * each returned (text, nLinks) is one normalized non-empty block
+    * (the text between block-tag separators), and nLinks counts the
+    * `<a>` OPEN tags whose open position falls inside that block (an
+    * anchor spanning a block boundary counts where it opens). Same
+    * single pass, same policy as [[htmlToText]] — which is exactly the
+    * block texts joined with newlines. */
+  def htmlBlocks(html: String): Seq[(String, Long)] = {
+    val segs = htmlScan(html)
+    segs.iterator
+      .map { case (raw, links) =>
+        (raw.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim, links) }
+      .filter(_._1.nonEmpty)
+      .toSeq
+  }
+
   /** HTML → text extraction — the ENTRY stage of every web-trained
     * corpus (WET-style content extraction), as a single-pass JVM state
     * machine (per-row typed map/mapPartitions CPU — never a SQL UDF,
@@ -193,9 +211,22 @@ object TextFunctions {
     * The output feeds the rest of the text family directly — notably
     * line-level dedup (Dedup.lineDedup), which consumes exactly this
     * line structure. */
-  def htmlToText(html: String): String = {
+  def htmlToText(html: String): String =
+    htmlBlocks(html).map(_._1).mkString("\n")
+
+  /** The one-pass scan shared by [[htmlToText]] and [[htmlBlocks]]:
+    * raw (un-normalized) text segments split at block-tag separators,
+    * each with its count of `<a>` open tags. */
+  private def htmlScan(html: String): Seq[(String, Long)] = {
     val n = html.length
-    val out = new java.lang.StringBuilder(n)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var out = new java.lang.StringBuilder(64)
+    var links = 0L
+    def flush(): Unit = {
+      segs += ((out.toString, links))
+      out = new java.lang.StringBuilder(64)
+      links = 0L
+    }
     var i = 0
 
     // index just past the closing '>' of the tag starting at '<' (pos),
@@ -256,7 +287,8 @@ object TextFunctions {
             out.append(' ')
             i = if (closeAt < 0) n else tagEnd(closeAt)
           } else {
-            out.append(if (HtmlBlockTags(name)) '\n' else ' ')
+            if (name == "a" && !isClose) links += 1
+            if (HtmlBlockTags(name)) flush() else out.append(' ')
             i = afterOpen
           }
         }
@@ -286,9 +318,23 @@ object TextFunctions {
         i += 1
       }
     }
-    out.toString.split("\n", -1).iterator
-      .map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
-      .filter(_.nonEmpty)
-      .mkString("\n")
+    flush()
+    segs.toSeq
+  }
+
+  /** jusText-style main-content selection over [[htmlBlocks]]: a block
+    * survives iff it has NO anchors, or carries at least
+    * `tokensPerLink` whitespace-separated tokens per anchor — short
+    * link-dense blocks (nav bars, footers, related-links lists) are
+    * boilerplate, long prose with an occasional inline link is content.
+    * Returns (mainText = surviving blocks joined with \n, nKept,
+    * nDropped). The rule is deliberately closed-form so a gate can
+    * reconstruct it (q171). */
+  def htmlMainContent(html: String, tokensPerLink: Int): (String, Long, Long) = {
+    val blocks = htmlBlocks(html)
+    val (keep, drop) = blocks.partition { case (t, l) =>
+      l == 0 || t.split(" ").length >= tokensPerLink * l
+    }
+    (keep.map(_._1).mkString("\n"), keep.size.toLong, drop.size.toLong)
   }
 }

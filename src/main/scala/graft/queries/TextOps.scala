@@ -725,8 +725,53 @@ object TextOps {
           'item one') AS BIGINT) AS n_chars
       FROM d"""))
 
+  /** q171: link-density boilerplate removal (TextFunctions.
+    * htmlMainContent over htmlBlocks — the jusText-style second half of
+    * web extraction): a block survives iff it has no anchors or carries
+    * ≥ 4 tokens per anchor, so nav lists and footers drop while prose
+    * with an occasional inline link stays. The planted page carries a
+    * 3-item nav list (1 link / 1 token each), a long anchor-free prose
+    * block, a 5-token paragraph with one inline link (must SURVIVE —
+    * the rule is a ratio, not "any link kills"), and a 2-link footer;
+    * the oracle reconstructs the two surviving blocks and both counts
+    * closed-form. */
+  private val q171 = NamedQuery(
+    "q171_html_main_content",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+          translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, b1, b2) =>
+          val html = "<body><ul>" +
+            "<li><a href=\"/\">Home</a></li>" +
+            "<li><a href=\"/a\">About</a></li>" +
+            "<li><a href=\"/c\">Contact</a></li></ul>" +
+            "<p>prose " + b1 +
+            " with plenty of ordinary words and no anchors</p>" +
+            "<p>Read <a href=\"/more\">more</a> about " + b2 + " here</p>" +
+            "<div><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></div>" +
+            "</body>"
+          val (main, kept, dropped) =
+            graft.functions.TextFunctions.htmlMainContent(html, tokensPerLink = 4)
+          (id, main, kept, dropped)
+        })
+        .toDF("doc_id", "text_main", "n_kept", "n_dropped")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          replace(substr(text, 1, 10), ' ', '_') AS b1,
+          replace(substr(text, 11, 10), ' ', '_') AS b2 FROM documents)
+      SELECT doc_id,
+        'prose ' || b1 || ' with plenty of ordinary words and no anchors'
+          || chr(10) || 'Read more about ' || b2 || ' here' AS text_main,
+        CAST(2 AS BIGINT) AS n_kept,
+        CAST(4 AS BIGINT) AS n_dropped
+      FROM d"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166, q170)
+      q107, q139, q161, q162, q165, q166, q170, q171)
 }

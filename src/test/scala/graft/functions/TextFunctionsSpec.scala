@@ -138,6 +138,26 @@ class GraphemeChunkSpec extends SparkSpec {
     assert(f("<!DOCTYPE html><?xml v?><p>t</p>") === "t")
   }
 
+  test("htmlBlocks counts anchors per block; htmlMainContent applies the ratio rule") {
+    val html = "<ul><li><a href=\"/\">Home</a></li><li><a href=\"/x\">About</a></li></ul>" +
+      "<p>long prose with no links here</p>" +
+      "<p>Read <a href=\"/m\">more</a> about things here</p>" +
+      "<div><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></div>"
+    val blocks = TextFunctions.htmlBlocks(html)
+    assert(blocks === Seq(("Home", 1L), ("About", 1L),
+      ("long prose with no links here", 0L),
+      ("Read more about things here", 1L),
+      ("Terms | Privacy", 2L)))
+    val (main, kept, dropped) = TextFunctions.htmlMainContent(html, 4)
+    assert(main === "long prose with no links here\nRead more about things here")
+    assert((kept, dropped) === ((2L, 3L)))
+    // htmlToText is exactly the block texts joined — the refactor invariant
+    assert(TextFunctions.htmlToText(html) === blocks.map(_._1).mkString("\n"))
+    // anchor spanning a block boundary counts where it OPENS
+    assert(TextFunctions.htmlBlocks("<p>a <a href=\"/\">x<p>y</a> b</p>")
+      .map(_._2) === Seq(1L, 0L))
+  }
+
   test("nfkcFold collapses compatibility variants and case") {
     val f = TextFunctions.nfkcFold _
     assert(f("ﬁle") === "file")       // ligature
