@@ -770,8 +770,70 @@ object TextOps {
         CAST(4 AS BIGINT) AS n_dropped
       FROM d"""))
 
+  /** q172: the WEB-CRAWL INGESTION FUNNEL end to end — WARC container →
+    * HTTP envelope → HTML → text under one hash gate (sources.Warc +
+    * TextFunctions.htmlToText, per-row JVM, shuffle-free). Each document
+    * becomes a two-record WARC file: a warcinfo record whose payload
+    * QUOTES a complete WARC header block (the phantom-boundary trap — a
+    * delimiter-splitting parser would manufacture a fake record and
+    * shift every downstream byte) and a response record whose HTTP body
+    * is q170's planted page. The funnel must walk records by
+    * Content-Length framing, keep only WARC-Type: response, split the
+    * HTTP envelope, and extract the text — the oracle reconstructs URI
+    * and extraction closed-form, so a framing error anywhere in the
+    * chain flips the hash. */
+  private val q172 = NamedQuery(
+    "q172_warc_ingest",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+          translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+          it.map { case (id, b1, b2) =>
+            val html = "<!DOCTYPE html><html><head><title>T " + b1 +
+              "</title><style>p{color:red}</style></head>" +
+              "<body><h1>H &amp; " + b2 + "</h1><!-- hidden -->" +
+              "<p>first <b>bold</b>\npara</p>" +
+              "<script>var s = \"<p>not text</p>\";</script>" +
+              "<p>second &#82;ow &#x41;</p><hr>" +
+              "<ul><li>item &nbsp;one</li></ul></body></html>"
+            val uri = "http://corpus.example/doc/" + id
+            val trap = ("crawler config:\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+              "Content-Length: 4\r\n\r\nfake\r\n\r\n").getBytes(L1)
+            val warc = graft.sources.Warc.write(Seq(
+              (Seq("WARC-Type" -> "warcinfo"), trap),
+              (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
+                graft.sources.Warc.httpResponse(html.getBytes(L1), "text/html"))))
+            val texts = graft.sources.Warc.records(warc)
+              .filter(_.recordType.contains("response"))
+              .flatMap(r => graft.sources.Warc.httpBody(r.payload)
+                .map(b => (r.targetUri.getOrElse(""),
+                  graft.functions.TextFunctions.htmlToText(new String(b, L1)))))
+            val (u, clean) = texts.head
+            (id, u, clean, clean.length.toLong)
+          }
+        }
+        .toDF("doc_id", "uri", "text_clean", "n_chars")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          replace(substr(text, 1, 10), ' ', '_') AS b1,
+          replace(substr(text, 11, 10), ' ', '_') AS b2 FROM documents)
+      SELECT doc_id,
+        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        'T ' || b1 || chr(10) || 'H & ' || b2 || chr(10) ||
+        'first bold para' || chr(10) || 'second Row A' || chr(10) ||
+        'item one' AS text_clean,
+        CAST(LENGTH('T ' || b1 || chr(10) || 'H & ' || b2 || chr(10) ||
+          'first bold para' || chr(10) || 'second Row A' || chr(10) ||
+          'item one') AS BIGINT) AS n_chars
+      FROM d"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166, q170, q171)
+      q107, q139, q161, q162, q165, q166, q170, q171, q172)
 }

@@ -1,0 +1,131 @@
+package graft.sources
+
+/** WARC (ISO 28500 / WARC/1.0) record walker — the container web
+  * crawls actually arrive in (Common-Crawl-style ingestion; the q172
+  * funnel runs WARC → HTTP → HTML → text end to end).
+  *
+  * The load-bearing rule is CONTENT-LENGTH FRAMING: a record's payload
+  * is exactly `Content-Length` bytes, and the walker seeks past it to
+  * the next record — it never scans for a "WARC/1.0" delimiter. A
+  * payload may legally CONTAIN bytes that look like a record header
+  * (a crawler archiving a page about WARC, a warcinfo record quoting
+  * one); delimiter splitting would manufacture phantom records there,
+  * and WarcSpec plants exactly that trap. Header names are matched
+  * case-insensitively per the spec; header bytes are ISO-8859-1 (the
+  * HTTP convention — no multi-byte decode before the body is framed).
+  *
+  * Reference behavior surface: JeremyBuchanan/telescope-data-pipeline
+  * has no crawl ingestion; this extends the §2.10 LLM-data family the
+  * same way the MP4/FLAC walkers extend §2.1 (container → payload →
+  * decode, writer certifies reader).
+  */
+object Warc {
+
+  final case class Record(headers: Map[String, String], payload: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+    def recordType: Option[String] = header("WARC-Type")
+    def targetUri: Option[String] = header("WARC-Target-URI")
+  }
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Index just past the next CRLF at/after `from`, with the line, or
+    * None if no full line remains. */
+  private def line(bytes: Array[Byte], from: Int): Option[(String, Int)] = {
+    var i = from
+    while (i + 1 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n')
+        return Some((new String(bytes, from, i - from, Latin1), i + 2))
+      i += 1
+    }
+    None
+  }
+
+  /** Parse every complete record; a trailing incomplete record (header
+    * block cut off, or fewer payload bytes than Content-Length — a
+    * truncated fetch) is dropped, not guessed at. */
+  def records(bytes: Array[Byte]): Seq[Record] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var i = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      // skip inter-record CRLFs
+      while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n')
+        i += 2
+      if (i >= bytes.length) ok = false
+      else line(bytes, i) match {
+        case Some((version, afterVersion)) if version.startsWith("WARC/") =>
+          var j = afterVersion
+          val hdrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var headerDone = false
+          var headerOk = true
+          while (headerOk && !headerDone) {
+            line(bytes, j) match {
+              case Some(("", after)) => headerDone = true; j = after
+              case Some((h, after)) =>
+                val c = h.indexOf(':')
+                if (c > 0) hdrs += h.substring(0, c).trim -> h.substring(c + 1).trim
+                j = after
+              case None => headerOk = false
+            }
+          }
+          val len = hdrs.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
+          }
+          (len, headerOk) match {
+            case (Some(n), true) if j + n <= bytes.length =>
+              out += Record(hdrs.toMap,
+                java.util.Arrays.copyOfRange(bytes, j, j + n.toInt))
+              i = j + n.toInt
+            case _ => ok = false // truncated or unframed: stop, drop
+          }
+        case _ => ok = false // not a record boundary: stop
+      }
+    }
+    out.toSeq
+  }
+
+  /** The HTTP message body of a response record's payload: everything
+    * past the first CRLFCRLF, provided the payload starts with an HTTP
+    * status line. None for non-HTTP payloads. */
+  def httpBody(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (!new String(payload, 0, math.min(5, payload.length), Latin1)
+        .startsWith("HTTP/")) return None
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return Some(java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+      i += 1
+    }
+    Some(Array.emptyByteArray)
+  }
+
+  /** Serialize records with spec framing (version line, headers with a
+    * computed Content-Length, CRLFCRLF, payload, CRLFCRLF) — the writer
+    * that certifies [[records]] in WarcSpec and builds q172's fixture. */
+  def write(recs: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (hdrs, payload) =>
+      val head = new StringBuilder("WARC/1.0\r\n")
+      hdrs.filterNot(_._1.equalsIgnoreCase("Content-Length"))
+        .foreach { case (k, v) => head.append(k).append(": ").append(v).append("\r\n") }
+      head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+      out.write(head.toString.getBytes(Latin1))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(Latin1))
+    }
+    out.toByteArray
+  }
+
+  /** An HTTP/1.1 200 response envelope around `body` (the payload shape
+    * of a WARC response record). */
+  def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: " + contentType +
+      "\r\nContent-Length: " + body.length + "\r\n\r\n").getBytes(Latin1)
+    head ++ body
+  }
+}

@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
         "q157_keyframe_sampling", "q158_vision_funnel",
         "q159_audio_funnel", "q160_sinc_resample",
         "q161_unicode_normalize", "q163_sinc_funnel",
-        "q170_html_extract", "q171_html_main_content")) {
+        "q170_html_extract", "q171_html_main_content",
+        "q172_warc_ingest")) {
       val plan = finalPlan(q(name))
       assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
     }
