@@ -804,11 +804,13 @@ object TextOps {
             val uri = "http://corpus.example/doc/" + id
             val trap = ("crawler config:\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
               "Content-Length: 4\r\n\r\nfake\r\n\r\n").getBytes(L1)
-            val warc = graft.sources.Warc.write(Seq(
+            // the on-disk crawl shape: a .warc.gz MEMBER stream (one gzip
+            // member per record), decompressed and walked by the reader
+            val warc = graft.sources.Warc.writeGz(Seq(
               (Seq("WARC-Type" -> "warcinfo"), trap),
               (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
                 graft.sources.Warc.httpResponse(html.getBytes(L1), "text/html"))))
-            val texts = graft.sources.Warc.records(warc)
+            val texts = graft.sources.Warc.recordsGz(warc)
               .filter(_.recordType.contains("response"))
               .flatMap(r => graft.sources.Warc.httpBody(r.payload)
                 .map(b => (r.targetUri.getOrElse(""),

@@ -128,4 +128,31 @@ object Warc {
       "\r\nContent-Length: " + body.length + "\r\n\r\n").getBytes(Latin1)
     head ++ body
   }
+
+  /** Serialize records as a GZIP MEMBER STREAM — one gzip member per
+    * record, members concatenated — which is how crawl archives actually
+    * ship (`.warc.gz`, Common Crawl): per-record members let a reader
+    * seek to any record offset and decompress just that record without
+    * inflating the file prefix. */
+  def writeGz(recs: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(write(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Parse a `.warc.gz` member stream: inflate ALL members (the JDK
+    * GZIPInputStream walks concatenated members transparently), then
+    * walk the concatenation with the same Content-Length framing —
+    * member boundaries and record boundaries coincide by construction,
+    * so whole-stream inflation and per-member inflation yield the same
+    * records (WarcSpec pins that equivalence). */
+  def recordsGz(bytes: Array[Byte]): Seq[Record] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try records(in.readAllBytes()) finally in.close()
+  }
 }

@@ -45,6 +45,30 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(recs(0).payload, L1) === "abc")
   }
 
+  test("gzip member stream: round-trip, and per-member ≡ whole-stream inflation") {
+    val recs = Seq(
+      (Seq("WARC-Type" -> "warcinfo"), "info é payload".getBytes(L1)),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://g/z"),
+        Warc.httpResponse("<p>gz</p>".getBytes(L1), "text/html")))
+    val gz = Warc.writeGz(recs)
+    // it IS a member stream: two independent gzip magics present
+    val magics = gz.indices.count(i => i + 1 < gz.length &&
+      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)
+    assert(magics >= 2, s"expected per-record gzip members, found $magics magic(s)")
+    val got = Warc.recordsGz(gz)
+    assert(got.length === 2)
+    assert(got(0).payload.toSeq === recs(0)._2.toSeq)
+    assert(got(1).targetUri === Some("http://g/z"))
+    // per-member inflation (seek shape) yields the same records: split at
+    // the second magic and parse each member independently
+    val cut = (1 until gz.length).find(i =>
+      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b).get
+    val a = Warc.recordsGz(java.util.Arrays.copyOfRange(gz, 0, cut))
+    val b = Warc.recordsGz(java.util.Arrays.copyOfRange(gz, cut, gz.length))
+    assert((a ++ b).map(_.headers) === got.map(_.headers))
+    assert((a ++ b).map(_.payload.toSeq) === got.map(_.payload.toSeq))
+  }
+
   test("header lookup is case-insensitive; httpBody splits the envelope") {
     val bytes = ("WARC/1.0\r\nwarc-type: response\r\ncontent-length: 5\r\n\r\n" +
       "12345\r\n\r\n").getBytes(L1)
