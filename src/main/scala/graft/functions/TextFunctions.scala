@@ -278,9 +278,21 @@ object TextFunctions {
             (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val e = html.indexOf('>', i + 1) // HTML5 bogus comment
           i = if (e < 0) n else e + 1
+        } else if (i + 1 >= n || !(html.charAt(i + 1).isLetter ||
+            html.charAt(i + 1) == '/')) {
+          // HTML5: '<' not followed by a letter, '/', '!' or '?' is
+          // literal text ("3 < 4", unescaped '<' in real crawls) — emit
+          // it instead of silently swallowing prose up to the next '>'
+          out.append('<')
+          i += 1
         } else {
           val name = tagNameAt(i)
-          val isClose = i + 1 < n && html.charAt(i + 1) == '/'
+          val isClose = html.charAt(i + 1) == '/'
+          if (!isClose && name.isEmpty) {
+            // '<' + letter is unreachable here, but guard the invariant
+            out.append('<')
+            i += 1
+          } else {
           val afterOpen = tagEnd(i)
           if (!isClose && (name == "script" || name == "style")) {
             val closeAt = findCloseTag(name, afterOpen)
@@ -290,6 +302,7 @@ object TextFunctions {
             if (name == "a" && !isClose) links += 1
             if (HtmlBlockTags(name)) flush() else out.append(' ')
             i = afterOpen
+          }
           }
         }
       } else if (c == '&') {

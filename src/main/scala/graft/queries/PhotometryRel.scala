@@ -268,19 +268,34 @@ object PhotometryRel {
     * sky area with catalog size, they don't densify one plate), so star
     * density — and the per-star neighbor count — is scale-invariant and
     * the pair workload grows linearly, at sf0.01 and at a 10× GenScale
-    * tiling alike. */
+    * tiling alike.
+    *
+    * The field carries TWO strata so the gate is two-sided (round 14 —
+    * the all-dense round-13 fixture left zero survivors at every SF,
+    * making the hash a vacuous empty≡empty): every 100th key is planted
+    * on a sparse shelf at y=150 with 10-unit x spacing (> radius, and
+    * ≥50 units above the dense cloud, including across strip seams), so
+    * the survivor set is exactly scale-proportional and nonzero — a
+    * missed-neighbor bug adds dense rows, a spurious-neighbor bug drops
+    * shelf rows, and either moves the hash. */
   private val q29 = NamedQuery(
     "q29_crowding_anti",
     (s, d) => {
-      val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
-        (((col("p_partkey") * 37 % 1000) / 10.0) +
-          floor(col("p_partkey") / lit(1000.0)) * lit(100.0)).as("x"),
-        ((col("p_partkey") * 91 % 1000) / 10.0).as("y"))
+      val k = col("p_partkey")
+      val sparse = k % 100 === 0
+      val pts = Tables.part(s, d).select(k.as("id"),
+        (when(sparse, (k % 1000) / 10.0)
+          .otherwise((k * 37 % 1000) / 10.0) +
+          floor(k / lit(1000.0)) * lit(100.0)).as("x"),
+        when(sparse, lit(150.0)).otherwise((k * 91 % 1000) / 10.0).as("y"))
       SpatialJoins.crowdingAnti(pts, "id", "x", "y", 4.0)
     },
     Some(s"""WITH a AS (SELECT p_partkey AS id,
-        (p_partkey*37%1000)/10.0 + FLOOR(p_partkey/1000.0)*100.0 AS x,
-        (p_partkey*91%1000)/10.0 AS y FROM part)
+        CASE WHEN p_partkey % 100 = 0 THEN (p_partkey % 1000)/10.0
+             ELSE (p_partkey*37 % 1000)/10.0 END
+          + FLOOR(p_partkey/1000.0)*100.0 AS x,
+        CASE WHEN p_partkey % 100 = 0 THEN 150.0
+             ELSE (p_partkey*91 % 1000)/10.0 END AS y FROM part)
       SELECT id, x, y FROM a p WHERE NOT EXISTS (
         SELECT 1 FROM a q WHERE q.id <> p.id
           AND SQRT((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)) < 4.0)"""))

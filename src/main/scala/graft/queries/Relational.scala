@@ -152,13 +152,20 @@ object Relational {
   private val q06 = NamedQuery(
     "q06_anti_join",
     (s, d) => {
+      // customers with no URGENT order: the right side is pre-filtered so
+      // the gate carries rows at every SF (the plain no-orders form is
+      // empty at sf0.01 in this synthetic data — a vacuous empty≡empty
+      // hash; round 14). The filter lands on the scan, the anti-join
+      // stays a single custkey-keyed build.
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""))
 
   /** Left outer join + grouped count, preserving customers with no orders. */
   private val q07 = NamedQuery(

@@ -72,9 +72,13 @@ object Warc {
               case None => headerOk = false
             }
           }
+          // A malformed or negative Content-Length is the same situation
+          // as a missing one: the record cannot be framed, so the walker
+          // stops and drops it rather than throwing out of the task.
           val len = hdrs.collectFirst {
-            case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
-          }
+            case (k, v) if k.equalsIgnoreCase("Content-Length") =>
+              scala.util.Try(v.trim.toLong).toOption.filter(_ >= 0)
+          }.flatten
           (len, headerOk) match {
             case (Some(n), true) if j + n <= bytes.length =>
               out += Record(hdrs.toMap,
@@ -90,7 +94,10 @@ object Warc {
 
   /** The HTTP message body of a response record's payload: everything
     * past the first CRLFCRLF, provided the payload starts with an HTTP
-    * status line. None for non-HTTP payloads. */
+    * status line. None for non-HTTP payloads — and None for a
+    * headers-only envelope with no CRLFCRLF separator (a truncated HTTP
+    * message is dropped like a truncated WARC record, not surfaced as a
+    * "valid" empty body). */
   def httpBody(payload: Array[Byte]): Option[Array[Byte]] = {
     if (!new String(payload, 0, math.min(5, payload.length), Latin1)
         .startsWith("HTTP/")) return None
@@ -101,7 +108,7 @@ object Warc {
         return Some(java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
       i += 1
     }
-    Some(Array.emptyByteArray)
+    None
   }
 
   /** Serialize records with spec framing (version line, headers with a
@@ -137,9 +144,13 @@ object Warc {
   def writeGz(recs: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     recs.foreach { r =>
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(write(Seq(r)))
-      gz.finish()
+      // per-member stream, close()d so each member's native Deflater is
+      // released eagerly (finish() alone leaks it until finalization —
+      // measurable on a high-volume writer)
+      val member = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(member)
+      try { gz.write(write(Seq(r))) } finally gz.close()
+      member.writeTo(out)
     }
     out.toByteArray
   }

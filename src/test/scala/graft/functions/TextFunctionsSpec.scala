@@ -136,6 +136,16 @@ class GraphemeChunkSpec extends SparkSpec {
     assert(f("<div>  a   b  </div><div>   </div><div>c</div>") === "a b\nc")
     // bogus markup consumed to '>'
     assert(f("<!DOCTYPE html><?xml v?><p>t</p>") === "t")
+    // HTML5 literal '<': next char is not a letter, '/', '!' or '?' —
+    // the prose after it must NOT be swallowed up to the next '>'
+    assert(f("<p>3 < 4 is true</p>") === "3 < 4 is true")
+    // ...but '<' + letter still opens a tag (HTML5 tag-open state)
+    assert(f("<p>x <y attr>swallowed? no, tag ends</p>") === "x swallowed? no, tag ends")
+    assert(f("<p>a < b</p><p>c > d</p>") === "a < b\nc > d")
+    assert(f("<p>5 <= 6</p>") === "5 <= 6")
+    assert(f("trailing <") === "trailing <")
+    // '<' + digit is literal too
+    assert(f("<p>size <3 hearts</p>") === "size <3 hearts")
   }
 
   test("htmlBlocks counts anchors per block; htmlMainContent applies the ratio rule") {

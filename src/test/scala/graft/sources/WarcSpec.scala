@@ -78,4 +78,19 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(Warc.httpBody(http).get, L1) === "<b>x</b>")
     assert(Warc.httpBody("not http".getBytes(L1)) === None)
   }
+
+  test("malformed or negative Content-Length stops the walk instead of throwing") {
+    val good = Warc.write(Seq((Seq("WARC-Type" -> "response"), "abc".getBytes(L1))))
+    val badLen = good ++
+      "WARC/1.0\r\nContent-Length: 12abc\r\n\r\npayload".getBytes(L1)
+    assert(Warc.records(badLen).length === 1) // parsed, not crashed
+    val negLen = good ++
+      "WARC/1.0\r\nContent-Length: -7\r\n\r\npayload".getBytes(L1)
+    assert(Warc.records(negLen).length === 1)
+  }
+
+  test("headers-only HTTP envelope (no CRLFCRLF) is dropped, not an empty body") {
+    val truncated = "HTTP/1.1 200 OK\r\nContent-Type: text/html".getBytes(L1)
+    assert(Warc.httpBody(truncated) === None)
+  }
 }
