@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.operators.UrlCuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** URL/domain-level web curation (operators.UrlCuration) — the stage
+  * between WARC ingest (q172) and the dedup family. The fixture plants
+  * five URL shapes per document (closed-form in doc_id), each exercising
+  * a different canonicalization rule, and the oracles reconstruct the
+  * expected canonical forms — so scheme/host lowering, default-port and
+  * www stripping, tracking-param removal at every query position,
+  * slash/`?` cleanup, eTLD+1 extraction (incl. the co.uk multi-label
+  * rule), blocklist anti-join, and the per-domain cap are all under the
+  * driver's hash.
+  */
+object CurationOps {
+
+  /** The 20 planted spam domains (doc_id%5==3 → spam{doc_id%20}.example):
+    * scale-invariant by construction, so the blocklist is the same small
+    * curated set at every SF — the real deployment shape (broadcast). */
+  private val SpamDomains: Seq[String] =
+    (0 until 20).map(i => s"spam$i.example")
+
+  /** Planted raw URLs + their canonical/domain columns via the operator. */
+  private def canonicalized(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val c = id % 5
+    val k50 = (id % 50).cast("string")
+    val k20 = (id % 20).cast("string")
+    val raw = when(c === 0, concat(
+        lit("HTTP://WWW.Example.COM:80/path/?utm_source=news&id="),
+        id.cast("string"), lit("&fbclid=abc#sec-2")))
+      .when(c === 1, lit("https://News.Site.CO.UK:443/a/b/?gclid=123"))
+      .when(c === 2, concat(lit("http://Sub.Domain"), k50,
+        lit(".Org/x?a=1&utm_campaign=spring&b=2")))
+      .when(c === 3, concat(lit("HTTPS://spam"), k20,
+        lit(".example/p?ref=tw")))
+      .otherwise(concat(lit("http://plain"), k50, lit(".net/q?x=1")))
+    val canon = UrlCuration.canonicalizeUrl(raw)
+    Tables.documents(s, d).select(
+      id,
+      canon.as("url_canon"),
+      UrlCuration.registrableDomain(UrlCuration.hostOf(canon)).as("domain"))
+  }
+
+  /** The oracle's closed-form reconstruction of [[canonicalized]]. */
+  private val canonSql =
+    """WITH dd AS (SELECT doc_id, doc_id % 5 AS c,
+        CAST(doc_id % 50 AS VARCHAR) AS k50,
+        CAST(doc_id % 20 AS VARCHAR) AS k20 FROM documents),
+      canon AS (SELECT doc_id,
+        CASE c WHEN 0 THEN 'http://example.com/path?id=' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'https://news.site.co.uk/a/b'
+               WHEN 2 THEN 'http://sub.domain' || k50 || '.org/x?a=1&b=2'
+               WHEN 3 THEN 'https://spam' || k20 || '.example/p'
+               ELSE 'http://plain' || k50 || '.net/q?x=1' END AS url_canon,
+        CASE c WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'site.co.uk'
+               WHEN 2 THEN 'domain' || k50 || '.org'
+               WHEN 3 THEN 'spam' || k20 || '.example'
+               ELSE 'plain' || k50 || '.net' END AS domain
+      FROM dd)"""
+
+  /** q173: URL canonicalization + registrable-domain extraction — pure
+    * codegen'd expression chains, shuffle-free scan projection. */
+  private val q173 = NamedQuery(
+    "q173_url_canonicalize",
+    (s, d) => canonicalized(s, d),
+    Some(s"$canonSql SELECT doc_id, url_canon, domain FROM canon"))
+
+  /** q174: the curation funnel — blocklist anti-join (broadcast; the 20
+    * planted spam domains) then a per-domain cap of 10 by ascending
+    * doc_id (rank-filter → partial WindowGroupLimit below the exchange,
+    * so a flooding domain ships 10 rows per map partition, not all). */
+  private val q174 = NamedQuery(
+    "q174_domain_curation",
+    (s, d) => {
+      import s.implicits._
+      val bl = SpamDomains.toDF("domain_blocked")
+      val kept = UrlCuration.blocklistFilter(canonicalized(s, d), "domain", bl)
+      UrlCuration.domainCap(kept, "domain", "doc_id", 10)
+    },
+    Some(s"""$canonSql,
+      f AS (SELECT * FROM canon WHERE domain NOT IN
+        (${SpamDomains.map(x => s"'$x'").mkString(", ")})),
+      r AS (SELECT doc_id, url_canon, domain,
+              ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+            FROM f)
+      SELECT doc_id, url_canon, domain FROM r WHERE rn <= 10"""))
+
+  /** q175: domain-keyed corpus statistics — pages per domain and DISTINCT
+    * canonical URLs per domain (case-1 plants 100 pages of ONE canonical
+    * URL, so a canonicalization miss shows up as n_urls > 1 here even if
+    * q173's projection were skipped). One domain-keyed shuffle with
+    * map-side partial aggregation. */
+  private val q175 = NamedQuery(
+    "q175_domain_stats",
+    (s, d) => canonicalized(s, d)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("url_canon")).as("n_urls")),
+    Some(s"""$canonSql
+      SELECT domain, COUNT(*) AS n_pages,
+        COUNT(DISTINCT url_canon) AS n_urls
+      FROM canon GROUP BY domain"""))
+
+  val all: Seq[NamedQuery] = Seq(q173, q174, q175)
+}

@@ -345,4 +345,27 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(topk)
     assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")
   }
+
+  test("q173 canonicalization is a shuffle-free codegen'd projection") {
+    // URL canonicalization + eTLD+1 are pure string expression chains; an
+    // Exchange here means someone turned a scan projection into a shuffle
+    val plan = finalPlan(q("q173_url_canonicalize"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF crept into the canonicalization chain:\n$plan")
+  }
+
+  test("q174 domain cap pre-prunes map-side; blocklist broadcasts") {
+    // a flooding domain must ship `cap` rows per map partition into the
+    // exchange (Partial WindowGroupLimit), and the blocklist anti-join
+    // must broadcast the small curated side
+    val plan = finalPlan(q("q174_domain_curation"))
+    assert(plan.contains("row_number(), 10, Partial"),
+      s"no map-side partial window group limit:\n$plan")
+    assert(plan.contains("row_number(), 10, Final"),
+      s"no final window group limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"blocklist not a broadcast anti-join:\n$plan")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** UrlCuration beyond the q173–q175 fixture shapes: idempotence,
+  * non-default ports, single-label hosts, mixed-case tracking keys,
+  * fragment-only suffixes, and cap/blocklist semantics on hand-built
+  * frames. */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(UrlCuration.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl: scheme/host lowering, default ports, www, fragments") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Path/To?x=1#frag",
+      "https://Site.ORG:443/a",
+      "http://host.net/#top",
+      "http://host.net/") === Seq(
+      "http://example.com/Path/To?x=1", // path case PRESERVED
+      "https://site.org/a",
+      "http://host.net",
+      "http://host.net"))
+  }
+
+  test("canonicalizeUrl: non-default ports and other schemes survive") {
+    assert(canon(
+      "http://a.com:8080/x",
+      "https://a.com:80/x", // 80 is NOT the https default
+      "ftp://Files.A.com/pub/") === Seq(
+      "http://a.com:8080/x",
+      "https://a.com:80/x",
+      "ftp://files.a.com/pub"))
+  }
+
+  test("canonicalizeUrl: tracking params at every position, any case") {
+    assert(canon(
+      "http://a.com/p?utm_source=x",
+      "http://a.com/p?utm_source=x&keep=1",
+      "http://a.com/p?keep=1&UTM_Campaign=y",
+      "http://a.com/p?keep=1&fbclid=z&also=2",
+      "http://a.com/p?gclid=1&msclkid=2&ref=3") === Seq(
+      "http://a.com/p",
+      "http://a.com/p?keep=1",
+      "http://a.com/p?keep=1",
+      "http://a.com/p?keep=1&also=2",
+      "http://a.com/p"))
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val raw = Seq(
+      "HTTP://WWW.Example.COM:80/path/?utm_source=n&id=7&fbclid=a#s",
+      "https://News.Site.CO.UK:443/a/b/?gclid=123",
+      "http://plain.net/q?x=1")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) === once)
+  }
+
+  test("registrableDomain: eTLD+1 incl. multi-label suffixes and bare hosts") {
+    val got = Seq("sub.deep.domain.org", "news.site.co.uk", "x.gov.au",
+      "plain.net", "localhost")
+      .toDF("h")
+      .select(UrlCuration.registrableDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+    assert(got === Seq("domain.org", "site.co.uk", "x.gov.au",
+      "plain.net", "localhost"))
+  }
+
+  test("domainCap keeps the cap lowest-ordered rows per domain") {
+    val df = Seq(("a.com", 3L), ("a.com", 1L), ("a.com", 2L),
+      ("b.com", 9L)).toDF("domain", "ord")
+    val got = UrlCuration.domainCap(df, "domain", "ord", 2)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a.com", 1L), ("a.com", 2L), ("b.com", 9L)))
+  }
+
+  test("blocklistFilter is an exact-name broadcast anti-join") {
+    val df = Seq(("x.com", 1), ("spam.com", 2), ("notspam.com", 3))
+      .toDF("domain", "v")
+    val bl = Seq("spam.com").toDF("d")
+    val got = UrlCuration.blocklistFilter(df, "domain", bl)
+      .select("domain").as[String].collect().toSet
+    assert(got === Set("x.com", "notspam.com")) // no substring matching
+  }
+}
