@@ -89,11 +89,48 @@ object Dedup {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val lines = df.select(col(id).as("_id"),
       posexplode(split(col(text), "\n", -1)).as(Seq("_pos", "_line")))
-    val dropped = lines.groupBy(col("_line"))
+      .withColumn("_key", col("_line"))
+    lineDedupFromLines(lines, maxDocFreq)
+  }
+
+  /** [[lineDedup]] under NORMALIZED line keys (whitespace fold — trim +
+    * collapse runs to one space — then NFC): the RefinedWeb refinement
+    * for boilerplate that arrives trivially reformatted, where the same
+    * footer shows up with doubled spaces on one template and a
+    * decomposed accent on another, so each RAW spelling stays under the
+    * frequency threshold while the page element itself is corpus-wide.
+    * The frequency dictionary keys on the normalized form; surviving
+    * lines keep their ORIGINAL bytes. Same scale shape: normalization is
+    * per-row JVM (typed flatMap — no SQL UDF), the only extra cost over
+    * [[lineDedup]] is the key computation on the scan. */
+  def lineDedupNormalized(df: DataFrame, id: String, text: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df
+      .select(col(id).cast("long").as("_id"), col(text).as("_t"))
+      .as[(Long, String)]
+      .flatMap { case (i, t) =>
+        t.split("\n", -1).iterator.zipWithIndex.map { case (l, p) =>
+          (i, p, l,
+            graft.functions.TextFunctions.nfc(l.trim.replaceAll("\\s+", " ")))
+        }
+      }
+      .toDF("_id", "_pos", "_line", "_key")
+    lineDedupFromLines(lines, maxDocFreq)
+  }
+
+  /** Shared tail of the line-dedup family: distinct-doc frequency over
+    * `_key`, dictionary filtered to the dropped set before the flagging
+    * join (broadcast-sized build side), bounded per-doc reassembly. */
+  private def lineDedupFromLines(lines: DataFrame,
+      maxDocFreq: Long): DataFrame = {
+    val dropped = lines.groupBy(col("_key"))
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") > maxDocFreq)
-      .select(col("_line"), lit(true).as("_hit"))
-    val flagged = lines.join(dropped, Seq("_line"), "left")
+      .select(col("_key"), lit(true).as("_hit"))
+    val flagged = lines.join(dropped, Seq("_key"), "left")
       .withColumn("_drop", coalesce(col("_hit"), lit(false)))
     flagged.groupBy(col("_id"))
       .agg(sort_array(collect_list(

@@ -145,6 +145,35 @@ object StreamingQueries {
       dir
     })
 
+  /** Stage documents as one parquet FILE PER "DAY" (day = doc_id % nDays
+    * — closed-form, so the oracle can reconstruct every document's day),
+    * with strictly increasing whole-second mod-times so the
+    * file-per-trigger source replays day 0..n−1 in order. This is the
+    * arrival shape q169b's event-time retention horizon is defined over:
+    * one micro-batch per day, watermark advancing a day per batch. */
+  private def stageDocsByDay(s: SparkSession, d: String, nDays: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"docs-day-$nDays"), {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val dir = TempDirs.create("graft_stream_docs_day")
+      (0 until nDays).foreach { day =>
+        val tmp = TempDirs.create(s"graft_stream_docs_day_tmp$day")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % nDays === day)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = Paths.get(dir, f"day$day%02d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis((1000000L + day) * 1000L))
+      }
+      dir
+    })
+
   private def docStream(s: SparkSession, dir: String): DataFrame =
     s.readStream
       .schema("doc_id LONG, text STRING")
@@ -438,6 +467,51 @@ object StreamingQueries {
     },
     // the claim IS incremental ≡ batch: q62's exact-Jaccard oracle
     Some(TextOps.jaccardSql(0.9)))
+
+  /** q169b: q169 WITH A STATE LIFECYCLE (streaming.BoundedLsh) — the
+    * bounded form a continuously-ingesting service runs: bucket
+    * membership lives inside an event-time retention horizon (lazy
+    * eviction at access + event-time timeout deleting silent buckets),
+    * so the LSH index holds the horizon's arrivals, never corpus
+    * history. The fixture assigns each document a "day" (doc_id % 4,
+    * closed-form), stages one file per day with ordered mod-times, and
+    * runs watermark delay 0 — so at each micro-batch exactly the
+    * previous day is retained and the emitted candidates are "same
+    * bucket, arrival days ≤ 1 apart". The oracle is q62's exact-Jaccard
+    * SQL RESTRICTED to that horizon — the recall trade is stated, not
+    * hidden, and both sides of it are under the hash (at sf0.01 the
+    * unbounded form carries 5 extra beyond-horizon pairs that must NOT
+    * appear; at sf0.1, 87). State-size boundedness is asserted in
+    * StreamingQueriesSpec via the state operator's numRowsTotal. */
+  private val q169b = NamedQuery(
+    "q169b_streaming_neardup_bounded",
+    (s, d) => {
+      import s.implicits._
+      val dir = stageDocsByDay(s, d, nDays = 4)
+      val candidates = withStatePartitions(s, 8) {
+        // day d → ts (d+1)·86400 s: the +1 keeps day 0 strictly ABOVE the
+        // initial watermark (0) — the late-row filter before a stateful op
+        // drops rows AT the watermark, so an epoch-0 event time would
+        // silently exclude day 0 from candidate discovery
+        val keys = Dedup.bandKeys(docStream(s, dir), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8)
+          .withColumn("ts",
+            timestamp_seconds((col("doc_id") % 4 + 1) * 86400))
+          .withWatermark("ts", "0 seconds")
+        val pairs = keys.as[(Long, Int, Long, java.sql.Timestamp)]
+          .groupByKey { case (_, band, sig, _) => (band, sig) }
+          .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+            graft.streaming.BoundedLsh.onBucket)
+          .toDF("id_a", "id_b")
+        runToSink(s, pairs, OutputMode.Append(), Seq("id_a", "id_b"))
+      }
+      Dedup.verifyCandidates(Tables.documents(s, d), candidates,
+        "doc_id", "text", n = 3, threshold = 0.9)
+    },
+    Some(s"""SELECT id_a, id_b, common, jaccard FROM (
+      ${TextOps.jaccardSql(0.9)}) AS unb
+      WHERE abs(id_a % 4 - id_b % 4) <= 1"""))
 
   /** q124: STREAMING DEDUP ≡ batch DISTINCT under the hash gate. The
     * staged replay delivers every event twice (second copy in later
@@ -756,5 +830,5 @@ object StreamingQueries {
       "AS t(\"check\", threshold, pass)"))
 
   val all: Seq[NamedQuery] =
-    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168, q169)
+    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168, q169, q169b)
 }

@@ -678,6 +678,68 @@ object TextOps {
         CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       FROM fl GROUP BY doc_id"""))
 
+  /** q166b: line dedup under NORMALIZED keys (Dedup.lineDedupNormalized
+    * — whitespace fold + NFC), the RefinedWeb refinement q166 leaves
+    * open: boilerplate that arrives trivially reformatted. The planted
+    * page carries (1) a near-unique header, (2) a corpus-wide footer in
+    * THREE raw spellings — precomposed é, decomposed e+◌́, and an
+    * extra-whitespace variant — that share one normalized form, (3) the
+    * distinguishing line: 'x <doc_id%100>' whose two spacing variants
+    * alternate by floor(doc_id/100)%2, so at sf0.01 each RAW spelling
+    * appears in ≤3 docs (under the threshold — raw line dedup KEEPS it)
+    * while the normalized form appears in 5 (> 3 — normalized dedup must
+    * drop it), and (4) a near-unique tail. Survivors keep ORIGINAL
+    * bytes; the oracle states the same rule with DuckDB's nfc_normalize
+    * over the folded line, so the key normalization itself is under the
+    * hash. */
+  private val q166b = NamedQuery(
+    "q166b_line_dedup_normalized",
+    (s, d) => {
+      val id = col("doc_id")
+      val b = substring(col("text"), 1, 12)
+      val footer = when(id % 3 === 0, lit("caf\u00e9 ltd \u00a9 2026"))
+        .when(id % 3 === 1, lit("cafe\u0301 ltd \u00a9 2026"))
+        .otherwise(lit(" caf\u00e9  ltd \u00a9 2026 "))
+      val xline = when(floor(id / 100) % 2 === 0,
+          concat(lit("x "), (id % 100).cast("string")))
+        .otherwise(concat(lit("x  "), (id % 100).cast("string")))
+      val pages = Tables.documents(s, d).select(id,
+        concat_ws("\n",
+          concat(lit("h "), b), footer, xline,
+          concat(lit("t "), b)).as("text"))
+      Dedup.lineDedupNormalized(pages, "doc_id", "text", maxDocFreq = 3)
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 12) AS b FROM documents),
+      pages AS (SELECT doc_id,
+          'h ' || b || chr(10) ||
+          CASE doc_id % 3
+            WHEN 0 THEN 'caf' || chr(233) || ' ltd ' || chr(169) || ' 2026'
+            WHEN 1 THEN 'cafe' || chr(769) || ' ltd ' || chr(169) || ' 2026'
+            ELSE ' caf' || chr(233) || '  ltd ' || chr(169) || ' 2026 ' END
+          || chr(10) ||
+          CASE CAST(FLOOR(doc_id/100.0) AS BIGINT) % 2
+            WHEN 0 THEN 'x ' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE 'x  ' || CAST(doc_id % 100 AS VARCHAR) END
+          || chr(10) ||
+          't ' || b AS text
+        FROM d),
+      arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM pages),
+      lines AS (SELECT doc_id, unnest(a) AS line,
+          generate_subscripts(a, 1) AS pos FROM arr),
+      keyed AS (SELECT doc_id, pos, line,
+          nfc_normalize(regexp_replace(trim(line), '\s+', ' ', 'g')) AS k
+        FROM lines),
+      drp AS (SELECT k FROM keyed GROUP BY k
+          HAVING COUNT(DISTINCT doc_id) > 3),
+      fl AS (SELECT l.doc_id, l.pos, l.line, (p.k IS NOT NULL) AS dropped
+        FROM keyed l LEFT JOIN drp p USING (k))
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+          chr(10) ORDER BY pos), '') AS clean_text,
+        CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM fl GROUP BY doc_id"""))
+
   /** q170: HTML → text extraction (TextFunctions.htmlToText — the WET-
     * style entry stage of a web corpus, a single-pass JVM state machine
     * run per row, never a SQL UDF). The gate plants a full page per
@@ -837,5 +899,5 @@ object TextOps {
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166, q170, q171, q172)
+      q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172)
 }

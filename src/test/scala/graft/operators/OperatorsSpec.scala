@@ -180,6 +180,28 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((5L, "", 0L, 1L)))
   }
 
+  test("lineDedupNormalized collapses reformatted/decomposed boilerplate; " +
+      "survivors keep original bytes") {
+    // the footer appears in 3 raw spellings (composed, decomposed, extra
+    // whitespace) — raw df is 1 each (kept by lineDedup) but the shared
+    // normalized key has df 3 (> 2 → dropped by the normalized form)
+    val pages = Seq(
+      (1L, "body  one\ncaf\u00e9 footer"),
+      (2L, "body two\ncafe\u0301 footer"),
+      (3L, "body three\n  caf\u00e9   footer ")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.lineDedup(pages, "doc_id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(raw(1L)._4 === 0L) // raw keys: every footer spelling unique
+    val out = Dedup.lineDedupNormalized(pages, "doc_id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // footers dropped via the shared normalized key; surviving body lines
+    // keep their ORIGINAL bytes (doc 1's double space intact)
+    assert(out(1L) === ((1L, "body  one", 1L, 1L)))
+    assert(out(2L) === ((2L, "body two", 1L, 1L)))
+    assert(out(3L) === ((3L, "body three", 1L, 1L)))
+  }
+
   test("row-local bandKeys equal the batch groupBy band signatures") {
     import org.apache.spark.sql.functions._
     val (n, k, bands) = (3, 32, 8)

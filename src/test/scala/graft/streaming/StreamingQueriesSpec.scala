@@ -30,4 +30,60 @@ class StreamingQueriesSpec extends SparkSpec {
     val b = SparkEntry.queries("q93_incremental_windows")(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("BoundedLsh: horizon pairing and a bounded state size (q169b's core)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // doc ids encode their day (doc_id = day*100 + k). Each day carries:
+    //  - one CHAIN doc (k=1): identical text every day → same buckets, so
+    //    a stale member would pair across ≥2 days and expose broken
+    //    eviction; working eviction yields exactly the (d−1, d) chain
+    //  - two UNIQUE docs (k=2,3): same text within the day, unique across
+    //    days → 8 fresh buckets per day that must TIME OUT, so the final
+    //    state row count is bounded by the horizon, not by history
+    val nDays = 10
+    val chainText = "the persistent chain document text repeats every day verbatim"
+    def docs(d: Int): Seq[(Long, String)] = {
+      // every token carries the day, so unique texts share ZERO shingles
+      // across days — cross-day bucket collisions would otherwise inject
+      // legitimate LSH candidates this raw-candidate assertion can't see
+      // past (the registered query exact-verifies; this spec does not)
+      val u = (0 until 11).map(i => s"tok$d-$i").mkString(" ")
+      Seq((d * 100L + 1, chainText), (d * 100L + 2, u), (d * 100L + 3, u))
+    }
+    val stream = MemoryStream[(Long, String)]
+    // day d → ts (d+1)·86400 s: day 0 must sit strictly above the initial
+    // watermark (0) or the stateful op's late-row filter drops it
+    val keys = graft.operators.Dedup.bandKeys(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8)
+      .withColumn("ts",
+        timestamp_seconds((floor(col("doc_id") / lit(100)) + 1) * 86400))
+      .withWatermark("ts", "0 seconds")
+    val pairs = keys.as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, band, sig, _) => (band, sig) }
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        graft.streaming.BoundedLsh.onBucket)
+      .toDF("id_a", "id_b")
+    val q = pairs.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("blsh_pairs").start()
+    (0 until nDays).foreach { d => stream.addData(docs(d)); q.processAllAvailable() }
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val got = spark.sql("SELECT DISTINCT id_a, id_b FROM blsh_pairs")
+      .as[(Long, Long)].collect().toSet
+    val expected =
+      (1 until nDays).map(d => ((d - 1) * 100L + 1, d * 100L + 1)).toSet ++
+        (0 until nDays).map(d => (d * 100L + 2, d * 100L + 3)).toSet
+    // inclusion of Δ=1 chain links AND exclusion of every Δ≥2 pair: the
+    // emitted set is the observable of the retained state
+    assert(got === expected)
+    // unique-day buckets must have timed out: only the chain's 8 buckets
+    // plus the last ~3 days' unique buckets may remain, never all 88
+    assert(stateRows <= 40, s"state not bounded: $stateRows rows retained")
+  }
 }
