@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * (round-3 bench showed code-identical queries moving 0.8→7 s), and the
   * min over two reps is the steady-state number the plan actually earns. */
 object Bench {
+  /** One measured query: min is the reported number; reps + the loadavg
+    * sampled just before the first rep are measurement provenance. */
+  private final case class BenchRow(name: String, min: Double, ok: Boolean,
+      reps: Seq[Double], loadavg: String)
+
   private def loadavgNow(): String = try {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
@@ -47,21 +52,33 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    // contention defense (round-13 driver artifact lesson): min-of-2
+    // cannot tell a slow plan from a loaded host when BOTH reps are
+    // contended, and suite-start contention lands on the alphabetically
+    // first queries. So (a) the first queries of the run get a third rep,
+    // and (b) bench_full.json records every rep plus the per-query
+    // loadavg, so a contaminated run self-documents instead of reading
+    // as a regression.
+    val firstFamilyReps = 8
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
+        val qReps = if (idx < firstFamilyReps) reps.max(3) else reps
+        val laq = loadavgNow()
+        val times = (1 to qReps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      (name, times.map(_._1).min, times.forall(_._2))
+        BenchRow(name, times.map(_._1).min, times.forall(_._2),
+          times.map(_._1), laq)
     }
-    val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
+    val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_.min).sum else 0.0
     // measurement provenance: a contended box inflates every query
     // uniformly (~2× observed round 8), so the artifact records the
     // 1/5/15-min load averages AT EXIT plus the wall-clock window — a
@@ -91,10 +108,16 @@ object Bench {
     // full-precision, every-query line → bench_full.json at the repo root
     // (swept into the round snapshot commit), because the driver's
     // artifact capture keeps only the last ~2000 chars of stdout
-    val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val fullQs = results.map(r => s"\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
+    // per-rep arrays + per-query loadavg: "queries" stays name -> min so
+    // the sweep tools keep parsing; the detail map is additive
+    val fullDetail = results.map { r =>
+      val repsJson = r.reps.map(v => f"$v%.3f").mkString("[", ",", "]")
+      s"\"${r.name}\":{\"reps\":$repsJson,\"loadavg\":\"${r.loadavg}\"}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir",$prov}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_detail":$fullDetail,"failed":$failed,"sf":"$sfDir",$prov}"""
     // anchor to the repo root (env override first, then the build's
     // user.dir if it holds build.sbt, else CWD) so running the bench from
     // another directory doesn't scatter the artifact
@@ -111,12 +134,12 @@ object Bench {
     // ms precision, slowest-first, remainder counted in queries_omitted
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val fams = results
-      .groupBy(r => SparkEntry.family.getOrElse(r._1, "other"))
+      .groupBy(r => SparkEntry.family.getOrElse(r.name, "other"))
       .toSeq.sortBy(_._1)
-      .map { case (f, rs) => s"\"$f\":${r3(rs.map(_._2).sum)}" }
+      .map { case (f, rs) => s"\"$f\":${r3(rs.map(_.min).sum)}" }
       .mkString("{", ",", "}")
-    val entries = results.sortBy(-_._2)
-      .map { case (k, v, _) => s"\"$k\":${r3(v)}" }
+    val entries = results.sortBy(-_.min)
+      .map(r => s"\"${r.name}\":${r3(r.min)}")
     def line(take: Int): String = {
       val qs = entries.take(take).mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","failed":$failed,$prov,"families":$fams,"queries_omitted":${entries.size - take},"queries":$qs,"full":"bench_full.json"}"""

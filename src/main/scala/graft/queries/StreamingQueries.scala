@@ -392,18 +392,30 @@ object StreamingQueries {
     * screens new shards with. The per-shard (doc, bench) overlap counts
     * are FINAL because staging range-partitions by doc_id (a document
     * never splits across files), so every micro-batch upserts complete
-    * rows; the final sink must equal the whole-corpus batch query. */
+    * rows; the final sink must equal the whole-corpus batch query.
+    *
+    * The benchmark side is a FIXED-SIZE suite (doc_id % 12 == 0 AND
+    * doc_id < 6000 — round 14): a deployment screens arriving shards
+    * against a bounded benchmark set, it does not grow the broadcast
+    * with the corpus. The cap covers every document at the gated SFs
+    * (max doc_id 4999 at sf0.1), so correctness rows are unchanged
+    * there, while at swept GenScale tilings (doc ids offset by 10k per
+    * copy) the broadcast stays the original suite and the sweep measures
+    * linear-in-replay cost instead of the round-13 fixture artifact
+    * (bench side scaling with the corpus drove the 1.09 slope). */
   private val q168 = NamedQuery(
     "q168_streaming_decontamination",
     (s, d) => {
       val dir = stageDocs(s, d, nFiles = 4)
       val benchSh = Dedup.shingleSet(
-          Tables.documents(s, d).filter(col("doc_id") % 12 === 0),
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 12 === 0 && col("doc_id") < 6000),
           "doc_id", "text", 3)
         .select(col("doc_id").as("bench_id"), col("shingle"))
         .localCheckpoint()
       withStatePartitions(s, 8) {
-        val corpus = docStream(s, dir).filter(col("doc_id") % 12 =!= 0)
+        val corpus = docStream(s, dir)
+          .filter(col("doc_id") % 12 =!= 0 || col("doc_id") >= 6000)
         val joined = Dedup.shingleSet(corpus, "doc_id", "text", 3)
           .join(broadcast(benchSh), Seq("shingle"))
           .select(col("doc_id"), col("bench_id"))
@@ -416,8 +428,9 @@ object StreamingQueries {
     Some(s"""WITH t AS (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
              FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)),
-      c AS (SELECT * FROM sh WHERE doc_id % 12 != 0),
-      b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 12 = 0)
+      c AS (SELECT * FROM sh WHERE doc_id % 12 != 0 OR doc_id >= 6000),
+      b AS (SELECT doc_id AS bench_id, shingle FROM sh
+            WHERE doc_id % 12 = 0 AND doc_id < 6000)
       SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
       FROM c JOIN b USING (shingle)
       GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
