@@ -106,5 +106,75 @@ object CurationOps {
         COUNT(DISTINCT url_canon) AS n_urls
       FROM canon GROUP BY domain"""))
 
-  val all: Seq[NamedQuery] = Seq(q173, q174, q175)
+  /** q176: the CRAWL-CURATION FUNNEL end to end — the composed dataflow a
+    * web-corpus team actually runs, under one hash gate (the q122 pattern
+    * applied to the web side): .warc.gz member stream → Content-Length
+    * record walk (phantom-boundary trap included) → HTTP envelope split →
+    * jusText-style main-content extraction → URL canonicalization →
+    * registrable domain. Per-row JVM (mapPartitions) for the container
+    * and HTML stages, pure codegen'd expression chains for the URL
+    * stages — each stage is the registered operator, and a framing,
+    * extraction, or canonicalization error anywhere in the chain flips
+    * the hash. Shuffle-free end to end. */
+  private val q176 = NamedQuery(
+    "q176_crawl_curation_funnel",
+    (s, d) => {
+      import s.implicits._
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+          translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+          it.map { case (id, b1, b2) =>
+            val html = "<body><ul>" +
+              "<li><a href=\"/\">Home</a></li>" +
+              "<li><a href=\"/a\">About</a></li>" +
+              "<li><a href=\"/c\">Contact</a></li></ul>" +
+              "<p>prose " + b1 +
+              " with plenty of ordinary words and no anchors</p>" +
+              "<p>Read <a href=\"/more\">more</a> about " + b2 + " here</p>" +
+              "<div><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></div>" +
+              "</body>"
+            // the messy on-crawl URI the canonicalizer must clean
+            val uri = "HTTP://WWW.Site" + (id % 20) + ".COM:80/doc/" + id +
+              "/?utm_source=feed&id=" + id + "&fbclid=x#top"
+            val trap = ("config:\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+              "Content-Length: 4\r\n\r\nfake\r\n\r\n").getBytes(L1)
+            val warc = graft.sources.Warc.writeGz(Seq(
+              (Seq("WARC-Type" -> "warcinfo"), trap),
+              (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
+                graft.sources.Warc.httpResponse(html.getBytes(L1), "text/html"))))
+            val (u, main, kept, dropped) = graft.sources.Warc.recordsGz(warc)
+              .filter(_.recordType.contains("response"))
+              .flatMap(r => graft.sources.Warc.httpBody(r.payload).map { b =>
+                val (m, k, dr) = graft.functions.TextFunctions
+                  .htmlMainContent(new String(b, L1), tokensPerLink = 4)
+                (r.targetUri.getOrElse(""), m, k, dr)
+              }).head
+            (id, u, main, kept, dropped)
+          }
+        }
+        .toDF("doc_id", "uri_raw", "text_main", "n_kept", "n_dropped")
+      val canon = UrlCuration.canonicalizeUrl(col("uri_raw"))
+      staged.select(col("doc_id"),
+        canon.as("url_canon"),
+        UrlCuration.registrableDomain(UrlCuration.hostOf(canon)).as("domain"),
+        col("text_main"), col("n_kept"), col("n_dropped"))
+    },
+    Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
+          replace(substr(text, 1, 10), ' ', '_') AS b1,
+          replace(substr(text, 11, 10), ' ', '_') AS b2 FROM documents)
+      SELECT doc_id,
+        'http://site' || k || '.com/doc/' || CAST(doc_id AS VARCHAR) ||
+          '?id=' || CAST(doc_id AS VARCHAR) AS url_canon,
+        'site' || k || '.com' AS domain,
+        'prose ' || b1 || ' with plenty of ordinary words and no anchors'
+          || chr(10) || 'Read more about ' || b2 || ' here' AS text_main,
+        CAST(2 AS BIGINT) AS n_kept,
+        CAST(4 AS BIGINT) AS n_dropped
+      FROM d"""))
+
+  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176)
 }

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Assemble SCALE_SWEEP.json for round 14: first decade (sf0.1 -> sf1)
+from the two full bench artifacts, second decade (sf1 -> sf10) from the
+per-query times of the restricted sf10 run against the same sf1 run.
+
+Inputs:
+  /root/repo/bench_full.json            sf0.1 artifact of record
+  /tmp/benchroot_sf1/bench_full.json    full suite at the sf1 tiling
+  /tmp/benchroot_sf10/bench_full.json   restricted set at the sf10 tiling
+"""
+import json
+import statistics
+
+small = json.load(open('/root/repo/bench_full.json'))
+big = json.load(open('/tmp/benchroot_sf1/bench_full.json'))
+sf10 = json.load(open('/tmp/benchroot_sf10/bench_full.json'))
+
+a, b, c = small['queries'], big['queries'], sf10['queries']
+shared = sorted(set(a) & set(b))
+rows = [{
+    'query': k,
+    't_small': round(a[k], 3), 't_big': round(b[k], 3),
+    'ratio': round(b[k] / a[k], 2),
+    'slope': round(b[k] / a[k] / 10, 3),
+} for k in shared]
+rows.sort(key=lambda r: -r['slope'])
+tot_a, tot_b = sum(a[k] for k in shared), sum(b[k] for k in shared)
+
+second = [{
+    'query': k,
+    't_sf1': round(b[k], 3), 't_sf10': round(c[k], 3),
+    'ratio': round(c[k] / b[k], 2),
+    'slope': round(c[k] / b[k] / 10, 3),
+} for k in sorted(c) if k in b]
+second.sort(key=lambda r: -r['slope'])
+
+note = ("Second decade (sf1 -> sf10, data_ratio 10, GenScale "
+        "disjoint-key/vocabulary-bijection/rotation tiling: 200k vectors / "
+        "500k documents / 60M lineitem), measured on round-14 code for the "
+        "round-13 carry set (q22/q27/q28/q88/q97/q121/q122/q133/q142/q143/"
+        "q149) PLUS everything round 14 added or re-fixtured: q29 (planted "
+        "sparse-shelf survivor stratum - gate now carries rows), q168 "
+        "(FIXED-size benchmark side since round 14: the sweep now measures "
+        "linear-in-replay cost, the round-13 1.09 slope was the growing-"
+        "broadcast fixture artifact), q169b (bounded streaming LSH - state "
+        "inside the retention horizon), q166b (normalized-key line dedup), "
+        "q173-q176 (URL canonicalization / domain curation / crawl-curation "
+        "funnel). Heap 24 GiB, 32 threads, reps=2 (min) at both SFs.")
+
+first_note = (
+    "sf0.1 side is the committed bench_full.json artifact of record "
+    "(round-14 Bench: first 8 queries get a third rep; per-rep arrays + "
+    "per-query loadavg recorded in queries_detail). sf1 side is a "
+    "same-config quiet run (24 GiB, 32 threads, reps=2, min). Slopes "
+    "<= 1.0 are at-or-below linear scaling; the minCells-floor "
+    "transition of the cell-partitioned near-dup path (q88/q97 "
+    "marginally > 1 in THIS decade only) is documented in round 13's "
+    "verdict and unchanged.")
+
+merged = {
+    'sf_small': small.get('sf'), 'sf_big': big.get('sf'),
+    'note': first_note,
+    'data_ratio': 10.0,
+    'total_small_sec': round(tot_a, 1), 'total_big_sec': round(tot_b, 1),
+    'total_ratio': round(tot_b / tot_a, 2),
+    'median_slope': round(statistics.median(r['slope'] for r in rows), 3),
+    'queries': rows,
+    'sf1_to_sf10': {'note': note, 'queries': second},
+}
+json.dump(merged, open('/root/repo/SCALE_SWEEP.json', 'w'), indent=1)
+over = [(r['query'], r['slope']) for r in rows if r['slope'] > 1]
+print('first decade:', round(tot_a, 1), '->', round(tot_b, 1),
+      'ratio', round(tot_b / tot_a, 2),
+      'median', merged['median_slope'], 'superlinear:', over)
+print('first-decade top:', [(r['query'], r['slope']) for r in rows[:8]])
+print('second decade:')
+for r in second:
+    print(f"  {r['query']:45s} {r['t_sf1']:8.2f} -> {r['t_sf10']:8.2f} "
+          f"slope {r['slope']}")
