@@ -104,7 +104,7 @@ object Bench {
         .asScala.map(_.getName).mkString("+")
     }
     val prov =
-      s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""
+      s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"reps_first$firstFamilyReps":${reps.max(3)},"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""
     // full-precision, every-query line → bench_full.json at the repo root
     // (swept into the round snapshot commit), because the driver's
     // artifact capture keeps only the last ~2000 chars of stdout
@@ -113,7 +113,10 @@ object Bench {
     // per-rep arrays + per-query loadavg: "queries" stays name -> min so
     // the sweep tools keep parsing; the detail map is additive
     val fullDetail = results.map { r =>
-      val repsJson = r.reps.map(v => f"$v%.3f").mkString("[", ",", "]")
+      // locale-independent formatting (f"%.3f" honors the default locale
+      // and would emit comma decimals on e.g. de_DE, corrupting the JSON)
+      val repsJson = r.reps.map(v => (math.rint(v * 1000) / 1000).toString)
+        .mkString("[", ",", "]")
       s"\"${r.name}\":{\"reps\":$repsJson,\"loadavg\":\"${r.loadavg}\"}"
     }.mkString("{", ",", "}")
     val fullJson =

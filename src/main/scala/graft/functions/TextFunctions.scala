@@ -244,6 +244,9 @@ object TextFunctions {
       n
     }
 
+    def isAsciiAlpha(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
     def tagNameAt(pos: Int): String = {
       var k = pos + 1
       if (k < n && html.charAt(k) == '/') k += 1
@@ -278,11 +281,13 @@ object TextFunctions {
             (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val e = html.indexOf('>', i + 1) // HTML5 bogus comment
           i = if (e < 0) n else e + 1
-        } else if (i + 1 >= n || !(html.charAt(i + 1).isLetter ||
+        } else if (i + 1 >= n || !(isAsciiAlpha(html.charAt(i + 1)) ||
             html.charAt(i + 1) == '/')) {
-          // HTML5: '<' not followed by a letter, '/', '!' or '?' is
-          // literal text ("3 < 4", unescaped '<' in real crawls) — emit
-          // it instead of silently swallowing prose up to the next '>'
+          // HTML5: '<' not followed by an ASCII letter, '/', '!' or '?'
+          // is literal text ("3 < 4", unescaped '<' in real crawls) —
+          // emit it instead of swallowing prose up to the next '>'. The
+          // tag-open rule is ASCII alpha SPECIFICALLY: '<' before a
+          // Greek/Cyrillic/CJK letter is also literal text
           out.append('<')
           i += 1
         } else {

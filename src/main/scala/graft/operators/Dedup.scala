@@ -106,6 +106,13 @@ object Dedup {
   def lineDedupNormalized(df: DataFrame, id: String, text: String,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // the typed normalization pass encodes ids as Long; a lossy cast
+    // would turn non-numeric ids into NULLs SILENTLY (nothing dropped,
+    // all docs collapsed onto one null key) — fail loudly instead
+    val idType = df.schema(id).dataType
+    require(Seq("long", "integer", "short", "byte")
+        .contains(idType.typeName),
+      s"lineDedupNormalized needs an integral id column, got $id: $idType")
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df
@@ -113,8 +120,13 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (i, t) =>
         t.split("\n", -1).iterator.zipWithIndex.map { case (l, p) =>
-          (i, p, l,
-            graft.functions.TextFunctions.nfc(l.trim.replaceAll("\\s+", " ")))
+          // collapse runs FIRST, then strip edge SPACES only — the
+          // collapse turns every \s (tabs included) into ' ', so the
+          // space-only edge strip matches the SQL mirror
+          // trim(regexp_replace(line, '\s+', ' ', 'g')) exactly (Java
+          // String.trim would also eat non-\s control chars and diverge)
+          (i, p, l, graft.functions.TextFunctions.nfc(
+            l.replaceAll("\\s+", " ").replaceAll("^ +| +$", "")))
         }
       }
       .toDF("_id", "_pos", "_line", "_key")

@@ -43,9 +43,12 @@ object UrlCuration {
     *      survivors (no reordering: `?a=1&b=2` and `?b=2&a=1` are
     *      different resources on some servers, so reordering would
     *      over-merge);
-    *   5. drop a now-empty `?`, the slash directly before a `?`, and a
-    *      single trailing slash — the three shapes parameter stripping
-    *      leaves behind.
+    *   5. drop a now-empty `?`, slashes directly before the FIRST `?`
+    *      (the path/query boundary — `/path/?q` ≡ `/path?q`), and
+    *      trailing slashes when the URL has no query. Both rules are
+    *      anchored to the boundary/end with a `[^?]*` prefix so a `/?`
+    *      or trailing `/` inside a query VALUE (`?next=/login/?to=x`,
+    *      `?dir=/tmp/`) is never touched — the query is data.
     *
     * Idempotent: canonical input passes through unchanged.
     */
@@ -67,8 +70,13 @@ object UrlCuration {
     val t1 = regexp_replace(joined, s"(?i)&($TrackingKeys)=[^&#]*", "")
     val t2 = regexp_replace(t1, s"(?i)\\?($TrackingKeys)=[^&#]*&", "?")
     val t3 = regexp_replace(t2, s"(?i)\\?($TrackingKeys)=[^&#]*$$", "")
-    val noSlashQ = regexp_replace(regexp_replace(t3, "\\?$", ""), "/\\?", "?")
-    regexp_replace(noSlashQ, "/$", "")
+    val noEmptyQ = regexp_replace(t3, "\\?$", "")
+    // path/query boundary only: [^?]* pins the match to the FIRST '?'
+    val noSlashQ =
+      regexp_replace(noEmptyQ, "^([^?]*[^/?])/+\\?", "$1?")
+    // trailing slashes only when there is no query ([^?]* must span the
+    // whole prefix); one-or-more so '//'-padded paths stay idempotent
+    regexp_replace(noSlashQ, "^([^?]*[^/?])/+$", "$1")
   }
 
   /** Host (authority minus any port) of a canonical URL. */
@@ -87,13 +95,16 @@ object UrlCuration {
   /** Registrable domain ("eTLD+1") of a host: one label more than the
     * matched public suffix — `sub.domain.org` → `domain.org`,
     * `news.site.co.uk` → `site.co.uk`. Single-label hosts (`localhost`)
-    * pass through unchanged. */
+    * and IPv4-literal hosts pass through unchanged — an IP has no
+    * registrable suffix, and taking its "last two labels" would merge
+    * every host sharing a /16 into one curation domain. */
   def registrableDomain(host: Column): Column = {
+    val isIp = host.rlike("^[0-9]+(\\.[0-9]+){3}$")
     val isMulti = host.rlike(s"(^|\\.)($MultiSuffix)\\.($MultiSuffixTld)$$")
     val dom = when(isMulti,
         regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-    when(dom === "", host).otherwise(dom)
+    when(isIp || dom === "", host).otherwise(dom)
   }
 
   /** Keep at most `cap` rows per domain, by ascending `order` — the

@@ -727,7 +727,7 @@ object TextOps {
       lines AS (SELECT doc_id, unnest(a) AS line,
           generate_subscripts(a, 1) AS pos FROM arr),
       keyed AS (SELECT doc_id, pos, line,
-          nfc_normalize(regexp_replace(trim(line), '\s+', ' ', 'g')) AS k
+          nfc_normalize(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS k
         FROM lines),
       drp AS (SELECT k FROM keyed GROUP BY k
           HAVING COUNT(DISTINCT doc_id) > 3),

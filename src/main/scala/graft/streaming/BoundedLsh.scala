@@ -55,10 +55,16 @@ object BoundedLsh {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
       val wm = state.getCurrentWatermarkMs()
+      val arrivedTs = rows.map(r => (r._1, r._4.getTime)).toSeq
+        .groupMapReduce(_._1)(_._2)(math.max)
+      // a re-delivered member is not a new pair source, but it IS fresh
+      // evidence of recency: refresh its stored event time so its
+      // horizon runs from last-seen, not first-seen (otherwise a doc
+      // seen yesterday AND today would be evicted as if it were stale)
       val prior = retain(state.getOption.getOrElse(Seq.empty), wm)
+        .map { case (mid, ts) => (mid, math.max(ts, arrivedTs.getOrElse(mid, ts))) }
       val priorIds = prior.map(_._1).toSet
-      val fresh = rows.map(r => (r._1, r._4.getTime)).toSeq
-        .distinct.sortBy(_._1)
+      val fresh = arrivedTs.toSeq.sortBy(_._1)
         .filterNot(m => priorIds(m._1))
       val retained = prior ++ fresh
       if (retained.isEmpty) { state.remove(); Iterator.empty }

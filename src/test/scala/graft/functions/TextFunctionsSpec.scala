@@ -146,6 +146,10 @@ class GraphemeChunkSpec extends SparkSpec {
     assert(f("trailing <") === "trailing <")
     // '<' + digit is literal too
     assert(f("<p>size <3 hearts</p>") === "size <3 hearts")
+    // tag-open is ASCII alpha SPECIFICALLY: '<' before a non-ASCII letter
+    // is literal text, not a tag that swallows prose to the next '>'
+    assert(f("<p>\u03b5 <\u03b4 whenever x &gt; 0</p>") ===
+      "\u03b5 <\u03b4 whenever x > 0")
   }
 
   test("htmlBlocks counts anchors per block; htmlMainContent applies the ratio rule") {

@@ -188,7 +188,7 @@ class DedupSpec extends SparkSpec {
     val pages = Seq(
       (1L, "body  one\ncaf\u00e9 footer"),
       (2L, "body two\ncafe\u0301 footer"),
-      (3L, "body three\n  caf\u00e9   footer ")
+      (3L, "body three\n\tcaf\u00e9  footer ") // tab-led, respaced variant
     ).toDF("doc_id", "text")
     val raw = Dedup.lineDedup(pages, "doc_id", "text", maxDocFreq = 2)
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap

@@ -55,19 +55,37 @@ class UrlCurationSpec extends SparkSpec {
     val raw = Seq(
       "HTTP://WWW.Example.COM:80/path/?utm_source=n&id=7&fbclid=a#s",
       "https://News.Site.CO.UK:443/a/b/?gclid=123",
-      "http://plain.net/q?x=1")
+      "http://plain.net/q?x=1",
+      "http://a.com//",
+      "http://a.com/p//?x=1")
     val once = canon(raw: _*)
     assert(canon(once: _*) === once)
   }
 
+  test("canonicalizeUrl never rewrites query VALUES; slash cleanup is " +
+      "boundary-anchored") {
+    assert(canon(
+      "http://a.com/r?next=/login/?to=home", // '/?' inside a value
+      "http://a.com/p?dir=/tmp/",            // trailing '/' inside a value
+      "http://a.com/p//?x=1",                // boundary slashes DO collapse
+      "http://a.com//") === Seq(
+      "http://a.com/r?next=/login/?to=home",
+      "http://a.com/p?dir=/tmp/",
+      "http://a.com/p?x=1",
+      "http://a.com"))
+  }
+
   test("registrableDomain: eTLD+1 incl. multi-label suffixes and bare hosts") {
     val got = Seq("sub.deep.domain.org", "news.site.co.uk", "x.gov.au",
-      "plain.net", "localhost")
+      "plain.net", "localhost", "93.184.216.34")
       .toDF("h")
       .select(UrlCuration.registrableDomain(col("h")).as("d"))
       .as[String].collect().toSeq
+    // an IPv4 literal has no registrable suffix: it must pass through,
+    // never collapse to its "last two labels" (which would merge every
+    // host in a /16 into one curation domain)
     assert(got === Seq("domain.org", "site.co.uk", "x.gov.au",
-      "plain.net", "localhost"))
+      "plain.net", "localhost", "93.184.216.34"))
   }
 
   test("domainCap keeps the cap lowest-ordered rows per domain") {

@@ -86,4 +86,30 @@ class StreamingQueriesSpec extends SparkSpec {
     // plus the last ~3 days' unique buckets may remain, never all 88
     assert(stateRows <= 40, s"state not bounded: $stateRows rows retained")
   }
+
+  test("BoundedLsh: re-delivery refreshes recency — horizon runs from " +
+      "last-seen, not first-seen") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val day = 86400000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day)
+    // member 1 first seen day 1; re-delivered day 2 (watermark day 1):
+    // no pair (not a new member), but its stored event time must move
+    val s1 = TestGroupState.create[Seq[(Long, Long)]](
+      Optional.of(Seq((1L, 1 * day))), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(1 * day), false)
+    val out1 = graft.streaming.BoundedLsh.onBucket((0, 0L),
+      Iterator((1L, 0, 0L, ts(2))), s1).toList
+    assert(out1.isEmpty)
+    assert(s1.get === Seq((1L, 2 * day)))
+    // member 2 arrives day 3 (watermark day 2): member 1 was last seen
+    // day 2, so it is still inside the horizon and the pair emits —
+    // without the refresh it would be evicted on its day-1 first-seen ts
+    val s2 = TestGroupState.create[Seq[(Long, Long)]](
+      Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(2 * day), false)
+    val out2 = graft.streaming.BoundedLsh.onBucket((0, 0L),
+      Iterator((2L, 0, 0L, ts(3))), s2).toList
+    assert(out2 === List((1L, 2L)))
+  }
 }
