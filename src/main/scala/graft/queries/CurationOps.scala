@@ -176,5 +176,48 @@ object CurationOps {
         CAST(4 AS BIGINT) AS n_dropped
       FROM d"""))
 
-  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176)
+  /** q177: robots.txt access control (functions.Robots — RFC 9309) over
+    * canonical paths: three planted per-domain policy variants (nested
+    * Allow-under-Disallow longest-match, `$`-anchored and bare-prefix
+    * wildcard rules, and a specific-token group the `*` crawler must NOT
+    * inherit) against five planted paths — all 15 (policy, path) cells
+    * of the truth table land under the hash. Policies are per-domain and
+    * tiny next to the corpus, so the rule sets parse once per variant
+    * (memoized per partition — the broadcast shape) and apply as a
+    * per-row JVM predicate; shuffle-free. */
+  private val q177 = NamedQuery(
+    "q177_robots_filter",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 3).as("c3"),
+          (col("doc_id") % 5).as("c5"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          val txts = Array(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+            "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp\n",
+            "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow:\n")
+          val paths = Array("/private/pub/x", "/private/doc",
+            "/docs/file.pdf", "/tmpfile", "/")
+          val cache = scala.collection.mutable.Map
+            .empty[Int, Seq[graft.functions.Robots.Rule]]
+          it.map { case (id, c3, c5) =>
+            val rules = cache.getOrElseUpdate(c3.toInt,
+              graft.functions.Robots.parse(txts(c3.toInt)))
+            val p = paths(c5.toInt)
+            (id, p, graft.functions.Robots.isAllowed(rules, p))
+          }
+        }
+        .toDF("doc_id", "path", "allowed")
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN '/private/pub/x'
+          WHEN 1 THEN '/private/doc' WHEN 2 THEN '/docs/file.pdf'
+          WHEN 3 THEN '/tmpfile' ELSE '/' END AS path,
+        NOT ((doc_id % 3 = 0 AND doc_id % 5 = 1) OR
+             (doc_id % 3 = 1 AND doc_id % 5 IN (2, 3))) AS allowed
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176, q177)
 }
