@@ -219,5 +219,113 @@ object CurationOps {
              (doc_id % 3 = 1 AND doc_id % 5 IN (2, 3))) AS allowed
       FROM documents"""))
 
-  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176, q177)
+  /** q180: WET conversion sink — the OUTPUT container of the web funnel
+    * (Common Crawl publishes extraction results as `.warc.wet.gz`:
+    * `WARC-Type: conversion` records, source page in `WARC-Target-URI`,
+    * payload = extracted UTF-8 text). Each task packs its rows into
+    * 64-record member-stream containers (Warc.wetRecord → writeGz), reads
+    * every container back through the Content-Length walker (recordsGz),
+    * re-derives doc_id FROM the read-back URI and the text from the
+    * read-back payload bytes — so framing, member compression, header
+    * round-trip, and UTF-8 payload encoding (the planted text is
+    * non-ASCII) all sit under the driver's hash against the closed-form
+    * oracle. Per-partition JVM work, shuffle-free, bounded memory (one
+    * 64-record container in flight per task). */
+  private val q180 = NamedQuery(
+    "q180_wet_sink_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+          it.grouped(64).flatMap { batch =>
+            val gz = graft.sources.Warc.writeGz(batch.map { case (id, t) =>
+              graft.sources.Warc.wetRecord(
+                "http://corpus.example/doc/" + id, "wét © " + t)
+            })
+            graft.sources.Warc.recordsGz(gz)
+              .filter(_.recordType.contains("conversion"))
+              .map { r =>
+                val uri = r.targetUri.getOrElse("")
+                (uri.substring(uri.lastIndexOf('/') + 1).toLong, uri,
+                  new String(r.payload, Utf8), r.payload.length.toLong)
+              }
+          }
+        }
+        .toDF("doc_id", "uri", "wet_text", "n_bytes")
+    },
+    Some("""SELECT doc_id,
+        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        'wét © ' || substr(text, 1, 40) AS wet_text,
+        CAST(strlen('wét © ' || substr(text, 1, 40)) AS BIGINT) AS n_bytes
+      FROM documents"""))
+
+  /** q181: charset detection + decode (Warc.sniffCharset / decodeText) —
+    * real crawls are NOT all UTF-8, and the funnel's entry decode must
+    * apply the WHATWG precedence: BOM > HTTP Content-Type charset >
+    * `<meta>` declaration in the first 1024 bytes > windows-1252 default,
+    * with the latin1/iso-8859-1 label family decoding as its cp1252
+    * SUPERSET (legacy pages declare latin-1 then emit € at 0x80). Five
+    * planted variants — UTF-8 BOM, header-declared UTF-8, meta-declared
+    * iso-8859-1 carrying a cp1252-only €, UTF-16LE BOM, and an undeclared
+    * cp1252 page — each routed through a REAL WARC response record + HTTP
+    * envelope (httpHeader/httpBody), with the detected charset name and
+    * the decoded text under the hash. Per-row JVM predicate,
+    * shuffle-free. */
+  private val q181 = NamedQuery(
+    "q181_charset_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5).as("c"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          import java.nio.charset.Charset
+          import java.nio.charset.StandardCharsets._
+          val Cp1252 = Charset.forName("windows-1252")
+          val W = graft.sources.Warc
+          it.map { case (id, c) =>
+            val m = "doc" + id
+            val (ct, body) = c match {
+              case 0 => ("text/html",
+                Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+                  ("café © " + m).getBytes(UTF_8))
+              case 1 => ("text/html; charset=UTF-8",
+                ("naïve Ω " + m).getBytes(UTF_8))
+              case 2 => ("text/html",
+                ("<html><head><meta http-equiv=\"Content-Type\" " +
+                  "content=\"text/html; charset=iso-8859-1\"></head>" +
+                  "café € " + m).getBytes(Cp1252))
+              case 3 => ("text/html",
+                Array(0xFF, 0xFE).map(_.toByte) ++
+                  ("Ω λ " + m).getBytes(UTF_16LE))
+              case _ => ("text/html",
+                ("© résumé " + m).getBytes(Cp1252))
+            }
+            val rec = W.write(Seq((Seq("WARC-Type" -> "response"),
+              W.httpResponse(body, ct))))
+            val payload = W.records(rec).head.payload
+            val ctBack = W.httpHeader(payload, "Content-Type")
+            val b = W.httpBody(payload).get
+            (id, W.sniffCharset(ctBack, b).name(), W.decodeText(ctBack, b))
+          }
+        }
+        .toDF("doc_id", "charset", "decoded")
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-8'
+          WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'UTF-16LE'
+          ELSE 'windows-1252' END AS charset,
+        CASE doc_id % 5
+          WHEN 0 THEN 'café © doc' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'naïve Ω doc' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head>café € doc' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'Ω λ doc' || CAST(doc_id AS VARCHAR)
+          ELSE '© résumé doc' || CAST(doc_id AS VARCHAR)
+        END AS decoded
+      FROM documents"""))
+
+  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176, q177, q180, q181)
 }

@@ -111,6 +111,104 @@ object Warc {
     None
   }
 
+  /** A named header of an HTTP response payload (status line + header
+    * block up to the first CRLFCRLF), matched case-insensitively per RFC
+    * 9110. None for non-HTTP payloads, unterminated header blocks, or an
+    * absent header — header bytes decode as ISO-8859-1 like the WARC
+    * header block (no multi-byte decode before the body is framed). */
+  def httpHeader(payload: Array[Byte], name: String): Option[String] = {
+    if (!new String(payload, 0, math.min(5, payload.length), Latin1)
+        .startsWith("HTTP/")) return None
+    var end = -1
+    var i = 0
+    while (end < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') end = i
+      i += 1
+    }
+    if (end < 0) return None
+    new String(payload, 0, end, Latin1).split("\r\n").iterator.drop(1)
+      .map { h => val c = h.indexOf(':'); if (c > 0)
+        (h.substring(0, c).trim, h.substring(c + 1).trim) else ("", "") }
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  }
+
+  /** A WET "conversion" record — the text-extraction output container
+    * crawl pipelines publish alongside `.warc.gz` (Common Crawl's
+    * `.warc.wet.gz`): `WARC-Type: conversion`, the source page carried in
+    * `WARC-Target-URI`, payload = the extracted plain text as UTF-8.
+    * Feed a batch of these to [[writeGz]] for the seekable member-stream
+    * shape WET files actually ship in. */
+  def wetRecord(uri: String, text: String): (Seq[(String, String)], Array[Byte]) =
+    (Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> uri,
+      "Content-Type" -> "text/plain"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val CharsetParamRe =
+    "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)".r
+
+  /** WHATWG Encoding-registry label → JVM charset. The load-bearing
+    * registry rule for crawls: the `latin1` / `iso-8859-1` / `ascii`
+    * label FAMILY decodes as windows-1252 (its superset — real pages
+    * declare latin-1 and then emit 0x80-0x9F curly quotes and the euro
+    * sign, which latin-1 proper maps to control characters). Unknown or
+    * JVM-unsupported labels return None so the caller's precedence chain
+    * falls through to the next evidence source. */
+  def charsetForLabel(label: String): Option[java.nio.charset.Charset] = {
+    val mapped = label.trim.toLowerCase match {
+      case "latin1" | "latin-1" | "latin_1" | "iso-8859-1" | "iso8859-1" |
+           "iso_8859-1" | "l1" | "ascii" | "us-ascii" => "windows-1252"
+      case other => other
+    }
+    scala.util.Try(java.nio.charset.Charset.forName(mapped)).toOption
+  }
+
+  /** Charset sniffing for an archived HTTP text payload, WHATWG
+    * precedence: a byte-order mark (UTF-8 / UTF-16LE / UTF-16BE — a BOM
+    * overrides every declaration) > a `charset` parameter in the HTTP
+    * `Content-Type` header > a `<meta charset=…>` / `http-equiv` charset
+    * declaration within the first 1024 bytes (scanned as ISO-8859-1;
+    * every registered declaration syntax is ASCII-compatible) >
+    * windows-1252, the WHATWG default real crawl pipelines fall back to
+    * (NOT the JVM's UTF-8 default — undeclared legacy pages are
+    * overwhelmingly cp1252). */
+  def sniffCharset(contentType: Option[String],
+      body: Array[Byte]): java.nio.charset.Charset = {
+    import java.nio.charset.StandardCharsets._
+    def b(i: Int) = body(i) & 0xFF
+    if (body.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) UTF_8
+    else if (body.length >= 2 && b(0) == 0xFF && b(1) == 0xFE) UTF_16LE
+    else if (body.length >= 2 && b(0) == 0xFE && b(1) == 0xFF) UTF_16BE
+    else contentType
+      .flatMap(ct => CharsetParamRe.findFirstMatchIn(ct).map(_.group(1)))
+      .flatMap(charsetForLabel)
+      .orElse {
+        val prefix = new String(body, 0, math.min(1024, body.length), Latin1)
+        "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)".r
+          .findFirstMatchIn(prefix).map(_.group(1)).flatMap(charsetForLabel)
+      }
+      .getOrElse(java.nio.charset.Charset.forName("windows-1252"))
+  }
+
+  /** Decode an archived HTTP text body to a String via [[sniffCharset]],
+    * stripping the byte-order mark when one drove the detection (the BOM
+    * is an encoding signature, not content). */
+  def decodeText(contentType: Option[String], body: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets._
+    val cs = sniffCharset(contentType, body)
+    // strip only a BOM that is actually present — a header-declared
+    // UTF-16 body with no BOM must keep its first two content bytes
+    val skip =
+      if (cs == UTF_8 && body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
+        (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF) 3
+      else if (cs == UTF_16LE && body.length >= 2 &&
+        (body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xFE) 2
+      else if (cs == UTF_16BE && body.length >= 2 &&
+        (body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF) 2
+      else 0
+    new String(body, skip, body.length - skip, cs)
+  }
+
   /** Serialize records with spec framing (version line, headers with a
     * computed Content-Length, CRLFCRLF, payload, CRLFCRLF) — the writer
     * that certifies [[records]] in WarcSpec and builds q172's fixture. */

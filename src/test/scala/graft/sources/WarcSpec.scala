@@ -93,4 +93,69 @@ class WarcSpec extends AnyFunSuite {
     val truncated = "HTTP/1.1 200 OK\r\nContent-Type: text/html".getBytes(L1)
     assert(Warc.httpBody(truncated) === None)
   }
+
+  test("httpHeader finds headers case-insensitively; None off the happy path") {
+    val payload = Warc.httpResponse("body".getBytes(L1), "text/html; charset=UTF-8")
+    assert(Warc.httpHeader(payload, "content-TYPE") ===
+      Some("text/html; charset=UTF-8"))
+    assert(Warc.httpHeader(payload, "X-Absent") === None)
+    assert(Warc.httpHeader("not http".getBytes(L1), "Content-Type") === None)
+    assert(Warc.httpHeader("HTTP/1.1 200 OK\r\nA: b".getBytes(L1), "A") === None)
+  }
+
+  test("WET conversion records round-trip URI and UTF-8 text through .gz members") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val gz = Warc.writeGz(Seq(
+      Warc.wetRecord("http://a/1", "wét text © Ω"),
+      Warc.wetRecord("http://a/2", "plain")))
+    val back = Warc.recordsGz(gz)
+    assert(back.map(_.recordType) === Seq(Some("conversion"), Some("conversion")))
+    assert(back.map(_.targetUri) === Seq(Some("http://a/1"), Some("http://a/2")))
+    assert(back.map(r => new String(r.payload, utf8)) ===
+      Seq("wét text © Ω", "plain"))
+    assert(back.head.header("Content-Type") === Some("text/plain"))
+  }
+
+  test("charset sniffing follows WHATWG precedence: BOM > header > meta > cp1252") {
+    import java.nio.charset.StandardCharsets._
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    // a BOM overrides a contradicting header declaration
+    assert(Warc.sniffCharset(Some("text/html; charset=iso-8859-1"),
+      bom ++ "x".getBytes(UTF_8)) === UTF_8)
+    assert(Warc.sniffCharset(None,
+      Array(0xFF, 0xFE).map(_.toByte) ++ "x".getBytes(UTF_16LE)) === UTF_16LE)
+    assert(Warc.sniffCharset(None,
+      Array(0xFE, 0xFF).map(_.toByte) ++ "x".getBytes(UTF_16BE)) === UTF_16BE)
+    // header beats meta
+    val meta = "<html><meta charset=\"koi8-r\">hi".getBytes(L1)
+    assert(Warc.sniffCharset(Some("text/html; charset=UTF-8"), meta) === UTF_8)
+    // meta beats the default (both syntaxes)
+    assert(Warc.sniffCharset(Some("text/html"), meta).name() === "KOI8-R")
+    val httpEquiv = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=utf-8\">").getBytes(L1)
+    assert(Warc.sniffCharset(None, httpEquiv) === UTF_8)
+    // undeclared → windows-1252, NOT the JVM default
+    assert(Warc.sniffCharset(Some("text/html"), "plain".getBytes(L1)).name()
+      === "windows-1252")
+    // the WHATWG superset rule: the latin1 label family decodes as cp1252
+    assert(Warc.sniffCharset(Some("text/html; charset=latin-1"),
+      "x".getBytes(L1)).name() === "windows-1252")
+    // an unknown label falls through to the next evidence source
+    assert(Warc.sniffCharset(Some("text/html; charset=bogus-enc"), meta)
+      .name() === "KOI8-R")
+  }
+
+  test("decodeText strips only a BOM that is present; cp1252 maps 0x80 to €") {
+    import java.nio.charset.StandardCharsets._
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    assert(Warc.decodeText(None, bom ++ "café".getBytes(UTF_8)) === "café")
+    // header-declared UTF-16LE WITHOUT a BOM keeps its first content bytes
+    assert(Warc.decodeText(Some("text/plain; charset=UTF-16LE"),
+      "AB".getBytes(UTF_16LE)) === "AB")
+    assert(Warc.decodeText(None,
+      Array(0xFF, 0xFE).map(_.toByte) ++ "Ωλ".getBytes(UTF_16LE)) === "Ωλ")
+    // iso-8859-1-declared € (0x80) survives via the cp1252 superset
+    assert(Warc.decodeText(Some("text/html; charset=iso-8859-1"),
+      Array(0x80.toByte)) === "€")
+  }
 }
