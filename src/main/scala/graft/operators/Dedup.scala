@@ -64,6 +64,39 @@ object Dedup {
         length(col("norm_text")).as("n_chars"))
   }
 
+  /** Quality-ranked CANONICAL SELECTION over exact-duplicate clusters —
+    * the keep-BEST survivor policy of production corpus dedup (RefinedWeb
+    * keeps the longest copy of a duplicated page; FineWeb the highest-
+    * quality-scored one) where [[exact]]/[[exactNormalized]] keep min-id.
+    * Documents group under NFC canonical equivalence; the survivor is the
+    * copy with the HIGHEST `quality`, ties broken by LOWEST id, so
+    * selection is deterministic for any tie pattern.
+    *
+    * Scale shape: identical to [[exact]] — ONE content-key groupBy whose
+    * partial aggregation carries a single (quality, −id) champion per key
+    * per map partition (`max_by` over a struct ordering), so a page
+    * duplicated across a million hosts ships one candidate per map task,
+    * never a per-key window or sort. */
+  def keepBest(df: DataFrame, id: String, text: String,
+      quality: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = df
+      .select(col(id).cast("long").as("_id"), col(text).as("_text"),
+        col(quality).cast("double").as("_q"))
+      .as[(Long, String, Double)]
+      .mapPartitions(_.map { case (i, t, q) =>
+        (i, graft.functions.TextFunctions.nfc(t), q) })
+      .toDF("_id", "norm_text", "_q")
+    normed.groupBy(col("norm_text"))
+      .agg(
+        max_by(col("_id"), struct(col("_q"), -col("_id"))).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("_q")).as("best_quality"))
+      .select(col("keep_id"), col("n_copies"), col("best_quality"),
+        length(col("norm_text")).as("n_chars"))
+  }
+
   /** Line-level corpus dedup — the boilerplate pass (CCNet-style line
     * dedup / the RefinedWeb "remove lines repeated across many pages"
     * rule): drop every line whose DISTINCT-DOCUMENT frequency exceeds

@@ -896,8 +896,45 @@ object TextOps {
           'item one') AS BIGINT) AS n_chars
       FROM d"""))
 
+  /** q179: quality-ranked canonical selection (Dedup.keepBest) — the
+    * keep-BEST survivor policy (RefinedWeb keeps the longest duplicate,
+    * FineWeb the best-scored one) vs q60/q162's keep-min-id. Each
+    * document expands to 1 + (doc_id % 3) byte-identical variant copies
+    * with distinct ids and a closed-form quality score ((vid·37) % 101 —
+    * distinct within every cluster, so the argmax is unique and the
+    * min-id tiebreak stays exercised by the clusters of size 1); the
+    * oracle re-derives the winner with a rank window. A survivor policy
+    * drift (max vs min, wrong tiebreak) or a lost/duplicated cluster
+    * flips the hash. Scale shape: the expansion is a generator
+    * projection; the selection is ONE content-key groupBy with a
+    * map-side (quality, −id) champion — no window, no sort. */
+  private val q179 = NamedQuery(
+    "q179_dedup_keep_best",
+    (s, d) => {
+      val vid = col("doc_id") * 10 + col("v")
+      val variants = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("v"))
+        .select(vid.as("vid"), col("text"),
+          ((vid * 37) % 101).cast(DoubleType).as("quality"))
+      Dedup.keepBest(variants, "vid", "text", "quality")
+        .withColumn("n_chars", col("n_chars").cast(LongType))
+    },
+    Some("""WITH v AS (SELECT doc_id * 10 + u.i AS vid, text,
+          CAST((doc_id * 10 + u.i) * 37 % 101 AS DOUBLE) AS quality
+        FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(i)),
+      r AS (SELECT vid, text, quality,
+          ROW_NUMBER() OVER (PARTITION BY text
+            ORDER BY quality DESC, vid) AS rn,
+          COUNT(*) OVER (PARTITION BY text) AS n_copies,
+          MAX(quality) OVER (PARTITION BY text) AS best_quality
+        FROM v)
+      SELECT vid AS keep_id, n_copies, best_quality,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM r WHERE rn = 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172)
+      q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172, q179)
 }

@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === 1L)
   }
 
+  test("keepBest keeps max-quality survivor, min-id on ties, NFC grouping") {
+    val copies = Seq(
+      (10L, "same page text", 2.0),
+      (11L, "same page text", 7.0),   // highest quality → survivor
+      (12L, "same page text", 7.0),   // quality tie with 11 → higher id loses
+      (20L, "café menu", 1.0),   // precomposed é …
+      (21L, "café menu", 3.0),  // … decomposed: same NFC cluster, wins
+      (30L, "unique doc", 5.0)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.keepBest(copies, "doc_id", "text", "q")
+      .select("keep_id", "n_copies", "best_quality")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(11L, 21L, 30L))
+    assert(out(11L) === ((11L, 3L, 7.0)))
+    assert(out(21L) === ((21L, 2L, 3.0)))
+    assert(out(30L) === ((30L, 1L, 5.0)))
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps order, counts both sides") {
     val pages = Seq(
       (1L, "alpha one\nboiler\nbody a\ntail 1"),
