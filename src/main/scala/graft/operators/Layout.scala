@@ -150,6 +150,57 @@ object Layout {
       .drop("_pid", "_local_cum")
   }
 
+  /** Contiguous global row ids 0..n−1 in `order`-column order — the
+    * "assign every training example a stable dense sample id" step a
+    * corpus needs before epoch replay, curriculum schedules, or
+    * checkpoint-resumable data loaders, where `monotonically_increasing_id`
+    * leaves per-partition gaps and `row_number() OVER (ORDER BY …)` plans
+    * a SINGLE-PARTITION sort (the global-window scale killer).
+    *
+    * Scale shape: [[rangeSorted]] establishes the total order (Spark's
+    * own sampled range exchange — the ONE sort-shuffle a 100 TB corpus
+    * can afford, parallel per-partition sorts), then `RDD.zipWithIndex`
+    * assigns the dense ids: one lightweight count job over the partition
+    * SIZES (the shuffle files are reused, nothing recomputes) and each
+    * partition's start offset is baked into its partition METADATA.
+    *
+    * Why not the two SQL-level alternatives:
+    *  - `row_number() OVER (PARTITION BY spark_partition_id())` plans a
+    *    SECOND full-data hash exchange to cluster by the pid;
+    *  - joining offsets keyed on `TaskContext` / `spark_partition_id()`
+    *    is WRONG under plan-shape changes: a downstream `coalesce(1)`
+    *    (the Verify dump does exactly this) or an AQE stage merge runs
+    *    many range partitions inside one task, so the runtime pid no
+    *    longer names the range bucket while the separately-evaluated
+    *    offsets side still does — ids silently scramble. zipWithIndex is
+    *    immune: offsets live per-partition, not per-task, and the range
+    *    boundaries are sampled exactly once on the materialized shuffle.
+    *
+    * The order columns must form a total order (callers append a unique
+    * id as tiebreak) so ids are deterministic under any partition-
+    * boundary placement. Adds `out` (LongType, non-null). */
+  def contiguousIds(df: DataFrame, order: Seq[Column], numPartitions: Int,
+      out: String = "sample_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = rangeSorted(df, order, numPartitions)
+    val indexed = sorted.rdd.zipWithIndex
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(indexed,
+      sorted.schema.add(out, LongType, nullable = false))
+  }
+
+  /** The order-establishing stage of [[contiguousIds]]: a sampled range
+    * exchange into `numPartitions` ascending key ranges + parallel
+    * within-partition sorts — global total order with no single-
+    * partition stage anywhere (PlanSpec-fenced via q178). */
+  def rangeSorted(df: DataFrame, order: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    require(order.nonEmpty, "rangeSorted needs at least one order column")
+    df.repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+  }
+
   /** Compaction plan: greedy first-fit binning of a file listing
     * `(orderCol, sizeCol)` into bins of ~`targetSize` bytes, preserving
     * `orderCol` order (so compacted files stay range-prunable). A file

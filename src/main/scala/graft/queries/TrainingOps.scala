@@ -333,6 +333,35 @@ object TrainingOps {
         COUNT(*) OVER (PARTITION BY h % 64) AS shard_size
       FROM h"""))
 
+  /** q178: deterministic epoch shuffle with CONTIGUOUS global sample ids
+    * (Layout.contiguousIds) — the step that turns a curated corpus into a
+    * replayable training order: a multiplicative-hash shuffle key gives a
+    * seeded pseudo-random permutation (pure integer arithmetic — the same
+    * order on any engine, any partitioning, any rerun), and every example
+    * gets a DENSE id 0..n−1 in that order, which is what checkpoint-
+    * resumable loaders ("skip the first k samples") and curriculum
+    * schedules key on. q130's shard `pos` is per-shard (64 bounded window
+    * groups); this is the GLOBAL numbering, whose naive plan —
+    * `row_number() OVER (ORDER BY key)` — is a single-partition sort.
+    * Scale shape: one sampled range exchange + per-partition numbering +
+    * a one-row-per-partition offset window broadcast back. */
+  private val q178 = NamedQuery(
+    "q178_epoch_shuffle_ids",
+    (s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+            .as("shuffle_key"))
+      graft.operators.Layout.contiguousIds(
+        keyed, Seq(col("shuffle_key"), col("doc_id")), 32)
+    },
+    Some("""WITH k AS (SELECT doc_id,
+          (doc_id * 2654435761) % 4294967296 AS shuffle_key
+        FROM documents)
+      SELECT doc_id, shuffle_key,
+        ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS sample_id
+      FROM k"""))
+
   val all: Seq[NamedQuery] =
-    Seq(q100, q101, q102, q103, q108, q111, q118, q129, q130, q164)
+    Seq(q100, q101, q102, q103, q108, q111, q118, q129, q130, q164, q178)
 }

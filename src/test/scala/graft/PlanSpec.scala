@@ -346,6 +346,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no window group limit:\n$plan")
   }
 
+  test("q178 global numbering never plans a single-partition sort") {
+    // contiguous sample ids must come from the two-pass form: a sampled
+    // RANGE exchange (parallel per-partition numbering) + the one-row-
+    // per-partition offsets broadcast back — the naive row_number() OVER
+    // (ORDER BY …) plan would surface as Exchange SinglePartition
+    // The numbering itself is RDD.zipWithIndex over the sorted stage
+    // (offsets in partition METADATA — immune to downstream coalesce /
+    // AQE stage merges, see Layout.contiguousIds scaladoc), so the fence
+    // is on the order-establishing stage: a sampled RANGE exchange with
+    // parallel per-partition sorts, no single-partition stage, no
+    // row_number window anywhere.
+    import org.apache.spark.sql.functions.col
+    val sorted = graft.operators.Layout.rangeSorted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          ((col("doc_id") * 2654435761L) % 4294967296L).as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")), 32)
+    val plan = finalPlan(sorted)
+    assert(plan.contains("rangepartitioning"),
+      s"order not established by a range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"order stage collapsed to one partition:\n$plan")
+    assert(!plan.contains("row_number()"),
+      s"numbering planned as a window:\n$plan")
+  }
+
   test("q173 canonicalization is a shuffle-free codegen'd projection") {
     // URL canonicalization + eTLD+1 are pure string expression chains; an
     // Exchange here means someone turned a scan projection into a shuffle

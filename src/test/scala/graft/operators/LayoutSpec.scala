@@ -150,6 +150,31 @@ class LayoutSpec extends SparkSpec {
     assert(nParts > 1, "prefix sum collapsed to one partition")
   }
 
+  test("contiguousIds assigns dense 0..n-1 ids in order, any partitioning") {
+    // permuted insert order + a non-monotonic key so range placement works
+    val rows = scala.util.Random.shuffle(
+      (0L until 3000L).map(i => (i, (i * 2654435761L) % 4294967296L)).toList)
+    val df = rows.toDF("id", "k").repartition(11)
+    val expect = rows.sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), rank) => id -> rank.toLong }.toMap
+    for (np <- Seq(1, 7, 32)) {
+      val got = Layout.contiguousIds(df, Seq(col("k"), col("id")), np)
+        .select("id", "sample_id").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"numPartitions=$np")
+    }
+    // ids are dense: exactly 0..n-1, no gaps or repeats
+    val ids = Layout.contiguousIds(df, Seq(col("k"), col("id")), 7)
+      .select("sample_id").as[Long].collect().sorted
+    assert(ids === (0L until 3000L).toArray)
+    // regression (the Verify-dump shape): a downstream coalesce(1) merges
+    // every range partition into ONE task — runtime-partition-id-based
+    // numbering scrambles here; zipWithIndex's per-partition metadata
+    // offsets must not
+    val coalesced = Layout.contiguousIds(df, Seq(col("k"), col("id")), 32)
+      .coalesce(1).select("id", "sample_id").as[(Long, Long)].collect().toMap
+    assert(coalesced === expect)
+  }
+
   test("compactionBins matches an independent greedy driver scan") {
     val target = 1000L
     val sizes = (1L to 400L).map(i => (i, 1L + (i * 613) % 700))
