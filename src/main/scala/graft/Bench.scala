@@ -12,15 +12,31 @@ import org.apache.spark.sql.SparkSession
   * min over two reps is the steady-state number the plan actually earns. */
 object Bench {
   /** One measured query: min is the reported number; reps + the loadavg
-    * sampled just before the first rep are measurement provenance. */
+    * sampled just before the first rep + the CPU-steal ticks accumulated
+    * across the reps are measurement provenance. */
   private final case class BenchRow(name: String, min: Double, ok: Boolean,
-      reps: Seq[Double], loadavg: String)
+      reps: Seq[Double], loadavg: String, stealTicks: Long)
 
   private def loadavgNow(): String = try {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .trim.split("\\s+").take(3).mkString(",")
   } catch { case _: Exception => "unavailable" }
+
+  /** Cumulative CPU-steal ticks (/proc/stat field 8) — the contention
+    * metric GUEST loadavg cannot see: on a VM, host-side neighbors steal
+    * cycles while the guest run queue (and loadavg) looks quiet, which is
+    * exactly the failure mode that made two round-13/14 artifacts read as
+    * regressions. Recorded as deltas per query and for the whole run;
+    * ticks are USER_HZ (100/s) summed across all CPUs, so
+    * pct ≈ delta / (cpus · elapsed · 100). -1 when /proc/stat is absent. */
+  private def stealTicksNow(): Long = try {
+    val first = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.next()
+    // "cpu  user nice system idle iowait irq softirq steal guest gnice"
+    first.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+  } catch { case _: Exception => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,10 +76,13 @@ object Bench {
     // loadavg, so a contaminated run self-documents instead of reading
     // as a regression.
     val firstFamilyReps = 8
+    val stealRunStart = stealTicksNow()
+    val runStartNanos = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
         val qReps = if (idx < firstFamilyReps) reps.max(3) else reps
         val laq = loadavgNow()
+        val steal0 = stealTicksNow()
         val times = (1 to qReps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -73,8 +92,12 @@ object Bench {
           }
           ((System.nanoTime() - t0) / 1e9, ok)
         }
+        val stealQ = (stealTicksNow(), steal0) match {
+          case (a, b) if a >= 0 && b >= 0 => a - b
+          case _ => -1L
+        }
         BenchRow(name, times.map(_._1).min, times.forall(_._2),
-          times.map(_._1), laq)
+          times.map(_._1), laq, stealQ)
     }
     val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
@@ -103,8 +126,18 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getName).mkString("+")
     }
+    // CPU-steal over the whole run: host-neighbor contention a guest's
+    // loadavg cannot see (ticks are USER_HZ=100/s summed across CPUs)
+    val stealRunEnd = stealTicksNow()
+    val elapsedSec = (System.nanoTime() - runStartNanos) / 1e9
+    val stealPct =
+      if (stealRunStart >= 0 && stealRunEnd >= 0 && elapsedSec > 0)
+        math.rint((stealRunEnd - stealRunStart) * 100.0 /
+          (Runtime.getRuntime.availableProcessors * elapsedSec * 100.0)
+          * 100) / 100
+      else -1.0
     val prov =
-      s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"reps_first$firstFamilyReps":${reps.max(3)},"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""
+      s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","steal_pct":$stealPct,"ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"reps_first$firstFamilyReps":${reps.max(3)},"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""
     // full-precision, every-query line → bench_full.json at the repo root
     // (swept into the round snapshot commit), because the driver's
     // artifact capture keeps only the last ~2000 chars of stdout
@@ -117,7 +150,8 @@ object Bench {
       // and would emit comma decimals on e.g. de_DE, corrupting the JSON)
       val repsJson = r.reps.map(v => (math.rint(v * 1000) / 1000).toString)
         .mkString("[", ",", "]")
-      s"\"${r.name}\":{\"reps\":$repsJson,\"loadavg\":\"${r.loadavg}\"}"
+      s"\"${r.name}\":{\"reps\":$repsJson,\"loadavg\":\"${r.loadavg}\"," +
+        s"\"steal_ticks\":${r.stealTicks}}"
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_detail":$fullDetail,"failed":$failed,"sf":"$sfDir",$prov}"""
