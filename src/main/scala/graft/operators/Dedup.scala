@@ -380,6 +380,31 @@ object Dedup {
     jaccardFromPairs(pairShingles, counts, threshold)
   }
 
+  /** Train/eval SPLIT-LEAKAGE audit: near-duplicate pairs that CROSS a
+    * split boundary — the contamination an id-hash split cannot prevent
+    * (hash splitting sends near-identical pages to different sides, so
+    * the eval split silently contains paraphrases of training documents;
+    * GPT-3's dedup post-mortem and every serious data card audit exactly
+    * this). Pair generation is [[minhashLshPairs]] (banded LSH, exact-
+    * verified, linear shuffle); each side's split label then joins back
+    * from a 2-column projection of the corpus (broadcast when it fits,
+    * plain equi-join at scale) and only boundary-crossing pairs survive.
+    * Emits (id_a, id_b, common, jaccard, split_a, split_b). */
+  def splitLeakage(df: DataFrame, id: String, text: String, split: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, id, text, n, numHashes, bands, threshold)
+    val sides = df.select(col(id).cast("long").as("_sid"),
+      col(split).as("_split"))
+    pairs
+      .join(sides.select(col("_sid").as("id_a"), col("_split").as("split_a")),
+        Seq("id_a"))
+      .join(sides.select(col("_sid").as("id_b"), col("_split").as("split_b")),
+        Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** The MinHash band signatures of [[minhashLshPairs]] computed ROW-
     * LOCALLY: tokens → n-gram shingles → per-hash minima → per-band XOR
     * fold, all as expressions over the single text value, emitting

@@ -900,14 +900,17 @@ object TextOps {
     * keep-BEST survivor policy (RefinedWeb keeps the longest duplicate,
     * FineWeb the best-scored one) vs q60/q162's keep-min-id. Each
     * document expands to 1 + (doc_id % 3) byte-identical variant copies
-    * with distinct ids and a closed-form quality score ((vid·37) % 101 —
-    * distinct within every cluster, so the argmax is unique and the
-    * min-id tiebreak stays exercised by the clusters of size 1); the
-    * oracle re-derives the winner with a rank window. A survivor policy
-    * drift (max vs min, wrong tiebreak) or a lost/duplicated cluster
-    * flips the hash. Scale shape: the expansion is a generator
-    * projection; the selection is ONE content-key groupBy with a
-    * map-side (quality, −id) champion — no window, no sort. */
+    * with distinct ids and a closed-form quality score of
+    * ((vid div 2)·37) % 101 — the integer halving makes variants v=0 and
+    * v=1 share a quality, so every 2-copy cluster and HALF the max
+    * contests in 3-copy clusters are genuine TIES at the top: the
+    * lowest-id tiebreak is under the hash on thousands of rows, not just
+    * on trivial singleton clusters. The oracle re-derives each winner
+    * with a rank window. A survivor policy drift (max vs min, wrong
+    * tiebreak direction) or a lost/duplicated cluster flips the hash.
+    * Scale shape: the expansion is a generator projection; the selection
+    * is ONE content-key groupBy with a map-side (quality, −id) champion —
+    * no window, no sort. */
   private val q179 = NamedQuery(
     "q179_dedup_keep_best",
     (s, d) => {
@@ -916,12 +919,13 @@ object TextOps {
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0L), col("doc_id") % 3)).as("v"))
         .select(vid.as("vid"), col("text"),
-          ((vid * 37) % 101).cast(DoubleType).as("quality"))
+          ((expr("(doc_id * 10 + v) div 2") * 37) % 101)
+            .cast(DoubleType).as("quality"))
       Dedup.keepBest(variants, "vid", "text", "quality")
         .withColumn("n_chars", col("n_chars").cast(LongType))
     },
     Some("""WITH v AS (SELECT doc_id * 10 + u.i AS vid, text,
-          CAST((doc_id * 10 + u.i) * 37 % 101 AS DOUBLE) AS quality
+          CAST(((doc_id * 10 + u.i) // 2) * 37 % 101 AS DOUBLE) AS quality
         FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(i)),
       r AS (SELECT vid, text, quality,
           ROW_NUMBER() OVER (PARTITION BY text
@@ -933,8 +937,41 @@ object TextOps {
         CAST(LENGTH(text) AS BIGINT) AS n_chars
       FROM r WHERE rn = 1"""))
 
+  /** q182: train/eval SPLIT-LEAKAGE audit (Dedup.splitLeakage) — the
+    * contamination an id-hash split cannot prevent: near-identical pages
+    * hash to different sides, so the eval split silently contains
+    * paraphrases of training documents. The fixture splits by the same
+    * multiplicative hash q101/q178 use (80% train / 20% eval) and the
+    * operator reports every exact-verified J ≥ 0.9 pair whose members sit
+    * on OPPOSITE sides (12 pairs at sf0.01, 82 at sf0.1 — nonzero and
+    * two-sided at both SFs by fixture construction). The oracle restates
+    * the whole funnel: exact-Jaccard pairs × the split CASE × the
+    * crossing filter. Scale shape: q62's banded-LSH pair generation (one
+    * linear shuffle) + two joins against a 2-column corpus projection
+    * (AQE broadcasts it at gate scale). */
+  private val q182 = NamedQuery(
+    "q182_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("split",
+          when((col("doc_id") * 2654435761L) % 100 < 80, "train")
+            .otherwise("eval"))
+      graft.operators.Dedup.splitLeakage(
+        docs, "doc_id", "text", "split", 3, 32, 8, 0.9)
+    },
+    Some(s"""WITH j AS (${jaccardSql(0.9)}),
+      x AS (SELECT id_a, id_b, common, jaccard,
+          CASE WHEN (id_a * 2654435761) % 100 < 80
+            THEN 'train' ELSE 'eval' END AS split_a,
+          CASE WHEN (id_b * 2654435761) % 100 < 80
+            THEN 'train' ELSE 'eval' END AS split_b
+        FROM j)
+      SELECT id_a, id_b, common, jaccard, split_a, split_b
+      FROM x WHERE split_a <> split_b"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
-      q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172, q179)
+      q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172, q179,
+      q182)
 }

@@ -281,6 +281,21 @@ class DedupSpec extends SparkSpec {
     assert(!cont.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("splitLeakage reports only near-dup pairs that cross the boundary") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", "train"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", "eval"),  // dup of 1, crossing
+      (3L, "the quick brown fox jumps over the lazy dog again and again today", "train"), // dup of 1, same side
+      (4L, "completely different content about spark engines and data pipelines here", "eval"),
+      (5L, "another unrelated document mentioning databases and queries only once", "train")
+    ).toDF("doc_id", "text", "split")
+    val out = Dedup.splitLeakage(corpus, "doc_id", "text", "split", 3, 32, 8, 0.9)
+      .select("id_a", "id_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect().toSet
+    // (1,2) and (2,3) cross; (1,3) is train-train and must NOT appear
+    assert(out === Set((1L, 2L, "train", "eval"), (2L, 3L, "eval", "train")))
+  }
+
   test("minhash LSH recovers the high-similarity pairs of exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
