@@ -29,7 +29,11 @@ object Bench {
     * exactly the failure mode that made two round-13/14 artifacts read as
     * regressions. Recorded as deltas per query and for the whole run;
     * ticks are USER_HZ (100/s) summed across all CPUs, so
-    * pct ≈ delta / (cpus · elapsed · 100). -1 when /proc/stat is absent. */
+    * pct ≈ delta / (cpus · elapsed · 100), with cpus = the count of cpuN
+    * lines in the SAME /proc/stat read ([[statCpus]]) — the aggregate
+    * line sums over every host-visible CPU, which can exceed what
+    * availableProcessors reports under a cgroup quota and would inflate
+    * the percentage. -1 when /proc/stat is absent. */
   private def stealTicksNow(): Long = try {
     val first = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/stat")), "UTF-8")
@@ -37,6 +41,17 @@ object Bench {
     // "cpu  user nice system idle iowait irq softirq steal guest gnice"
     first.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
   } catch { case _: Exception => -1L }
+
+  /** CPU count the aggregate /proc/stat line sums over (its cpuN lines) —
+    * the correct steal_pct denominator. Falls back to
+    * availableProcessors when /proc/stat is absent. */
+  private def statCpus(): Int = try {
+    val n = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.count(l => l.startsWith("cpu") &&
+        l.length > 3 && l.charAt(3).isDigit)
+    if (n > 0) n else Runtime.getRuntime.availableProcessors
+  } catch { case _: Exception => Runtime.getRuntime.availableProcessors }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,8 +148,7 @@ object Bench {
     val stealPct =
       if (stealRunStart >= 0 && stealRunEnd >= 0 && elapsedSec > 0)
         math.rint((stealRunEnd - stealRunStart) * 100.0 /
-          (Runtime.getRuntime.availableProcessors * elapsedSec * 100.0)
-          * 100) / 100
+          (statCpus() * elapsedSec * 100.0) * 100) / 100
       else -1.0
     val prov =
       s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","steal_pct":$stealPct,"ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"reps_first$firstFamilyReps":${reps.max(3)},"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""

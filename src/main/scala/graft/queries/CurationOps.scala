@@ -309,7 +309,10 @@ object CurationOps {
             val payload = W.records(rec).head.payload
             val ctBack = W.httpHeader(payload, "Content-Type")
             val b = W.httpBody(payload).get
-            (id, W.sniffCharset(ctBack, b).name(), W.decodeText(ctBack, b))
+            // one sniff serves both columns (detection is the hot path:
+            // BOM checks + header regex + up-to-1KB meta scan per row)
+            val (cs, bomLen) = W.sniffCharsetWithBom(ctBack, b)
+            (id, cs.name(), new String(b, bomLen, b.length - bomLen, cs))
           }
         }
         .toDF("doc_id", "charset", "decoded")

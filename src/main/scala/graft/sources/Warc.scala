@@ -98,14 +98,22 @@ object Warc {
     * headers-only envelope with no CRLFCRLF separator (a truncated HTTP
     * message is dropped like a truncated WARC record, not surfaced as a
     * "valid" empty body). */
-  def httpBody(payload: Array[Byte]): Option[Array[Byte]] = {
+  def httpBody(payload: Array[Byte]): Option[Array[Byte]] =
+    httpHeaderEnd(payload).map(end =>
+      java.util.Arrays.copyOfRange(payload, end + 4, payload.length))
+
+  /** Index of the first CRLFCRLF of an HTTP message payload (the end of
+    * the header block), or None when the payload is not HTTP or the
+    * block is unterminated — the ONE framing scanner [[httpBody]] and
+    * [[httpHeader]] both rule on, so a framing tweak (bounds, LF
+    * tolerance) can never make them disagree about the same payload. */
+  private def httpHeaderEnd(payload: Array[Byte]): Option[Int] = {
     if (!new String(payload, 0, math.min(5, payload.length), Latin1)
         .startsWith("HTTP/")) return None
     var i = 0
     while (i + 3 < payload.length) {
       if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-          payload(i + 2) == '\r' && payload(i + 3) == '\n')
-        return Some(java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') return Some(i)
       i += 1
     }
     None
@@ -116,22 +124,13 @@ object Warc {
     * 9110. None for non-HTTP payloads, unterminated header blocks, or an
     * absent header — header bytes decode as ISO-8859-1 like the WARC
     * header block (no multi-byte decode before the body is framed). */
-  def httpHeader(payload: Array[Byte], name: String): Option[String] = {
-    if (!new String(payload, 0, math.min(5, payload.length), Latin1)
-        .startsWith("HTTP/")) return None
-    var end = -1
-    var i = 0
-    while (end < 0 && i + 3 < payload.length) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-          payload(i + 2) == '\r' && payload(i + 3) == '\n') end = i
-      i += 1
+  def httpHeader(payload: Array[Byte], name: String): Option[String] =
+    httpHeaderEnd(payload).flatMap { end =>
+      new String(payload, 0, end, Latin1).split("\r\n").iterator.drop(1)
+        .map { h => val c = h.indexOf(':'); if (c > 0)
+          (h.substring(0, c).trim, h.substring(c + 1).trim) else ("", "") }
+        .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     }
-    if (end < 0) return None
-    new String(payload, 0, end, Latin1).split("\r\n").iterator.drop(1)
-      .map { h => val c = h.indexOf(':'); if (c > 0)
-        (h.substring(0, c).trim, h.substring(c + 1).trim) else ("", "") }
-      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-  }
 
   /** A WET "conversion" record — the text-extraction output container
     * crawl pipelines publish alongside `.warc.gz` (Common Crawl's
@@ -146,6 +145,8 @@ object Warc {
 
   private val CharsetParamRe =
     "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)".r
+  private val MetaCharsetRe =
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)".r
 
   /** WHATWG Encoding-registry label → JVM charset. The load-bearing
     * registry rule for crawls: the `latin1` / `iso-8859-1` / `ascii`
@@ -173,40 +174,42 @@ object Warc {
     * (NOT the JVM's UTF-8 default — undeclared legacy pages are
     * overwhelmingly cp1252). */
   def sniffCharset(contentType: Option[String],
-      body: Array[Byte]): java.nio.charset.Charset = {
+      body: Array[Byte]): java.nio.charset.Charset =
+    sniffCharsetWithBom(contentType, body)._1
+
+  /** [[sniffCharset]] plus the length of the BOM that drove the
+    * detection (0 when none did) — the single source of truth for BOM
+    * signatures, so detection and [[decodeText]]'s stripping can never
+    * drift: a header-declared UTF-16 body WITHOUT a BOM reports bomLen 0
+    * and keeps its first two content bytes. */
+  def sniffCharsetWithBom(contentType: Option[String],
+      body: Array[Byte]): (java.nio.charset.Charset, Int) = {
     import java.nio.charset.StandardCharsets._
     def b(i: Int) = body(i) & 0xFF
-    if (body.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) UTF_8
-    else if (body.length >= 2 && b(0) == 0xFF && b(1) == 0xFE) UTF_16LE
-    else if (body.length >= 2 && b(0) == 0xFE && b(1) == 0xFF) UTF_16BE
-    else contentType
-      .flatMap(ct => CharsetParamRe.findFirstMatchIn(ct).map(_.group(1)))
-      .flatMap(charsetForLabel)
-      .orElse {
-        val prefix = new String(body, 0, math.min(1024, body.length), Latin1)
-        "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)".r
-          .findFirstMatchIn(prefix).map(_.group(1)).flatMap(charsetForLabel)
-      }
-      .getOrElse(java.nio.charset.Charset.forName("windows-1252"))
+    if (body.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF)
+      (UTF_8, 3)
+    else if (body.length >= 2 && b(0) == 0xFF && b(1) == 0xFE) (UTF_16LE, 2)
+    else if (body.length >= 2 && b(0) == 0xFE && b(1) == 0xFF) (UTF_16BE, 2)
+    else {
+      val declared = contentType
+        .flatMap(ct => CharsetParamRe.findFirstMatchIn(ct).map(_.group(1)))
+        .flatMap(charsetForLabel)
+        .orElse {
+          val prefix = new String(body, 0, math.min(1024, body.length), Latin1)
+          MetaCharsetRe.findFirstMatchIn(prefix).map(_.group(1))
+            .flatMap(charsetForLabel)
+        }
+        .getOrElse(java.nio.charset.Charset.forName("windows-1252"))
+      (declared, 0)
+    }
   }
 
   /** Decode an archived HTTP text body to a String via [[sniffCharset]],
     * stripping the byte-order mark when one drove the detection (the BOM
     * is an encoding signature, not content). */
   def decodeText(contentType: Option[String], body: Array[Byte]): String = {
-    import java.nio.charset.StandardCharsets._
-    val cs = sniffCharset(contentType, body)
-    // strip only a BOM that is actually present — a header-declared
-    // UTF-16 body with no BOM must keep its first two content bytes
-    val skip =
-      if (cs == UTF_8 && body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
-        (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF) 3
-      else if (cs == UTF_16LE && body.length >= 2 &&
-        (body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xFE) 2
-      else if (cs == UTF_16BE && body.length >= 2 &&
-        (body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF) 2
-      else 0
-    new String(body, skip, body.length - skip, cs)
+    val (cs, bomLen) = sniffCharsetWithBom(contentType, body)
+    new String(body, bomLen, body.length - bomLen, cs)
   }
 
   /** Serialize records with spec framing (version line, headers with a
