@@ -30,28 +30,32 @@ object Bench {
     * regressions. Recorded as deltas per query and for the whole run;
     * ticks are USER_HZ (100/s) summed across all CPUs, so
     * pct ≈ delta / (cpus · elapsed · 100), with cpus = the count of cpuN
-    * lines in the SAME /proc/stat read ([[statCpus]]) — the aggregate
+    * lines in the SAME /proc/stat read ([[statSample]]) — the aggregate
     * line sums over every host-visible CPU, which can exceed what
     * availableProcessors reports under a cgroup quota and would inflate
     * the percentage. -1 when /proc/stat is absent. */
-  private def stealTicksNow(): Long = try {
-    val first = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
-      .linesIterator.next()
-    // "cpu  user nice system idle iowait irq softirq steal guest gnice"
-    first.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
-  } catch { case _: Exception => -1L }
+  private def stealTicksNow(): Long = statSample()._1
 
-  /** CPU count the aggregate /proc/stat line sums over (its cpuN lines) —
-    * the correct steal_pct denominator. Falls back to
-    * availableProcessors when /proc/stat is absent. */
-  private def statCpus(): Int = try {
-    val n = new String(java.nio.file.Files.readAllBytes(
+  /** ONE /proc/stat read → (cumulative steal ticks from the aggregate
+    * line, count of cpuN lines in that same read). Sampling both from
+    * the same read keeps the steal_pct denominator consistent with its
+    * numerator under mid-run CPU hotplug or cgroup-quota changes; the
+    * cpuN count is the set the aggregate line sums over (which can
+    * exceed availableProcessors under a quota). (-1, fallback) when
+    * /proc/stat is absent. */
+  private def statSample(): (Long, Int) = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/stat")), "UTF-8")
-      .linesIterator.count(l => l.startsWith("cpu") &&
-        l.length > 3 && l.charAt(3).isDigit)
-    if (n > 0) n else Runtime.getRuntime.availableProcessors
-  } catch { case _: Exception => Runtime.getRuntime.availableProcessors }
+    val lines = txt.linesIterator.toSeq
+    // "cpu  user nice system idle iowait irq softirq steal guest gnice"
+    val ticks = lines.head.trim.split("\\s+").drop(1).lift(7)
+      .map(_.toLong).getOrElse(-1L)
+    val n = lines.count(l => l.startsWith("cpu") &&
+      l.length > 3 && l.charAt(3).isDigit)
+    (ticks, if (n > 0) n else Runtime.getRuntime.availableProcessors)
+  } catch {
+    case _: Exception => (-1L, Runtime.getRuntime.availableProcessors)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,7 +112,7 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         val stealQ = (stealTicksNow(), steal0) match {
-          case (a, b) if a >= 0 && b >= 0 => a - b
+          case (a, b) if b >= 0 && a >= b => a - b // reset ⇒ -1 sentinel
           case _ => -1L
         }
         BenchRow(name, times.map(_._1).min, times.forall(_._2),
@@ -143,12 +147,14 @@ object Bench {
     }
     // CPU-steal over the whole run: host-neighbor contention a guest's
     // loadavg cannot see (ticks are USER_HZ=100/s summed across CPUs)
-    val stealRunEnd = stealTicksNow()
+    val (stealRunEnd, endCpus) = statSample()
     val elapsedSec = (System.nanoTime() - runStartNanos) / 1e9
+    // a counter reset (reboot/namespace change) reads as end < start:
+    // emit the -1 "unmeasurable" sentinel, never a negative percentage
     val stealPct =
-      if (stealRunStart >= 0 && stealRunEnd >= 0 && elapsedSec > 0)
+      if (stealRunStart >= 0 && stealRunEnd >= stealRunStart && elapsedSec > 0)
         math.rint((stealRunEnd - stealRunStart) * 100.0 /
-          (statCpus() * elapsedSec * 100.0) * 100) / 100
+          (endCpus * elapsedSec * 100.0) * 100) / 100
       else -1.0
     val prov =
       s""""loadavg":"$loadavg","loadavg_start":"$loadavgStart","steal_pct":$stealPct,"ended_at":"$endedAt","cpus":"$cpus","reps":$reps,"reps_first$firstFamilyReps":${reps.max(3)},"heap":"$heapFlags","heap_max_gb":$heapMaxGb,"gc":"$gcNames""""

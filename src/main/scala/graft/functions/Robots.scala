@@ -66,7 +66,11 @@ object Robots {
           case "allow" | "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules ::= Rule(value, key == "allow")
-          case _ => inAgents = false // sitemap etc.: ends the agent run
+          // other records (Sitemap:, Crawl-delay:, …) MUST NOT interfere
+          // with group parsing (RFC 9309 §2.2.4): in particular one
+          // between two consecutive User-agent: lines does not split the
+          // started group — only a rule line closes the agent run.
+          case _ => ()
         }
       }
     }

@@ -160,9 +160,13 @@ object Layout {
     * Scale shape: [[rangeSorted]] establishes the total order (Spark's
     * own sampled range exchange — the ONE sort-shuffle a 100 TB corpus
     * can afford, parallel per-partition sorts), then `RDD.zipWithIndex`
-    * assigns the dense ids: one lightweight count job over the partition
-    * SIZES (the shuffle files are reused, nothing recomputes) and each
-    * partition's start offset is baked into its partition METADATA.
+    * assigns the dense ids: a count job over the partitions first, then
+    * the indexed pass — the exchange WRITE is reused (nothing re-shuffles)
+    * but the per-partition sort stage runs twice over the shuffle read;
+    * each partition's start offset is baked into its partition METADATA.
+    * The DataFrame→RDD→DataFrame round-trip also severs the Catalyst
+    * plan at this boundary (no codegen fusion or pushdown across it) —
+    * the price of offsets that live per-partition rather than per-task.
     *
     * Why not the two SQL-level alternatives:
     *  - `row_number() OVER (PARTITION BY spark_partition_id())` plans a
@@ -183,6 +187,9 @@ object Layout {
       out: String = "sample_id"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
+    require(!df.columns.contains(out),
+      s"contiguousIds output column '$out' already exists in the input " +
+        s"(columns: ${df.columns.mkString(", ")}) — pass a distinct name")
     val sorted = rangeSorted(df, order, numPartitions)
     val indexed = sorted.rdd.zipWithIndex
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

@@ -24,11 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object UrlCuration {
 
-  /** Tracking-parameter keys stripped by canonicalization (the
-    * link-decoration families: Google/Urchin campaign tags, social click
-    * ids, mail-campaign ids, bare referrer tags). */
-  private val TrackingKeys =
-    "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src"
+  /** Tracking-parameter keys stripped by default: the link-decoration
+    * families that are tracking by construction (Google/Urchin campaign
+    * tags, social click ids, mail-campaign ids, Twitter's `ref_src`).
+    * Deliberately EXCLUDES bare `ref` — on code-hosting and docs sites
+    * `?ref=main` / `?ref=v2.1` selects content, so stripping it merges
+    * distinct resources; callers that know their corpus is
+    * campaign-decorated opt into [[AggressiveTrackingKeys]] instead. */
+  val ConservativeTrackingKeys: String =
+    "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src"
+
+  /** [[ConservativeTrackingKeys]] plus bare referrer tags (`ref`) — the
+    * over-strip-risk set: correct on social/newsletter-decorated corpora,
+    * wrong on hosts where `ref` is semantic. A policy call, so it is a
+    * caller parameter, never the silent default. */
+  val AggressiveTrackingKeys: String = ConservativeTrackingKeys + "|ref"
 
   /** Canonical form of an absolute URL, as a codegen'd expression chain:
     *
@@ -51,8 +61,14 @@ object UrlCuration {
     *      `?dir=/tmp/`) is never touched — the query is data.
     *
     * Idempotent: canonical input passes through unchanged.
+    *
+    * `trackingKeys` is the alternation of query-parameter keys treated
+    * as tracking decoration ([[ConservativeTrackingKeys]] default;
+    * [[AggressiveTrackingKeys]] adds bare `ref`).
     */
-  def canonicalizeUrl(u: Column): Column = {
+  def canonicalizeUrl(u: Column,
+      trackingKeys: String = ConservativeTrackingKeys): Column = {
+    val TrackingKeys = trackingKeys
     val noFrag = regexp_replace(u, "#.*", "")
     // authority prefix (scheme://host[:port]) vs the path+query remainder
     val prefix = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
@@ -105,6 +121,73 @@ object UrlCuration {
         regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
     when(isIp || dom === "", host).otherwise(dom)
+  }
+
+  /** Registrable domain against a REAL suffix table — the Public Suffix
+    * List as the deployment ships it (a bounded curated data file,
+    * broadcast), covering what the embedded [[registrableDomain]] subset
+    * cannot: the PSL *private* section. Without it `user1.github.io` and
+    * `user2.github.io` both curate as `github.io`, so [[domainCap]]
+    * throttles every GitHub-Pages/Blogspot/S3-website author as ONE
+    * domain — the most common real-corpus hit in a CC-derived pipeline.
+    *
+    * `suffixes` must have columns `suffix` (e.g. `github.io`, `co.uk`)
+    * and `is_private` (PSL section flag). Longest-match semantics: the
+    * matched suffix with the most labels wins; registrable = one label
+    * more than the match; a host that IS a suffix exactly passes
+    * through (no registrable domain to extract); no match at all falls
+    * back to the embedded heuristic. Wildcard (`*.ck`) and exception
+    * (`!city.kawasaki.jp`) rules are expanded into plain rows table-side
+    * by the deployment's PSL loader — the operator pins the match rule.
+    *
+    * Scale shape: one shuffle-free BROADCAST left join per distinct
+    * suffix depth in the table (the PSL has ≤ ~5), keyed on the host's
+    * last-d-labels string — a codegen'd expression. No explode, no
+    * re-aggregation, no exchange of the big side; reading the depth set
+    * off the bounded suffix table is a driver-side model-sizing action
+    * (the LSH-planes pattern), not a data collect.
+    *
+    * Adds `out` (the registrable domain) and `out_private` (true when
+    * the winning suffix is from the private section; false on public
+    * match or fallback). */
+  def registrableDomainWithSuffixes(df: DataFrame, hostCol: String,
+      suffixes: DataFrame, out: String = "domain"): DataFrame = {
+    require(Seq("suffix", "is_private").forall(suffixes.columns.contains),
+      s"suffix table needs columns (suffix, is_private), got: ${suffixes.columns.mkString(", ")}")
+    val clash = Seq(out, s"${out}_private").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"output column(s) ${clash.mkString(", ")} already exist in the input")
+    val suf = suffixes.select(
+      lower(col("suffix")).as("suffix"),
+      col("is_private").cast("boolean").as("is_private"),
+      size(split(lower(col("suffix")), "\\.")).as("depth"))
+    val depths: Seq[Int] = suf.select(col("depth")).distinct()
+      .collect().map(_.getInt(0)).sorted.reverse.toSeq
+    val host = lower(col(hostCol))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastLabels(m: Column): Column =
+      array_join(slice(labels, n - m + 1, m), ".")
+    val joined = depths.foldLeft(df) { (cur, d) =>
+      val sufD = suf.filter(col("depth") === d)
+        .select(col("suffix").as(s"__psl_s$d"),
+          col("is_private").as(s"__psl_p$d"))
+      cur.withColumn(s"__psl_k$d", when(n >= d, lastLabels(lit(d))))
+        .join(broadcast(sufD),
+          col(s"__psl_k$d") === col(s"__psl_s$d"), "left")
+    }
+    // depths descending ⇒ the first non-null arm IS the longest match
+    val domain = coalesce(depths.map { d =>
+      when(col(s"__psl_s$d").isNotNull,
+        when(n > d, lastLabels(lit(d + 1))).otherwise(host))
+    } :+ registrableDomain(host): _*)
+    val priv = coalesce(depths.map { d =>
+      when(col(s"__psl_s$d").isNotNull, col(s"__psl_p$d"))
+    } :+ lit(false): _*)
+    joined.withColumn(out, domain)
+      .withColumn(s"${out}_private", priv)
+      .drop(depths.flatMap(d =>
+        Seq(s"__psl_k$d", s"__psl_s$d", s"__psl_p$d")): _*)
   }
 
   /** Keep at most `cap` rows per domain, by ascending `order` — the

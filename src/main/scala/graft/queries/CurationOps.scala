@@ -38,7 +38,12 @@ object CurationOps {
       .when(c === 3, concat(lit("HTTPS://spam"), k20,
         lit(".example/p?ref=tw")))
       .otherwise(concat(lit("http://plain"), k50, lit(".net/q?x=1")))
-    val canon = UrlCuration.canonicalizeUrl(raw)
+    // the planted spam URLs carry `ref=tw` as campaign decoration, so this
+    // fixture opts into the aggressive key set — the bare-`ref` policy is
+    // a caller parameter (q183 gates the conservative DEFAULT, where
+    // `?ref=main` must survive)
+    val canon = UrlCuration.canonicalizeUrl(raw,
+      UrlCuration.AggressiveTrackingKeys)
     Tables.documents(s, d).select(
       id,
       canon.as("url_canon"),
@@ -330,5 +335,91 @@ object CurationOps {
         END AS decoded
       FROM documents"""))
 
-  val all: Seq[NamedQuery] = Seq(q173, q174, q175, q176, q177, q180, q181)
+  /** The PSL slice q183 broadcasts — the deployment shape is the full
+    * Public Suffix List read from its data file; the fixture pins the
+    * MATCH RULE (longest wins across depths 1/2/5, private section
+    * flagged) on a slice containing the real-corpus hits the embedded
+    * subset gets wrong. */
+  private val SuffixRows: Seq[(String, Boolean)] = Seq(
+    "github.io" -> true, "blogspot.com" -> true,
+    "s3.dualstack.us-east-1.amazonaws.com" -> true,
+    "amazonaws.com" -> false, "co.uk" -> false, "uk" -> false,
+    "com" -> false, "io" -> false, "net" -> false)
+
+  /** q183: PSL-backed registrable domain + per-AUTHOR capping — the
+    * private-suffix correctness the embedded heuristic cannot give:
+    * `user1.github.io` and `user2.github.io` are DIFFERENT registrable
+    * domains (PSL private section), so the per-domain cap throttles each
+    * Pages/Blogspot/S3-website author separately instead of merging a
+    * million authors into one "domain". Seven planted host shapes per
+    * document: three private-suffix families (github.io; blogspot.com
+    * behind case/port/utm noise; a 5-label S3 website suffix that must
+    * out-match its embedded `amazonaws.com` and `com` prefixes), a
+    * public multi-label control (co.uk), an exact-suffix host
+    * (`github.io` itself — passthrough, the one domain the cap DOES
+    * collapse), a single-label-suffix control (net), and a
+    * no-match fallback (.example → embedded heuristic). Canonicalization
+    * runs with the DEFAULT conservative key set, so the planted
+    * `?ref=main` (semantic on code hosts) must SURVIVE into url_canon —
+    * the bare-`ref` policy fix is under this hash too. Scale shape: one
+    * broadcast left join per suffix depth (shuffle-free, codegen keys) +
+    * the q174 rank-filter cap (partial WindowGroupLimit below the one
+    * exchange). */
+  private val q183 = NamedQuery(
+    "q183_psl_registrable_domain",
+    (s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val c = id % 7
+      val ids = id.cast("string")
+      val k20 = (id % 20).cast("string")
+      val k50 = (id % 50).cast("string")
+      val raw = when(c === 0, concat(lit("https://user"), k20,
+          lit(".github.io/p/"), ids, lit("?ref=main")))
+        .when(c === 1, concat(lit("HTTPS://Blog"), k20,
+          lit(".BLOGSPOT.COM:443/post?utm_source=x")))
+        .when(c === 2, concat(lit("https://bucket"), k20,
+          lit(".s3.dualstack.us-east-1.amazonaws.com/k/"), ids))
+        .when(c === 3, concat(lit("http://news.site"), k50, lit(".co.uk/a")))
+        .when(c === 4, lit("https://github.io/"))
+        .when(c === 5, concat(lit("http://sub.plain"), k50, lit(".net/q")))
+        .otherwise(concat(lit("http://x.y"), k50, lit(".example/f")))
+      val canon = UrlCuration.canonicalizeUrl(raw) // conservative DEFAULT
+      val base = Tables.documents(s, d).select(id,
+        canon.as("url_canon"), UrlCuration.hostOf(canon).as("host"))
+      val dom = UrlCuration.registrableDomainWithSuffixes(
+        base, "host", SuffixRows.toDF("suffix", "is_private"), "domain")
+        .drop("host")
+      UrlCuration.domainCap(dom, "domain", "doc_id", 3)
+    },
+    Some("""WITH dd AS (SELECT doc_id, doc_id % 7 AS c,
+        CAST(doc_id AS VARCHAR) AS ids,
+        CAST(doc_id % 20 AS VARCHAR) AS k20,
+        CAST(doc_id % 50 AS VARCHAR) AS k50 FROM documents),
+      canon AS (SELECT doc_id,
+        CASE c
+          WHEN 0 THEN 'https://user' || k20 || '.github.io/p/' || ids || '?ref=main'
+          WHEN 1 THEN 'https://blog' || k20 || '.blogspot.com/post'
+          WHEN 2 THEN 'https://bucket' || k20 || '.s3.dualstack.us-east-1.amazonaws.com/k/' || ids
+          WHEN 3 THEN 'http://news.site' || k50 || '.co.uk/a'
+          WHEN 4 THEN 'https://github.io'
+          WHEN 5 THEN 'http://sub.plain' || k50 || '.net/q'
+          ELSE 'http://x.y' || k50 || '.example/f' END AS url_canon,
+        CASE c
+          WHEN 0 THEN 'user' || k20 || '.github.io'
+          WHEN 1 THEN 'blog' || k20 || '.blogspot.com'
+          WHEN 2 THEN 'bucket' || k20 || '.s3.dualstack.us-east-1.amazonaws.com'
+          WHEN 3 THEN 'site' || k50 || '.co.uk'
+          WHEN 4 THEN 'github.io'
+          WHEN 5 THEN 'plain' || k50 || '.net'
+          ELSE 'y' || k50 || '.example' END AS domain,
+        (c IN (0, 1, 2, 4)) AS domain_private
+      FROM dd),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+            FROM canon)
+      SELECT doc_id, url_canon, domain, domain_private
+      FROM r WHERE rn <= 3"""))
+
+  val all: Seq[NamedQuery] =
+    Seq(q173, q174, q175, q176, q177, q180, q181, q183)
 }

@@ -126,7 +126,16 @@ object Warc {
     * header block (no multi-byte decode before the body is framed). */
   def httpHeader(payload: Array[Byte], name: String): Option[String] =
     httpHeaderEnd(payload).flatMap { end =>
-      new String(payload, 0, end, Latin1).split("\r\n").iterator.drop(1)
+      // RFC 9110 obs-fold: a line starting with SP/HTAB continues the
+      // previous header's value (deprecated but present in archived
+      // traffic) — join it before splitting, as one space
+      val lines = new String(payload, 0, end, Latin1).split("\r\n")
+      val joined = lines.foldLeft(List.empty[String]) { (acc, l) =>
+        if (l.nonEmpty && (l.head == ' ' || l.head == '\t') && acc.nonEmpty)
+          (acc.head + " " + l.trim) :: acc.tail
+        else l :: acc
+      }.reverse
+      joined.iterator.drop(1)
         .map { h => val c = h.indexOf(':'); if (c > 0)
           (h.substring(0, c).trim, h.substring(c + 1).trim) else ("", "") }
         .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
@@ -164,6 +173,24 @@ object Warc {
     scala.util.Try(java.nio.charset.Charset.forName(mapped)).toOption
   }
 
+  /** [[charsetForLabel]] with the two extra WHATWG `<meta charset>`
+    * normalization rules that apply only to META-SOURCED labels: a
+    * meta-declared UTF-16 family label is treated as UTF-8 (the prescan
+    * that found the declaration decoded the bytes ASCII-compatibly, so
+    * the body cannot actually be UTF-16 — taking the label literally
+    * would decode it as mojibake), and `x-user-defined` maps to
+    * windows-1252 (its byte-preserving superset for document decoding). */
+  def metaCharsetForLabel(label: String): Option[java.nio.charset.Charset] = {
+    val l = label.trim.toLowerCase
+    if (l == "x-user-defined")
+      Some(java.nio.charset.Charset.forName("windows-1252"))
+    else charsetForLabel(label).map { cs =>
+      if (cs.name.startsWith("UTF-16"))
+        java.nio.charset.StandardCharsets.UTF_8
+      else cs
+    }
+  }
+
   /** Charset sniffing for an archived HTTP text payload, WHATWG
     * precedence: a byte-order mark (UTF-8 / UTF-16LE / UTF-16BE — a BOM
     * overrides every declaration) > a `charset` parameter in the HTTP
@@ -197,7 +224,7 @@ object Warc {
         .orElse {
           val prefix = new String(body, 0, math.min(1024, body.length), Latin1)
           MetaCharsetRe.findFirstMatchIn(prefix).map(_.group(1))
-            .flatMap(charsetForLabel)
+            .flatMap(metaCharsetForLabel)
         }
         .getOrElse(java.nio.charset.Charset.forName("windows-1252"))
       (declared, 0)

@@ -394,4 +394,26 @@ class PlanSpec extends SparkSpec {
       plan.contains("LeftAnti"),
       s"blocklist not a broadcast anti-join:\n$plan")
   }
+
+  test("q183 PSL suffix joins all broadcast; big side shuffles once (cap)") {
+    // one broadcast left join per suffix depth — a SortMergeJoin here
+    // means the suffix table stopped broadcasting and the corpus is being
+    // shuffled per depth; the ONLY exchange allowed on the corpus side is
+    // the domain cap's, with its map-side partial group limit
+    val plan = finalPlan(q("q183_psl_registrable_domain"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"PSL join degraded to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.contains("row_number(), 3, Partial"),
+      s"no map-side partial window group limit:\n$plan")
+    // count in the FINAL plan only — AQE's toString appends the Initial
+    // Plan section, which repeats the same exchange
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected exactly 1 corpus exchange, got " +
+      s"$exchanges:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF crept into the PSL chain:\n$plan")
+  }
 }

@@ -49,6 +49,33 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(rules, "/b/c"))
   }
 
+  test("other records between consecutive User-agent lines do not split " +
+      "the group (RFC 9309 §2.2.4)") {
+    // `Sitemap:` between the two agent lines: both tokens must share ONE
+    // group, so megabot inherits the Disallow that follows
+    val txt =
+      """User-agent: megabot
+        |Sitemap: https://ex.com/sitemap.xml
+        |User-agent: otherbot
+        |Disallow: /x
+        |""".stripMargin
+    assert(!Robots.isAllowed(txt, "/x/a", "megabot"))
+    assert(!Robots.isAllowed(txt, "/x/a", "otherbot"))
+    // after a RULE line, an unknown record still doesn't matter, and the
+    // next User-agent starts a fresh group as before
+    val txt2 =
+      """User-agent: a
+        |Disallow: /a
+        |Crawl-delay: 10
+        |User-agent: b
+        |Disallow: /b
+        |""".stripMargin
+    assert(!Robots.isAllowed(txt2, "/a/x", "a"))
+    assert(Robots.isAllowed(txt2, "/b/x", "a")) // a's group closed at UA b
+    assert(!Robots.isAllowed(txt2, "/b/x", "b"))
+    assert(Robots.isAllowed(txt2, "/a/x", "b"))
+  }
+
   test("empty Disallow is allow-all; prefixes match mid-segment; comments strip") {
     val open = Robots.parse("User-agent: *\nDisallow:\n")
     assert(open.isEmpty && Robots.isAllowed(open, "/anything"))

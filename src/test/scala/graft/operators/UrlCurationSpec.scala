@@ -43,12 +43,30 @@ class UrlCurationSpec extends SparkSpec {
       "http://a.com/p?utm_source=x&keep=1",
       "http://a.com/p?keep=1&UTM_Campaign=y",
       "http://a.com/p?keep=1&fbclid=z&also=2",
-      "http://a.com/p?gclid=1&msclkid=2&ref=3") === Seq(
+      "http://a.com/p?gclid=1&msclkid=2&ref_src=t") === Seq(
       "http://a.com/p",
       "http://a.com/p?keep=1",
       "http://a.com/p?keep=1",
       "http://a.com/p?keep=1&also=2",
       "http://a.com/p"))
+  }
+
+  test("bare ref is a policy parameter: conservative default keeps it, " +
+      "the aggressive set strips it") {
+    val urls = Seq(
+      "https://host.dev/repo/file?ref=main", // semantic: selects content
+      "http://a.com/p?ref=tw&keep=1")
+    val conservative = canon(urls: _*)
+    assert(conservative === Seq(
+      "https://host.dev/repo/file?ref=main",
+      "http://a.com/p?ref=tw&keep=1"))
+    val aggressive = urls.toDF("u")
+      .select(UrlCuration.canonicalizeUrl(col("u"),
+        UrlCuration.AggressiveTrackingKeys).as("c"))
+      .as[String].collect().toSeq
+    assert(aggressive === Seq(
+      "https://host.dev/repo/file",
+      "http://a.com/p?keep=1"))
   }
 
   test("canonicalizeUrl is idempotent on its own output") {
@@ -86,6 +104,56 @@ class UrlCurationSpec extends SparkSpec {
     // host in a /16 into one curation domain)
     assert(got === Seq("domain.org", "site.co.uk", "x.gov.au",
       "plain.net", "localhost", "93.184.216.34"))
+  }
+
+  private val Psl = Seq(
+    ("github.io", true), ("blogspot.com", true),
+    ("s3.dualstack.us-east-1.amazonaws.com", true),
+    ("amazonaws.com", false), ("co.uk", false), ("uk", false),
+    ("com", false), ("io", false), ("net", false))
+
+  test("registrableDomainWithSuffixes: longest match wins across depths") {
+    val hosts = Seq(
+      "user1.github.io",                                  // private depth-2
+      "deep.sub.user2.github.io",                         // +1 label above match
+      "bucket.s3.dualstack.us-east-1.amazonaws.com",      // depth-5 beats amazonaws.com and com
+      "eu.bucket.s3.dualstack.us-east-1.amazonaws.com",   // extra label above depth-5
+      "app.amazonaws.com",                                // depth-2 public beats com
+      "news.site.co.uk",                                  // public multi-label
+      "github.io",                                        // host IS the suffix: passthrough
+      "plain.net",                                        // depth-1
+      "x.y.example",                                      // no match: embedded fallback
+      "93.184.216.34")                                    // IP: fallback passthrough
+    val got = UrlCuration.registrableDomainWithSuffixes(
+        hosts.toDF("h"), "h", Psl.toDF("suffix", "is_private"), "dom")
+      .select("h", "dom", "dom_private").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got("user1.github.io") === (("user1.github.io", true)))
+    assert(got("deep.sub.user2.github.io") === (("user2.github.io", true)))
+    assert(got("bucket.s3.dualstack.us-east-1.amazonaws.com") ===
+      (("bucket.s3.dualstack.us-east-1.amazonaws.com", true)))
+    assert(got("eu.bucket.s3.dualstack.us-east-1.amazonaws.com") ===
+      (("bucket.s3.dualstack.us-east-1.amazonaws.com", true)))
+    assert(got("app.amazonaws.com") === (("app.amazonaws.com", false)))
+    assert(got("news.site.co.uk") === (("site.co.uk", false)))
+    assert(got("github.io") === (("github.io", true)))
+    assert(got("plain.net") === (("plain.net", false)))
+    assert(got("x.y.example") === (("y.example", false)))
+    assert(got("93.184.216.34") === (("93.184.216.34", false)))
+  }
+
+  test("registrableDomainWithSuffixes: case-insensitive, rejects clashes") {
+    val got = UrlCuration.registrableDomainWithSuffixes(
+        Seq("User1.GitHub.IO").toDF("h"), "h",
+        Seq(("GitHub.io", true)).toDF("suffix", "is_private"), "dom")
+      .select("dom").as[String].head()
+    assert(got === "user1.github.io")
+    val clash = intercept[IllegalArgumentException] {
+      UrlCuration.registrableDomainWithSuffixes(
+        Seq(("h.io", "x")).toDF("h", "dom"), "h",
+        Psl.toDF("suffix", "is_private"), "dom")
+    }
+    assert(clash.getMessage.contains("already exist"))
   }
 
   test("domainCap keeps the cap lowest-ordered rows per domain") {

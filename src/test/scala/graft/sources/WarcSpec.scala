@@ -103,6 +103,18 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.httpHeader("HTTP/1.1 200 OK\r\nA: b".getBytes(L1), "A") === None)
   }
 
+  test("httpHeader joins RFC 9110 obs-fold continuation lines") {
+    val payload = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html;\r\n \tcharset=UTF-8\r\n" + // folded value
+      "X-Next: intact\r\n\r\nbody").getBytes(L1)
+    assert(Warc.httpHeader(payload, "Content-Type") ===
+      Some("text/html; charset=UTF-8"))
+    // the continuation line never surfaces as a separate garbage header,
+    // and headers after the fold still resolve
+    assert(Warc.httpHeader(payload, "X-Next") === Some("intact"))
+    assert(Warc.httpBody(payload).map(b => new String(b, L1)) === Some("body"))
+  }
+
   test("WET conversion records round-trip URI and UTF-8 text through .gz members") {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val gz = Warc.writeGz(Seq(
@@ -143,6 +155,26 @@ class WarcSpec extends AnyFunSuite {
     // an unknown label falls through to the next evidence source
     assert(Warc.sniffCharset(Some("text/html; charset=bogus-enc"), meta)
       .name() === "KOI8-R")
+  }
+
+  test("WHATWG meta normalization: meta-declared UTF-16 reads as UTF-8, " +
+      "x-user-defined as cp1252; header-declared UTF-16 stays literal") {
+    import java.nio.charset.StandardCharsets._
+    // the prescan that FOUND the meta decoded ASCII-compatibly, so the
+    // body cannot be UTF-16 — taking the label literally would decode
+    // the page as mojibake
+    val metaU16 = "<meta charset=\"utf-16\">café".getBytes(UTF_8)
+    assert(Warc.sniffCharset(Some("text/html"), metaU16) === UTF_8)
+    assert(Warc.decodeText(Some("text/html"), metaU16) ===
+      "<meta charset=\"utf-16\">café")
+    val metaU16le = "<meta charset=\"UTF-16LE\">x".getBytes(UTF_8)
+    assert(Warc.sniffCharset(None, metaU16le) === UTF_8)
+    val metaXud = "<meta charset=\"x-user-defined\">x".getBytes(L1)
+    assert(Warc.sniffCharset(None, metaXud).name() === "windows-1252")
+    // an HTTP-header UTF-16 declaration is NOT remapped (no prescan was
+    // involved); without a BOM the bytes decode as declared
+    assert(Warc.sniffCharset(Some("text/plain; charset=UTF-16LE"),
+      "AB".getBytes(UTF_16LE)) === UTF_16LE)
   }
 
   test("decodeText strips only a BOM that is present; cp1252 maps 0x80 to €") {
