@@ -3,7 +3,8 @@ package graft.queries
 import graft.{NamedQuery, Tables}
 import graft.Compat._
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, QualityModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -969,9 +970,60 @@ object TextOps {
       SELECT id_a, id_b, common, jaccard, split_a, split_b
       FROM x WHERE split_a <> split_b"""))
 
+  /** The labeled fixture behind q184 and its held-out certificate
+    * (RecallQueries.q184c): odd doc_ids become planted machine junk — a
+    * spam phrase repeated (disjoint `zzq…` vocabulary, so the planted
+    * separation is closed-form) plus a per-doc variation token; even
+    * doc_ids keep their fixture prose. Columns: doc_id, label_good,
+    * toks. */
+  private[queries] def qualityLabeled(s: SparkSession, d: String): DataFrame = {
+    val junk = "zzqclick zzqbuy zzqfree zzqwin zzqcash zzqpills zzqoffer"
+    val junkText = concat(lit(junk + " " + junk + " zzqv"),
+      (col("doc_id") % 97).cast("string"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 2 === 0).as("label_good"),
+      tokens(when(col("doc_id") % 2 === 1, junkText)
+        .otherwise(col("text"))).as("toks"))
+  }
+
+  /** One trained [[QualityModel.Model]] per (session, dataset), trained
+    * on the 80% id-hash train split ONLY — the 20% holdout stays unseen
+    * for the q184c accuracy certificate. Memoized like SharedAnn so the
+    * gate query and the certificate score the SAME weights. */
+  private val qualityModels =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), QualityModel.Model]
+  private[queries] def qualityModel(s: SparkSession, d: String): QualityModel.Model =
+    qualityModels.getOrElseUpdate((System.identityHashCode(s), d),
+      QualityModel.train(
+        qualityLabeled(s, d).filter(col("doc_id") % 10 < 8),
+        "label_good", col("toks"), "doc_id"))
+
+  /** q184: MODEL-BASED quality filtering (operators.QualityModel) — the
+    * fastText-style hashed-ngram logistic regression every large
+    * curation pipeline runs after the heuristic filters: train on the
+    * 80% split (driver-side SGD over a capped, hash-ordered sample
+    * pool; deterministic), then score the WHOLE corpus — including the
+    * 20% the model never saw — as one codegen mean-pooled dot product
+    * (weights are a single array literal; shuffle-free scan). The
+    * planted good/junk construction is closed-form separable, so every
+    * document's predicted side sits under the driver's hash: one
+    * misclassification anywhere, train or holdout, flips the gate. */
+  private val q184 = NamedQuery(
+    "q184_quality_classifier",
+    (s, d) => {
+      val m = qualityModel(s, d)
+      qualityLabeled(s, d).select(
+        col("doc_id"), col("label_good"),
+        (QualityModel.logitCol(col("toks"), m) > 0).as("pred_good"))
+    },
+    Some("""SELECT doc_id, (doc_id % 2 = 0) AS label_good,
+        (doc_id % 2 = 0) AS pred_good
+      FROM documents"""))
+
   val all: Seq[NamedQuery] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q75, q76, q87,
       q121, q122, q131,
       q107, q139, q161, q162, q165, q166, q166b, q170, q171, q172, q179,
-      q182)
+      q182, q184)
 }
