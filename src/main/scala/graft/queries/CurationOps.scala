@@ -111,64 +111,79 @@ object CurationOps {
         COUNT(DISTINCT url_canon) AS n_urls
       FROM canon GROUP BY domain"""))
 
-  /** q176: the CRAWL-CURATION FUNNEL end to end — the composed dataflow a
-    * web-corpus team actually runs, under one hash gate (the q122 pattern
-    * applied to the web side): .warc.gz member stream → Content-Length
-    * record walk (phantom-boundary trap included) → HTTP envelope split →
-    * jusText-style main-content extraction → URL canonicalization →
-    * registrable domain. Per-row JVM (mapPartitions) for the container
-    * and HTML stages, pure codegen'd expression chains for the URL
-    * stages — each stage is the registered operator, and a framing,
-    * extraction, or canonicalization error anywhere in the chain flips
-    * the hash. Shuffle-free end to end. */
-  private val q176 = NamedQuery(
-    "q176_crawl_curation_funnel",
-    (s, d) => {
-      import s.implicits._
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"),
-          translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
-          translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
-        .as[(Long, String, String)]
-        .mapPartitions { it =>
-          val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
-          it.map { case (id, b1, b2) =>
-            val html = "<body><ul>" +
-              "<li><a href=\"/\">Home</a></li>" +
-              "<li><a href=\"/a\">About</a></li>" +
-              "<li><a href=\"/c\">Contact</a></li></ul>" +
-              "<p>prose " + b1 +
-              " with plenty of ordinary words and no anchors</p>" +
-              "<p>Read <a href=\"/more\">more</a> about " + b2 + " here</p>" +
-              "<div><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></div>" +
-              "</body>"
-            // the messy on-crawl URI the canonicalizer must clean
-            val uri = "HTTP://WWW.Site" + (id % 20) + ".COM:80/doc/" + id +
-              "/?utm_source=feed&id=" + id + "&fbclid=x#top"
-            val trap = ("config:\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
-              "Content-Length: 4\r\n\r\nfake\r\n\r\n").getBytes(L1)
-            val warc = graft.sources.Warc.writeGz(Seq(
-              (Seq("WARC-Type" -> "warcinfo"), trap),
-              (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
-                graft.sources.Warc.httpResponse(html.getBytes(L1), "text/html"))))
-            val (u, main, kept, dropped) = graft.sources.Warc.recordsGz(warc)
-              .filter(_.recordType.contains("response"))
-              .flatMap(r => graft.sources.Warc.httpBody(r.payload).map { b =>
-                val (m, k, dr) = graft.functions.TextFunctions
-                  .htmlMainContent(new String(b, L1), tokensPerLink = 4)
-                (r.targetUri.getOrElse(""), m, k, dr)
-              }).head
-            (id, u, main, kept, dropped)
-          }
-        }
-        .toDF("doc_id", "uri_raw", "text_main", "n_kept", "n_dropped")
-      val canon = UrlCuration.canonicalizeUrl(col("uri_raw"))
-      staged.select(col("doc_id"),
-        canon.as("url_canon"),
-        UrlCuration.registrableDomain(UrlCuration.hostOf(canon)).as("domain"),
-        col("text_main"), col("n_kept"), col("n_dropped"))
-    },
-    Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
+  /** The funnel fixture's per-document staging projection — `b1`/`b2`
+    * are prose snippets derived from the corpus text, so the extraction
+    * output is content-bearing and closed-form at once. Shared by q176
+    * (batch) and q185's streaming stager. */
+  private[queries] def funnelStaged(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+        translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+      .as[(Long, String, String)]
+  }
+
+  /** One document's WARC records for the crawl-funnel fixture: a
+    * warcinfo record whose payload EMBEDS a phantom record boundary
+    * (the Content-Length-framing trap) followed by the real HTTP
+    * response under a messy on-crawl URI. Shared by q176 (one container
+    * per doc, in memory) and q185's stager (many docs per on-disk
+    * `.warc.gz` shard). */
+  private[queries] def funnelRecords(id: Long, b1: String, b2: String)
+      : Seq[(Seq[(String, String)], Array[Byte])] = {
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val html = "<body><ul>" +
+      "<li><a href=\"/\">Home</a></li>" +
+      "<li><a href=\"/a\">About</a></li>" +
+      "<li><a href=\"/c\">Contact</a></li></ul>" +
+      "<p>prose " + b1 +
+      " with plenty of ordinary words and no anchors</p>" +
+      "<p>Read <a href=\"/more\">more</a> about " + b2 + " here</p>" +
+      "<div><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></div>" +
+      "</body>"
+    // the messy on-crawl URI the canonicalizer must clean
+    val uri = "HTTP://WWW.Site" + (id % 20) + ".COM:80/doc/" + id +
+      "/?utm_source=feed&id=" + id + "&fbclid=x#top"
+    val trap = ("config:\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 4\r\n\r\nfake\r\n\r\n").getBytes(L1)
+    Seq((Seq("WARC-Type" -> "warcinfo"), trap),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
+        graft.sources.Warc.httpResponse(html.getBytes(L1), "text/html")))
+  }
+
+  /** The funnel's container→text stages over one `.warc.gz` container:
+    * Content-Length record walk → HTTP envelope split → jusText-style
+    * main-content extraction. Returns one
+    * (uri_raw, text_main, n_kept, n_dropped) per response record. */
+  private[queries] def extractFunnel(bytes: Array[Byte])
+      : Seq[(String, String, Long, Long)] = {
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    graft.sources.Warc.recordsGz(bytes)
+      .filter(_.recordType.contains("response"))
+      .flatMap(r => graft.sources.Warc.httpBody(r.payload).map { b =>
+        val (m, k, dr) = graft.functions.TextFunctions
+          .htmlMainContent(new String(b, L1), tokensPerLink = 4)
+        (r.targetUri.getOrElse(""), m, k, dr)
+      })
+  }
+
+  /** The funnel's URL stages (pure codegen): canonicalize the raw URI
+    * (default conservative keys — the fixture's utm_/fbclid decoration
+    * is tracking under BOTH policies) and derive the registrable
+    * domain. */
+  private[queries] def funnelUrlStages(staged: DataFrame): DataFrame = {
+    val canon = UrlCuration.canonicalizeUrl(col("uri_raw"))
+    staged.select(col("doc_id"),
+      canon.as("url_canon"),
+      UrlCuration.registrableDomain(UrlCuration.hostOf(canon)).as("domain"),
+      col("text_main"), col("n_kept"), col("n_dropped"))
+  }
+
+  /** Closed-form oracle of the whole funnel — shared verbatim by q176
+    * and q185 (the streaming claim IS incremental ≡ batch). */
+  private[queries] val FunnelOracle =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
           replace(substr(text, 1, 10), ' ', '_') AS b1,
           replace(substr(text, 11, 10), ' ', '_') AS b2 FROM documents)
       SELECT doc_id,
@@ -179,7 +194,36 @@ object CurationOps {
           || chr(10) || 'Read more about ' || b2 || ' here' AS text_main,
         CAST(2 AS BIGINT) AS n_kept,
         CAST(4 AS BIGINT) AS n_dropped
-      FROM d"""))
+      FROM d"""
+
+  /** q176: the CRAWL-CURATION FUNNEL end to end — the composed dataflow a
+    * web-corpus team actually runs, under one hash gate (the q122 pattern
+    * applied to the web side): .warc.gz member stream → Content-Length
+    * record walk (phantom-boundary trap included) → HTTP envelope split →
+    * jusText-style main-content extraction → URL canonicalization →
+    * registrable domain. Per-row JVM (mapPartitions) for the container
+    * and HTML stages, pure codegen'd expression chains for the URL
+    * stages — each stage is the registered operator, and a framing,
+    * extraction, or canonicalization error anywhere in the chain flips
+    * the hash. Shuffle-free end to end. Its incremental twin is q185
+    * (StreamingQueries): same records staged as on-disk `.warc.gz`
+    * shards, replayed as file micro-batches, same oracle. */
+  private val q176 = NamedQuery(
+    "q176_crawl_curation_funnel",
+    (s, d) => {
+      import s.implicits._
+      val staged = funnelStaged(s, d)
+        .mapPartitions { it =>
+          it.map { case (id, b1, b2) =>
+            val warc = graft.sources.Warc.writeGz(funnelRecords(id, b1, b2))
+            val (u, main, kept, dropped) = extractFunnel(warc).head
+            (id, u, main, kept, dropped)
+          }
+        }
+        .toDF("doc_id", "uri_raw", "text_main", "n_kept", "n_dropped")
+      funnelUrlStages(staged)
+    },
+    Some(FunnelOracle))
 
   /** q177: robots.txt access control (functions.Robots — RFC 9309) over
     * canonical paths: three planted per-domain policy variants (nested
@@ -236,6 +280,17 @@ object CurationOps {
     * non-ASCII) all sit under the driver's hash against the closed-form
     * oracle. Per-partition JVM work, shuffle-free, bounded memory (one
     * 64-record container in flight per task). */
+  /** Closed-form oracle of the WET payload surface — shared by q180
+    * (in-memory container round-trip) and q186 (real-file sink +
+    * distributed read-back): same records, so the file layer is the
+    * only thing q186 adds under the hash. */
+  private[queries] val WetOracle =
+    """SELECT doc_id,
+        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        'wét © ' || substr(text, 1, 40) AS wet_text,
+        CAST(strlen('wét © ' || substr(text, 1, 40)) AS BIGINT) AS n_bytes
+      FROM documents"""
+
   private val q180 = NamedQuery(
     "q180_wet_sink_roundtrip",
     (s, d) => {
@@ -261,11 +316,35 @@ object CurationOps {
         }
         .toDF("doc_id", "uri", "wet_text", "n_bytes")
     },
-    Some("""SELECT doc_id,
-        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-        'wét © ' || substr(text, 1, 40) AS wet_text,
-        CAST(strlen('wét © ' || substr(text, 1, 40)) AS BIGINT) AS n_bytes
-      FROM documents"""))
+    Some(WetOracle))
+
+  /** q186: the WET sink as REAL FILES (sources.WetSink) — q180 certifies
+    * the container bytes in memory; this writes them as a partitioned
+    * `.warc.wet.gz` DIRECTORY (one member-stream container per task,
+    * temp+atomic-rename, bounded memory) and reads the directory back
+    * through a distributed binaryFile scan + the same Content-Length
+    * walker — so file naming, the hidden-temp protocol, multi-container
+    * layout, and cross-file completeness all land under the q180 oracle.
+    * doc_id and text are re-derived FROM the read-back records, never
+    * carried alongside. */
+  private val q186 = NamedQuery(
+    "q186_wet_file_sink",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(concat(lit("http://corpus.example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          concat(lit("wét © "), substring(col("text"), 1, 40)).as("text"))
+        .as[(String, String)]
+      val dir = graft.TempDirs.create("graft_wet_sink")
+      graft.sources.WetSink.write(rows, dir)
+      graft.sources.WetSink.read(s, dir)
+        .select(
+          regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("uri"), col("wet_text"), col("n_bytes"))
+    },
+    Some(WetOracle))
 
   /** q181: charset detection + decode (Warc.sniffCharset / decodeText) —
     * real crawls are NOT all UTF-8, and the funnel's entry decode must
@@ -421,5 +500,5 @@ object CurationOps {
       FROM r WHERE rn <= 3"""))
 
   val all: Seq[NamedQuery] =
-    Seq(q173, q174, q175, q176, q177, q180, q181, q183)
+    Seq(q173, q174, q175, q176, q177, q180, q181, q183, q186)
 }

@@ -842,6 +842,81 @@ object StreamingQueries {
       "('stream_index_rows_complete', 1.0, true)) " +
       "AS t(\"check\", threshold, pass)"))
 
+  /** Stage the crawl corpus as on-disk `.warc.gz` SHARDS — the arrival
+    * shape of a real crawl drop: one member-stream container file per
+    * doc-id range (CurationOps.funnelRecords, members streamed
+    * record-by-record so a shard never materializes in memory), with
+    * ascending whole-second mod-times so the file source replays shards
+    * in order. */
+  private def stageWarcShards(s: SparkSession, d: String,
+      nShards: Int): String =
+    staged.getOrElseUpdate((System.identityHashCode(s), d, s"warc-$nShards"), {
+      import s.implicits._
+      val dir = TempDirs.create("graft_stream_warc")
+      CurationOps.funnelStaged(s, d)
+        .repartitionByRange(nShards, col("doc_id"))
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = java.nio.file.Paths.get(dir, f"shard$pid%03d.warc.gz")
+            val os = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(path))
+            var n = 0L
+            try it.foreach { case (id, b1, b2) =>
+              os.write(graft.sources.Warc.writeGz(
+                CurationOps.funnelRecords(id, b1, b2)))
+              n += 1
+            } finally os.close()
+            Iterator.single(n)
+          }
+        }.collect()
+      dataFiles(dir).sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis((1000000L + i) * 1000L))
+      }
+      dir
+    })
+
+  /** q185: STREAMING CRAWL INGEST — q176's incremental twin, under
+    * q176's own oracle (the claim IS incremental ≡ batch, the
+    * q93/q168 pattern applied to the web funnel's ENTRY): real
+    * `.warc.gz` container files arrive as binaryFile micro-batches
+    * (one shard per trigger, mod-time order), each batch runs the
+    * identical stages — member-stream inflation → Content-Length walk
+    * (phantom trap included) → HTTP split → main-content extraction
+    * (per-row JVM) → canonicalize → registrable domain (codegen) — and
+    * upserts complete documents into the keyed sink (shards are
+    * doc-ranged, so every batch's rows are final; no stream state
+    * needed, which is exactly the deployment shape: crawl ingest is
+    * stateless per container). doc_id is re-derived FROM each record's
+    * on-crawl URI, never carried alongside the container. */
+  private val q185 = NamedQuery(
+    "q185_streaming_crawl_ingest",
+    (s, d) => {
+      import s.implicits._
+      val dir = stageWarcShards(s, d, nShards = 4)
+      withStatePartitions(s, 8) {
+        val containers = s.readStream.format("binaryFile")
+          // the fixed binaryFile schema, stated explicitly: streaming
+          // file sources refuse to infer
+          .schema("path STRING, modificationTime TIMESTAMP, " +
+            "length BIGINT, content BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .load(dir)
+        val parsed = containers.select(col("content")).as[Array[Byte]]
+          .mapPartitions(_.flatMap(CurationOps.extractFunnel))
+          .toDF("uri_raw", "text_main", "n_kept", "n_dropped")
+          .withColumn("doc_id",
+            regexp_extract(col("uri_raw"), "/doc/([0-9]+)/", 1)
+              .cast("long"))
+        val out = CurationOps.funnelUrlStages(parsed)
+        runToSink(s, out, OutputMode.Append(), Seq("doc_id"))
+      }
+    },
+    Some(CurationOps.FunnelOracle))
+
   val all: Seq[NamedQuery] =
-    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168, q169, q169b)
+    Seq(q93, q94, q113, q114, q123, q124, q128, q143, q168, q169, q169b,
+      q185)
 }
