@@ -395,6 +395,16 @@ class PlanSpec extends SparkSpec {
       s"blocklist not a broadcast anti-join:\n$plan")
   }
 
+  test("q184 classifier scoring is a shuffle-free literal-weights scan") {
+    // the forward pass is bias + avg(weights[idx]) with the weights as
+    // one array literal: an Exchange means scoring started joining a
+    // weights table per document; a UDF means the codegen chain broke
+    val plan = finalPlan(q("q184_quality_classifier"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF crept into the scoring chain:\n$plan")
+  }
+
   test("q183 PSL suffix joins all broadcast; big side shuffles once (cap)") {
     // one broadcast left join per suffix depth — a SortMergeJoin here
     // means the suffix table stopped broadcasting and the corpus is being
