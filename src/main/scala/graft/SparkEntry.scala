@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, Extras, LayoutOps, MediaOps, PhotometryRel, PixelQueries, RecallQueries, Relational, Relational2, StreamingQueries, TextOps, TimeSeries, TrainingOps, VectorOps}
+import graft.queries.{CurationOps, Extras, LayoutOps, MediaOps, PhotometryRel, PixelQueries, RecallQueries, Relational, Relational2, RuleFilterOps, StreamingQueries, TextOps, TimeSeries, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
     "training" -> TrainingOps.all,
     "media" -> MediaOps.all,
     "layout" -> LayoutOps.all,
-    "curation" -> CurationOps.all)
+    "curation" -> CurationOps.all,
+    "rulefilter" -> RuleFilterOps.all)
 
   private def catalog: Seq[NamedQuery] = modules.flatMap(_._2)
 

@@ -426,4 +426,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"UDF crept into the PSL chain:\n$plan")
   }
+
+  test("q187 rule gate is a shuffle-free codegen'd projection") {
+    // all 11 C4/Gopher rules are higher-order array expressions over one
+    // scan; an Exchange means a rule turned into a join or aggregation,
+    // a UDF means the codegen chain broke
+    val plan = finalPlan(q("q187_c4_gopher_rules"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF crept into the rule chain:\n$plan")
+  }
+
+  test("q188 attrition aggregates map-side; rules add no extra shuffle") {
+    // the funnel costs exactly: the dedup stage's content-key exchange
+    // (with a partial_min below it), the survivors join, and the tiny
+    // reason rollup (partial+final count) — the 11 rule flags themselves
+    // must not add exchanges beyond those
+    val plan = finalPlan(q("q188_curation_attrition"))
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no map-side partial aggregation:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).size
+    assert(exchanges <= 3, s"rule flags added exchanges, got " +
+      s"$exchanges:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF crept into the attrition chain:\n$plan")
+  }
 }
