@@ -149,7 +149,9 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, String)] =
-      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      graft.operators.Scale.fanOut(
+        docs.select(col(idCol).cast("long").as(idCol), col(textCol)), idCol)
+        .as[(Long, String)]
     ds.mapPartitions(_.map { case (id, text) =>
       (id, if (text == null) Seq.empty[String] else encodeText(text, merges))
     }).toDF(idCol, "tokens")
@@ -179,7 +181,9 @@ object Bpe {
     import spark.implicits._
     val vocab = vocabOf(merges, merges.chars)
     val ds: Dataset[(Long, String)] =
-      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      graft.operators.Scale.fanOut(
+        docs.select(col(idCol).cast("long").as(idCol), col(textCol)), idCol)
+        .as[(Long, String)]
     ds.mapPartitions(_.map { case (id, text) =>
       (id, if (text == null) Seq.empty[Int]
            else encodeText(text, merges).map(vocab.id))

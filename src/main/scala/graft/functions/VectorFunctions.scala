@@ -30,10 +30,20 @@ object VectorFunctions {
   /** Cosine similarity, computed as dot/(‖a‖·‖b‖). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Unit-normalized copy: v/‖v‖. Pre-normalizing once per row turns every
+  /** Unit-normalized copy: v/‖v‖ — a native codegen'd Expression
+    * (graft exprs NormalizeExpr). Pre-normalizing once per row turns every
     * pairwise cosine into a single dot product — at n² pairs this is the
-    * difference between one array fold and three per pair. */
-  def normalized(v: Column): Column = {
+    * difference between one array fold and three per pair. The HOF twin
+    * below recomputed the norm (a full self-dot) for EVERY element inside
+    * the transform lambda; the native form computes it once per row and
+    * divides — bit-identical output (same fold, same divisor). */
+  def normalized(v: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graftexpr.NormalizeExpr(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v)))
+
+  /** The builtin-HOF formulation, kept as the portability reference. */
+  def normalizedHof(v: Column): Column = {
     val n = norm(v)
     transform(v, x => x / n)
   }

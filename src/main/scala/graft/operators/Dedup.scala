@@ -199,7 +199,13 @@ object Dedup {
   def shingleSet(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).as("doc_id"), col(text).as("text"))
+    // fan out the unsplittable single-file scan BEFORE tokenize+shingle:
+    // the flatMap below is the CPU-heavy map side of every dedup shuffle,
+    // and the cached/checkpointed shingle set inherits this partitioning —
+    // downstream consumers (counts, postings, verify joins) parallelize
+    // only if it is wider than one partition (guide §2.5; no-op at scale)
+    Scale.fanOut(df.select(col(id).as("doc_id"), col(text).as("text")),
+        "doc_id")
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
         val toks = graft.functions.TextFunctions.tokenizeLikeSql(t)
@@ -467,8 +473,11 @@ object Dedup {
     * s = 2·Σ cnt·bit_b − Σ cnt, so the bit is set iff 2·w_b > tot. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     // identical tokens cast identical votes: count per (doc, token) first
-    val docTok = df
-      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
+    // (fan out the unsplittable scan before the tokenize+explode map side
+    // of the groupBy — guide §2.5; no-op at scale)
+    val docTok = Scale.fanOut(
+        df.select(col(id).as("doc_id"), col(text).as("text")), "doc_id")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
@@ -727,7 +736,10 @@ object Dedup {
       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).as("doc_id"), col(text).as("text"))
+    // same fan-out rationale as shingleSet: widen the unsplittable scan
+    // before the window flatMap (guide §2.5; no-op at scale)
+    Scale.fanOut(df.select(col(id).as("doc_id"), col(text).as("text")),
+        "doc_id")
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
         val toks = graft.functions.TextFunctions.tokenizeLikeSql(t)
@@ -797,8 +809,11 @@ object Dedup {
     * runs behind LSH/IVF candidate generation (see Similarity). */
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(id).as("vid"),
-      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e"))
+    // the streamed (probe) side of the nested-loop join below does all the
+    // dot-product CPU — widen it past the unsplittable scan (guide §2.5)
+    val v = Scale.fanOut(df.select(col(id).as("vid"),
+      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e")),
+      "vid")
     val a = v.select(col("vid").as("id_a"), col("e").as("ea"))
     val b = v.select(col("vid").as("id_b"), col("e").as("eb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -919,8 +934,11 @@ object Dedup {
       threshold: Double, cap: Int = 2048): DataFrame = {
     val n = df.count()
     val stride = math.max(1L, n / cap)
-    val v = df.select(col(id).cast("long").as("vid"),
-      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e"))
+    // the streamed side of the broadcast scan carries the n·cap dot
+    // products — widen it past the unsplittable scan (guide §2.5)
+    val v = Scale.fanOut(df.select(col(id).cast("long").as("vid"),
+      VectorFunctions.normalized(VectorFunctions.toDouble(col(vec))).as("e")),
+      "vid")
     val anch = v.filter(pmod(xxhash64(col("vid")), lit(stride)) === 0)
       .select(col("vid").as("aid"), col("e").as("ae"))
     v.join(broadcast(anch), col("vid") =!= col("aid"))

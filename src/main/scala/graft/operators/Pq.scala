@@ -53,6 +53,16 @@ object Pq {
     aggregate(zip_with(a, lit(b.toArray), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Immutable view of a model's codebooks for the native expressions
+    * (structural case-class equality; literal model metadata). */
+  private def books(model: PqModel): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    model.codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+
+  private def bridgeCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftExpressionBridge.column(e)
+  private def bridgeExpr(c: Column) =
+    org.apache.spark.sql.GraftExpressionBridge.expression(c)
+
   /** The id column feeds arithmetic surrogate keys (`vid * const` sample
     * hashing, `vid * nCells + cell` placement ids); a non-numeric id
     * would silently become NULL there and every downstream id-join would
@@ -401,42 +411,22 @@ object Pq {
       model: PqModel, normalize: Boolean = true): DataFrame = {
     requireNumericId(corpus, id, "encode")
     val v0 = toDouble(col(vec))
-    // LOAD-BEARING staging: materialize the (non-cheap) normalized vector
-    // and then the nSub subvectors as their own projections before the
-    // argmin tree references them nCodes times each — CollapseProject
-    // keeps multiply-referenced non-cheap aliases uninlined, so each is
-    // computed once per row. Handing codesCol the raw normalization
-    // expression instead re-normalized the vector nSub·nCodes times per
-    // row (measured 37× on q136).
-    val c = corpus.select(col(id).as("vec_id"),
-      (if (normalize) normalized(v0) else v0).as("e"))
-    val withSubs = c.select(col("vec_id") +:
-      (0 until model.nSub).map(m =>
-        slice(col("e"), m * model.subDim + 1, model.subDim)
-          .as(s"_sub_$m")): _*)
-    val codeCols = (0 until model.nSub).map { m =>
-      array_min(array((0 until model.nCodes).map { j =>
-        struct(d2Col(col(s"_sub_$m"), model.codebooks(m)(j).toSeq).as("d"),
-          lit(j).as("code"))
-      }: _*)).getField("code")
-    }
-    withSubs.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // fan out the unsplittable single-file scan before the per-row argmin
+    // work (guide §2.5; plan-level no-op at scale), then assign codes in
+    // ONE native generated loop per row (PqCodesExpr — the former
+    // 256-branch HOF argmin tree evaluated interpreted lambdas per
+    // element; assignments are bit-identical, see PqExprs scaladoc)
+    val c = Scale.fanOut(corpus.select(col(id).as("vec_id"),
+      (if (normalize) normalized(v0) else v0).as("e")), "vec_id")
+    c.select(col("vec_id"), codesCol(col("e"), model).as("codes"))
   }
 
-  /** The encode assignment as ONE Column over the vector expression.
-    * CALLER CONTRACT: pass an ATTRIBUTE (a materialized column), not a
-    * computed expression — the tree references `v` nSub·nCodes times,
-    * and an inlined non-trivial argument is recomputed at every
-    * reference. Index builders satisfy this by projecting the encoded
-    * vector into its own column (or checkpointing) first. */
+  /** The encode assignment as ONE Column over the vector expression —
+    * a native generated loop (PqCodesExpr); the vector child is evaluated
+    * exactly once per row, so callers may pass computed expressions. */
   def codesCol(v: Column, model: PqModel): Column =
-    array((0 until model.nSub).map { m =>
-      val sub = slice(v, m * model.subDim + 1, model.subDim)
-      array_min(array((0 until model.nCodes).map { j =>
-        struct(d2Col(sub, model.codebooks(m)(j).toSeq).as("d"),
-          lit(j).as("code"))
-      }: _*)).getField("code")
-    }: _*)
+    bridgeCol(org.apache.spark.sql.graftexpr.PqCodesExpr(
+      bridgeExpr(v), books(model)))
 
   /** Per-probe ADC lookup table as ONE literal-driven expression:
     * lut[m][j] = ‖q_m − c_mj‖², exact on the probe side. */
@@ -448,12 +438,12 @@ object Pq {
       }: _*)
     }: _*)
 
-  /** ADC approximate distance: Σ_m lut[m][codes[m]] — a pure codes-array
-    * walk (element_at over the broadcast LUT), no vector payload. */
+  /** ADC approximate distance: Σ_m lut[m][codes[m]] — a native generated
+    * codes-array walk (PqAdcExpr), no vector payload; identical
+    * left-to-right summation as the former element_at fold. */
   private def adcCol(codes: Column, lutC: Column): Column =
-    aggregate(
-      zip_with(codes, lutC, (cd, row) => element_at(row, cd + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    bridgeCol(org.apache.spark.sql.graftexpr.PqAdcExpr(
+      bridgeExpr(codes), bridgeExpr(lutC)))
 
   /** PQ ANN top-k: train → encode → rank every corpus vector per probe by
     * ADC distance over its 8-int codes (ascending = descending approx
@@ -895,22 +885,20 @@ object Pq {
   def quantizerErrors(corpus: DataFrame, id: String, vec: String,
       pqm: PqModel, opq: OpqModel): DataFrame = {
     requireNumericId(corpus, id, "quantizerErrors")
-    val e0 = corpus.select(col(id).as("vec_id"),
-      normalized(toDouble(col(vec))).as("e"))
+    // fan out the unsplittable scan before the per-row min-distance work
+    // (guide §2.5; no-op at scale); each model's Σ_m min_j ‖·‖² is ONE
+    // native generated loop (PqErrorExpr — same fold order and NaN rule
+    // as the former per-subspace array_min trees, so the averaged errors
+    // are bit-identical)
+    val e0 = Scale.fanOut(corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e")), "vec_id")
     val withRot = e0.select(col("e"),
       normalized(rotateCol(col("e"), opq.rotation)).as("er"))
-    val subs = withRot.select(
-      (0 until pqm.nSub).map(m =>
-        slice(col("e"), m * pqm.subDim + 1, pqm.subDim).as(s"_p_$m")) ++
-      (0 until opq.pq.nSub).map(m =>
-        slice(col("er"), m * opq.pq.subDim + 1, opq.pq.subDim)
-          .as(s"_o_$m")): _*)
-    def err(prefix: String, model: PqModel): Column =
-      (0 until model.nSub).map { m =>
-        array_min(array((0 until model.nCodes).map(j =>
-          d2Col(col(s"$prefix$m"), model.codebooks(m)(j).toSeq)): _*))
-      }.reduce(_ + _)
-    subs.select(err("_p_", pqm).as("se_pq"), err("_o_", opq.pq).as("se_opq"))
+    def err(c: Column, model: PqModel): Column =
+      bridgeCol(org.apache.spark.sql.graftexpr.PqErrorExpr(
+        bridgeExpr(c), books(model)))
+    withRot.select(err(col("e"), pqm).as("se_pq"),
+        err(col("er"), opq.pq).as("se_opq"))
       .agg(avg(col("se_pq")).as("err_pq"), avg(col("se_opq")).as("err_opq"))
   }
 
@@ -919,18 +907,16 @@ object Pq {
     * native expression over the codes and the literal codebooks. */
   def reconstructionError(corpus: DataFrame, id: String, vec: String,
       model: PqModel): DataFrame = {
-    val codes = encode(corpus, id, vec, model)
-    val c = corpus.select(col(id).as("vec_id"),
-      normalized(toDouble(col(vec))).as("e"))
-    // decoded[m] = codebook_m[code_m]; error = Σ_m ‖v_m − decoded_m‖²
-    val perSub = (0 until model.nSub).map { m =>
-      val bookLit = typedlit(model.codebooks(m).map(_.toSeq).toSeq)
-      aggregate(zip_with(
-        slice(col("e"), m * model.subDim + 1, model.subDim),
-        element_at(bookLit, element_at(col("codes"), m + 1) + 1),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
-    c.join(codes, Seq("vec_id"))
-      .select(col("vec_id"), perSub.as("sq_err"))
+    // decoded[m] = codebook_m[code_m] with code_m the argmin-distance
+    // assignment, so ‖v_m − decoded_m‖² IS min_j ‖v_m − c_mj‖² — the
+    // former encode → join → per-subspace decode fold equals ONE native
+    // min-distance scan (PqErrorExpr; identical fold order, ties share
+    // the distance value) with no join and no second corpus pass. Fan-out
+    // per guide §2.5 (no-op at scale).
+    Scale.fanOut(corpus.select(col(id).as("vec_id"),
+        normalized(toDouble(col(vec))).as("e")), "vec_id")
+      .select(col("vec_id"),
+        bridgeCol(org.apache.spark.sql.graftexpr.PqErrorExpr(
+          bridgeExpr(col("e")), books(model))).as("sq_err"))
   }
 }

@@ -23,4 +23,31 @@ object Scale {
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col("key"))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+
+  /** Widen an unsplittably-narrow input before CPU-heavy per-row work
+    * (optimization guide §2.5, input skew: "one huge unsplittable file …
+    * repartition immediately after the read"; §8: shuffle the NARROW
+    * decision columns, synthesize/decode heavy payloads after).
+    *
+    * A single-row-group parquet file is ONE scan task no matter the core
+    * count — measured 3 % parallel efficiency on the 32-core bench box
+    * for the per-row codec queries. This repartitions by hash of `key`
+    * (deterministic under task retry — never `rand()`, SPARK-38388) into
+    * the session's default parallelism, ONLY when the input has fewer
+    * partitions: at cluster scale, where scans already carry more
+    * partitions than cores, it is a plan-level no-op and nothing is
+    * shuffled. The explicit partition count keeps AQE from coalescing the
+    * exchange back to one partition (tiny shuffle BYTES — the coalescing
+    * heuristic's metric — is exactly the profile of narrow columns whose
+    * per-row CPU is still expensive). Callers fan out projections of
+    * scalar columns, so the exchange carries bytes-per-row in the tens. */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    // streaming relations have no static partitioning to inspect (`.rdd`
+    // is illegal before start()); micro-batch sources parallelize by
+    // files/offsets instead, so pass them through untouched
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
 }

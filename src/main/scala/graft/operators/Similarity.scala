@@ -19,8 +19,10 @@ object Similarity {
     * (cosine desc, id) ordering. */
   def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, probeId: String, probeVec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("vec_id"),
-      normalized(toDouble(col(vec))).as("e"))
+    // the streamed corpus side of the broadcast join carries the n·|probes|
+    // dot products — widen it past the unsplittable scan (guide §2.5)
+    val c = Scale.fanOut(corpus.select(col(id).as("vec_id"),
+      normalized(toDouble(col(vec))).as("e")), "vec_id")
     val p = probes.select(col(probeId).as("q_id"),
       normalized(toDouble(col(probeVec))).as("qe"))
     val w = Window.partitionBy(col("q_id"))
@@ -125,8 +127,12 @@ object Similarity {
       nCells: Int, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(id).as("vid"),
-      normalized(toDouble(col(vec))).as("e")).localCheckpoint()
+    // fan out the unsplittable scan BEFORE the checkpoint: the pinned
+    // blocks feed the pool collect and every per-iteration assign scan
+    // (a broadcast argmax over the full corpus) — one partition would
+    // serialize them all (guide §2.5; no-op at scale)
+    val c = Scale.fanOut(corpus.select(col(id).as("vid"),
+      normalized(toDouble(col(vec))).as("e")), "vid").localCheckpoint()
     // deterministic SPREAD seeding: hash-sample a bounded candidate pool
     // (one scan), then greedy farthest-point on the pool driver-side —
     // two seeds landing in one tight cluster is the classic way Lloyd

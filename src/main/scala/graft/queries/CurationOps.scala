@@ -117,10 +117,14 @@ object CurationOps {
     * (batch) and q185's streaming stager. */
   private[queries] def funnelStaged(s: SparkSession, d: String) = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
-        translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+    // fan out the unsplittable scan before the per-row container/HTML
+    // CPU both consumers run (guide §2.5; no-op at scale)
+    graft.operators.Scale.fanOut(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
+            translate(substring(col("text"), 11, 10), " ", "_").as("b2")),
+        "doc_id")
       .as[(Long, String, String)]
   }
 
@@ -238,9 +242,11 @@ object CurationOps {
     "q177_robots_filter",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 3).as("c3"),
-          (col("doc_id") % 5).as("c5"))
+      graft.operators.Scale.fanOut(
+          Tables.documents(s, d)
+            .select(col("doc_id"), (col("doc_id") % 3).as("c3"),
+              (col("doc_id") % 5).as("c5")),
+          "doc_id")
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
           val txts = Array(
@@ -295,8 +301,10 @@ object CurationOps {
     "q180_wet_sink_roundtrip",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      graft.operators.Scale.fanOut(
+          Tables.documents(s, d)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("t")),
+          "doc_id")
         .as[(Long, String)]
         .mapPartitions { it =>
           val Utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -362,8 +370,10 @@ object CurationOps {
     "q181_charset_decode",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 5).as("c"))
+      graft.operators.Scale.fanOut(
+          Tables.documents(s, d)
+            .select(col("doc_id"), (col("doc_id") % 5).as("c")),
+          "doc_id")
         .as[(Long, Long)]
         .mapPartitions { it =>
           import java.nio.charset.Charset

@@ -27,6 +27,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
           (col("n_chars") % 12 + 4).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -65,6 +66,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -110,6 +112,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), ((col("n_chars") % 3 + 2) * 8).as("w"),
           ((col("doc_id") % 3 + 2) * 8).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -150,6 +153,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 24 + 5).as("w"),
           (col("doc_id") % 19 + 5).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -192,6 +196,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 100).as("ns"),
           (col("doc_id") % 50 + 150).as("p"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, p) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -234,6 +239,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 1500 + 600).as("ns"),
           (col("doc_id") % 200 + 200).as("freq"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, freq) =>
           val rate = 32000
@@ -279,6 +285,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 4000 + 1800).as("ns"),
           (col("doc_id") % 200 + 200).as("freq"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, freq) =>
           val rate = 32000
@@ -331,6 +338,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 1500 + 600).as("ns"),
           (col("doc_id") % 200 + 200).as("freq"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, freq) =>
           val rate = 32000
@@ -376,7 +384,9 @@ object MediaOps {
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
+        .as[Long]
         .mapPartitions(_.map { id =>
           val w = 34 + 2 * (id % 16).toInt
           val h = 18 + 2 * (id % 12).toInt
@@ -417,6 +427,7 @@ object MediaOps {
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 1000 + 100).as("dur"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, dur) =>
           val w = 320 + 16 * (id % 4).toInt
@@ -467,6 +478,7 @@ object MediaOps {
       import s.implicits._
       val media = Tables.documents(s, d)
         .select(col("doc_id"), (col("doc_id") % 5 + 2).as("nf"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nfL) =>
           val nf = nfL.toInt
@@ -517,7 +529,9 @@ object MediaOps {
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
+        .as[Long]
         .mapPartitions(_.map { id =>
           import graft.multimodal.{H264, Mp4}
           val w = 34 + 2 * (id % 16).toInt
@@ -589,6 +603,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 3000 + 1800).as("ns"),
           (col("doc_id") % 150 + 200).as("freq"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, nsL, freq) =>
           import graft.multimodal.{Mp2, Mp4, MpegAudio, Multimodal}
@@ -659,6 +674,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 300 + 200).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -714,6 +730,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -767,6 +784,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
           (col("n_chars") % 12 + 4).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -816,6 +834,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
           (col("n_chars") % 12 + 4).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -876,6 +895,7 @@ object MediaOps {
       import s.implicits._
       val media = Tables.documents(s, d)
         .select(col("doc_id"), (col("doc_id") % 5 + 3).as("nf"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nfL) =>
           val nf = nfL.toInt
@@ -933,6 +953,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 16 + 4).as("w"),
           (col("n_chars") % 12 + 4).as("h"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, wl, hl) =>
           val w = wl.toInt; val h = hl.toInt
@@ -997,6 +1018,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -1069,6 +1091,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>
@@ -1129,6 +1152,7 @@ object MediaOps {
       Tables.documents(s, d)
         .select(col("doc_id"), (col("n_chars") % 400 + 50).as("ns"),
           (col("doc_id") % 20 + 1).as("k"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, Long, Long)]
         .mapPartitions(_.map { case (id, ns, k) =>
           val samples = Array.tabulate(ns.toInt)(t =>

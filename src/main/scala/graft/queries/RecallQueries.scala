@@ -137,7 +137,11 @@ object RecallQueries {
     * 0.064 (sf0.1) at the default 0.05 rsd, gated at 3σ ≈ 0.15. */
   private val q98 = cert(
     "q98_hll_rel_error",
-    (s, d) => Tables.lineitem(s, d)
+    (s, d) => graft.operators.Scale.fanOut(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey")),
+        "l_orderkey") // HLL merge is order-independent (scaladoc above);
+                      // the exact distinct count trivially so — fanning
+                      // out the unsplittable scan changes nothing (§2.5)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
@@ -220,7 +224,16 @@ object RecallQueries {
       // serializes the whole column through one task — exactly the
       // anti-pattern at 100 TB, and this query is the sketch's scale
       // evidence.
-      Tables.lineitem(s, d).select(col("l_extendedprice"))
+      // fan out the unsplittable single-file scan before both aggregates
+      // (guide §2.5): the exact percentile's partial map build is the
+      // query's whole CPU and ran in ONE task. Hash-keyed on the value
+      // column itself (deterministic); the approx sketch's accepted
+      // within-guarantee partition-order nondeterminism is already this
+      // cert's stated contract (see above), and the exact percentile is
+      // order-independent.
+      graft.operators.Scale.fanOut(
+          Tables.lineitem(s, d).select(col("l_extendedprice")),
+          "l_extendedprice")
         .agg(exact, approx)
         .select(explode(arrays_zip(col("ex"), col("ap"))).as("r"))
         .agg(count(lit(1)).as("n_quartiles"),

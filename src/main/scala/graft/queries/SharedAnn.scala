@@ -123,7 +123,7 @@ object SharedAnn {
     memo(s, d, "exactTop5") {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
         "embedding", probes(s, d), "vec_id", "embedding", Cfg.K)
-        .localCheckpoint()
+        .repartition(1).localCheckpoint()
     }
 
   /** q71's IVF result (label cells, nprobe=4, spill=2) — certified by
@@ -132,7 +132,7 @@ object SharedAnn {
     memo(s, d, "ivfResult") {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", probes(s, d), "vec_id", "embedding", Cfg.K,
-        Cfg.IvfNprobe, spill = Cfg.Spill).localCheckpoint()
+        Cfg.IvfNprobe, spill = Cfg.Spill).repartition(1).localCheckpoint()
     }
 
   /** q74's sign-LSH result (48 bits / 12 bands) — certified by q96. */
@@ -140,7 +140,7 @@ object SharedAnn {
     memo(s, d, "lshResult") {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         probes(s, d), "vec_id", "embedding", Cfg.K, dims = Cfg.Dims,
-        nBits = Cfg.LshBits, nBands = Cfg.LshBands).localCheckpoint()
+        nBits = Cfg.LshBits, nBands = Cfg.LshBands).repartition(1).localCheckpoint()
     }
 
   /** The one trained PQ model (nSub=16, nCodes=16, iters=3) behind q136's
@@ -158,7 +158,7 @@ object SharedAnn {
     memo(s, d, "pqSearch") {
       Pq.searchWithModel(Tables.embeddings(s, d), "vec_id", "embedding",
         probes(s, d), "vec_id", "embedding", Cfg.K, pqModel(s, d),
-        refine = Cfg.PqRefine).localCheckpoint()
+        refine = Cfg.PqRefine).repartition(1).localCheckpoint()
     }
 
   /** The one trained OPQ model (q145's configuration). */
@@ -177,7 +177,7 @@ object SharedAnn {
         probes(s, d), "vec_id", "embedding", Cfg.K, nCells = Cfg.NCells,
         nprobe = Cfg.Nprobe, nSub = Cfg.NSub, nCodes = Cfg.NCodes,
         iters = Cfg.Iters, residual = true, refine = Cfg.Refine,
-        spill = Cfg.Spill).localCheckpoint()
+        spill = Cfg.Spill).repartition(1).localCheckpoint()
     }
 
   /** Full-corpus on-disk IVF index (q112's configuration) — READ-ONLY:
@@ -210,7 +210,7 @@ object SharedAnn {
     memo(s, d, "fullIvfProbe") {
       Similarity.probeIvfIndex(s, fullIvfIndexDir(s, d), probes(s, d),
         "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe)
-        .localCheckpoint()
+        .repartition(1).localCheckpoint()
     }
 
   /** q141's registered on-disk IVF-PQ probe result (nprobe=6, refine
@@ -221,7 +221,7 @@ object SharedAnn {
       Pq.probeIvfPqIndex(s, fullIvfPqIndexDir(s, d), probes(s, d),
         "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe,
         refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding")))
-        .localCheckpoint()
+        .repartition(1).localCheckpoint()
     }
 
   /** q148's registered on-disk OPQ-IVFPQ probe result — memoized
@@ -232,7 +232,7 @@ object SharedAnn {
       Pq.probeIvfPqIndex(s, opqFullIvfPqIndexDir(s, d), probes(s, d),
         "vec_id", "embedding", Cfg.K, nprobe = Cfg.Nprobe,
         refineWith = Some((Tables.embeddings(s, d), "vec_id", "embedding")))
-        .localCheckpoint()
+        .repartition(1).localCheckpoint()
     }
 
   /** On-disk plain-IVF index over the 75 % base corpus (q127's

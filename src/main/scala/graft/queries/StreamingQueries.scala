@@ -188,15 +188,43 @@ object StreamingQueries {
 
   /** State-partition sizing: streaming state shards by
     * spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
-    * pays a state-store commit per shard. The fixture's key cardinality
-    * (thousands) wants far fewer shards than the session's CPU-count
-    * setting — a real deployment sizes state partitions by key volume,
-    * not cores. Temporarily lower the conf for the stream, restore
-    * after (queries run sequentially in the driver harness). */
+    * pays a per-shard fixed cost (state-store provider load under a
+    * global KeyLock, a Hadoop Configuration, checkpoint-file manager
+    * init, and several small file creations — sampled-profiler-verified
+    * ~0.5 s/task regardless of row volume at fixture scale). The
+    * fixture's key cardinality (thousands) wants far fewer shards than
+    * the session's CPU-count setting — a real deployment sizes state
+    * partitions by key volume, not cores. Measured across the harness
+    * suite (round-15 A/B, SPARK_GRAFT_STATE_PARTITIONS): 4 beats 8 by
+    * ~10-15 % and beats 32 by 4-7× per query. Temporarily lower the conf
+    * for the stream, restore after (queries run sequentially in the
+    * driver harness).
+    *
+    * Additionally disables checkpoint-file checksums for the harness
+    * stream: these checkpoints are JVM-lifetime temp dirs (TempDirs) —
+    * checksum-on-write protects a DURABLE checkpoint against storage
+    * corruption across restarts, which cannot matter for a scratch dir
+    * that dies with the run (measured ~1.5 s/query of Shell-forked file
+    * ops on the 4-batch replays). A deployment with durable checkpoints
+    * keeps the default. Restored after the body like the partition conf. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    // dev-only A/B knob (the driver never sets it): override every
+    // harness query's state-partition count to isolate commit overhead
+    // (fewer shards) vs stateful-CPU parallelism (more shards)
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(n)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = s.conf.getOption(ck)
+    s.conf.set("spark.sql.shuffle.partitions", eff.toString)
+    s.conf.set(ck, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ck, v)
+        case None => s.conf.unset(ck)
+      }
+    }
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow), upserting
@@ -225,7 +253,7 @@ object StreamingQueries {
     "q93_incremental_windows",
     (s, d) => {
       val dir = stage(s, d, nFiles = 4)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val out = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
           .select(unix_micros(col("wstart")).as("w_us"), col("event_type"),
             col("n"), col("sum_value"))
@@ -274,7 +302,7 @@ object StreamingQueries {
     "q94_incremental_sessions",
     (s, d) => {
       val dir = stageWithSentinel(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 8) {
+      val table = withStatePartitions(s, 4) {
         val out = EventStreams.userSessions(eventStream(s, dir),
             gap = "10 minutes", watermark = NeverLate)
           .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
@@ -296,7 +324,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageWithSentinel(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 8) {
+      val table = withStatePartitions(s, 4) {
         val out = EventStreams.closedUserSessions(
             eventStream(s, dir).as[EventStreams.Event],
             gapMs = 600000L, watermark = NeverLate)
@@ -323,7 +351,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stage(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 8) {
+      val table = withStatePartitions(s, 4) {
         val out = EventStreams.runningUserStats(
           eventStream(s, dir).as[EventStreams.Event]).toDF()
         runToSink(s, out, OutputMode.Update(), Seq("user_id"))
@@ -349,7 +377,7 @@ object StreamingQueries {
     "q123_stream_stream_interval_join",
     (s, d) => {
       val dir = stage(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 8) {
+      val table = withStatePartitions(s, 4) {
         val c = eventStream(s, dir).filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
             col("ts").as("c_ts"))
@@ -413,7 +441,7 @@ object StreamingQueries {
           "doc_id", "text", 3)
         .select(col("doc_id").as("bench_id"), col("shingle"))
         .localCheckpoint()
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val corpus = docStream(s, dir)
           .filter(col("doc_id") % 12 =!= 0 || col("doc_id") >= 6000)
         val joined = Dedup.shingleSet(corpus, "doc_id", "text", 3)
@@ -455,7 +483,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageDocs(s, d, nFiles = 4)
-      val candidates = withStatePartitions(s, 8) {
+      val candidates = withStatePartitions(s, 4) {
         val keys = Dedup.bandKeys(docStream(s, dir), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8)
         val pairs = keys.as[(Long, Int, Long)]
@@ -501,7 +529,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageDocsByDay(s, d, nDays = 4)
-      val candidates = withStatePartitions(s, 8) {
+      val candidates = withStatePartitions(s, 4) {
         // day d → ts (d+1)·86400 s: the +1 keeps day 0 strictly ABOVE the
         // initial watermark (0) — the late-row filter before a stateful op
         // drops rows AT the watermark, so an epoch-0 event time would
@@ -535,7 +563,7 @@ object StreamingQueries {
     "q124_streaming_dedup",
     (s, d) => {
       val dir = stageDuplicated(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 8) {
+      val table = withStatePartitions(s, 4) {
         val out = eventStream(s, dir)
           .withWatermark("ts", NeverLate)
           .dropDuplicates("event_id")
@@ -803,21 +831,23 @@ object StreamingQueries {
       val refIdx = SharedAnn.copyIndex(
         SharedAnn.baseIvfPqIndexDir(s, d), "graft_ivfpq_batch_idx")
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
-      val q = s.readStream
-        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stageDir)
-        .writeStream.outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            Pq.appendIvfPqIndex(batch, "vec_id", "embedding", streamIdx,
-              spill = 2)
-            nBatches.incrementAndGet()
-          }: Unit
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 4) { // stateless stream; scopes the harness
+        val q = s.readStream     // checkpoint-checksum setting (see above)
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stageDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              Pq.appendIvfPqIndex(batch, "vec_id", "embedding", streamIdx,
+                spill = 2)
+              nBatches.incrementAndGet()
+            }: Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
       // batch-appended reference over the same final corpus
       Pq.appendIvfPqIndex(newVecs, "vec_id", "embedding", refIdx, spill = 2)
       // whole-index multiset diff: every row's placement AND codes must
@@ -896,7 +926,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageWarcShards(s, d, nShards = 4)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val containers = s.readStream.format("binaryFile")
           // the fixed binaryFile schema, stated explicitly: streaming
           // file sources refuse to infer

@@ -506,6 +506,7 @@ object TextOps {
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, b) =>
           val pair = (id % 4) match {
@@ -553,6 +554,7 @@ object TextOps {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .flatMap { case (id, b) =>
           val pre = (id % 4) match {
@@ -601,6 +603,7 @@ object TextOps {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .flatMap { case (id, b) =>
           val compat = (id % 4) match {
@@ -762,6 +765,7 @@ object TextOps {
         .select(col("doc_id"),
           translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
           translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, b1, b2) =>
           val html = "<!DOCTYPE html><html><head><title>T " + b1 +
@@ -806,6 +810,7 @@ object TextOps {
         .select(col("doc_id"),
           translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
           translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, b1, b2) =>
           val html = "<body><ul>" +
@@ -853,6 +858,7 @@ object TextOps {
         .select(col("doc_id"),
           translate(substring(col("text"), 1, 10), " ", "_").as("b1"),
           translate(substring(col("text"), 11, 10), " ", "_").as("b2"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String, String)]
         .mapPartitions { it =>
           val L1 = java.nio.charset.StandardCharsets.ISO_8859_1

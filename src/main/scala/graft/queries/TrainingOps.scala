@@ -175,6 +175,7 @@ object TrainingOps {
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 16).as("b"))
+        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .flatMap { case (id, b) =>
           val sb = new StringBuilder

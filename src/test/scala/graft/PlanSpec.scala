@@ -65,11 +65,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
 
-  test("per-row media gates are shuffle-free mapPartitions chains (q152–q160)") {
+  test("per-row media gates shuffle only the narrow id fan-out (q152–q160)") {
     // codec round-trips, spectral bins, resampling, cropping, keyframe
     // sampling, the composed funnels and unicode normalization are pure
-    // per-row CPU — an Exchange would mean the embarrassingly-parallel
-    // 100 TB path picked up a shuffle
+    // per-row CPU. The ONLY admissible exchange is Scale.fanOut's
+    // repartition of the scalar pre-payload columns (doc_id + a couple of
+    // longs) that widens the unsplittable single-row-group fixture scan —
+    // an exchange keyed on anything else, or appearing in queries that
+    // never fan out, means the embarrassingly-parallel 100 TB path picked
+    // up a real shuffle of payload bytes.
     for (name <- Seq("q152_audio_in_mp4", "q153_spectral_bands",
         "q154_audio_resample", "q155_center_crop", "q156_letterbox_pad",
         "q157_keyframe_sampling", "q158_vision_funnel",
@@ -78,7 +82,16 @@ class PlanSpec extends SparkSpec {
         "q170_html_extract", "q171_html_main_content",
         "q172_warc_ingest")) {
       val plan = finalPlan(q(name))
-      assert(!plan.contains("Exchange"), s"unexpected shuffle in $name:\n$plan")
+      val keys = "Exchange hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(keys.forall(_.startsWith("doc_id")),
+        s"non-fan-out exchange keys $keys in $name:\n$plan")
+      // the fan-out is hash-keyed; a range/single-partition/round-robin
+      // exchange would be a global sort or collapse sneaking in
+      assert(!plan.contains("Exchange rangepartitioning") &&
+        !plan.contains("Exchange SinglePartition") &&
+        !plan.contains("RoundRobinPartitioning"),
+        s"non-hash exchange in $name:\n$plan")
     }
   }
 
