@@ -266,6 +266,15 @@ object Dedup {
     } else {
       val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select(col("shingle"))
+      // data-dependent short-circuit: when NO shingle exceeds the cap
+      // (the common case until a corpus actually carries stop-phrases),
+      // the capped plan is algebraically the uncapped one (left_anti
+      // against ∅ is identity, the hot-recount arm contributes 0) — skip
+      // its three extra joins/shuffles outright. One cheap existence
+      // probe over the cached shingle set decides (guide §2.4: remove
+      // shuffles, don't run provably-empty subplans).
+      if (hot.isEmpty)
+        return jaccardFromPairs(pairsFromPostings(sh), counts, threshold)
       val genSide = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
         .select(col("doc_id"), col("shingle")) // join key reorders columns
       val nonHotCommon = pairsFromPostings(genSide)

@@ -431,12 +431,8 @@ object Pq {
   /** Per-probe ADC lookup table as ONE literal-driven expression:
     * lut[m][j] = ‖q_m − c_mj‖², exact on the probe side. */
   private def lutCol(qe: Column, model: PqModel): Column =
-    array((0 until model.nSub).map { m =>
-      array((0 until model.nCodes).map { j =>
-        d2Col(slice(qe, m * model.subDim + 1, model.subDim),
-          model.codebooks(m)(j).toSeq)
-      }: _*)
-    }: _*)
+    bridgeCol(org.apache.spark.sql.graftexpr.PqLutExpr(
+      bridgeExpr(qe), books(model)))
 
   /** ADC approximate distance: Σ_m lut[m][codes[m]] — a native generated
     * codes-array walk (PqAdcExpr), no vector payload; identical
@@ -781,13 +777,16 @@ object Pq {
       .withColumn("cell", col("cell").cast("int"))
       .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
-    spark.read.parquet(s"$dir/_centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
-    spark.read.parquet(s"$dir/_codebooks")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_codebooks")
-    // an OPQ-built index carries its rotation; codes are valid only
-    // under the exact (rotation, centroids, codebooks) triple
-    readRotation(spark, dir).foreach(r => writeRotation(spark, r, outDir))
+    // model sidecars copy as FILES (byte-identical, zero jobs — the
+    // former per-sidecar read→write round trips were six Spark jobs per
+    // compaction; see Similarity.copySidecarDir). An OPQ-built index
+    // carries its rotation; codes are valid only under the exact
+    // (rotation, centroids, codebooks) triple.
+    Similarity.copySidecarDir(spark, s"$dir/_centroids", s"$outDir/_centroids")
+    Similarity.copySidecarDir(spark, s"$dir/_codebooks", s"$outDir/_codebooks")
+    val rot = new org.apache.hadoop.fs.Path(s"$dir/_rotation")
+    if (rot.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rot))
+      Similarity.copySidecarDir(spark, s"$dir/_rotation", s"$outDir/_rotation")
   }
 
   /** Probe the on-disk IVF-PQ index: reload the model sidecars, rank

@@ -321,9 +321,25 @@ object Similarity {
       val nCells = spark.read.parquet(s"$dir/_centroids").count().toInt
       data.repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(outDir)
-      spark.read.parquet(s"$dir/_centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
+      copySidecarDir(spark, s"$dir/_centroids", s"$outDir/_centroids")
     }
+  }
+
+  /** File-level copy of a model sidecar directory (`_centroids`,
+    * `_codebooks`, `_rotation`): byte-identical to the former Spark
+    * read→coalesce(1)→write round trip, but ZERO jobs — sidecars are
+    * bounded model artifacts whose re-encoding through a plan bought
+    * nothing and cost two jobs per sidecar per compaction (guide §1.2:
+    * remove work before tuning it). */
+  private[operators] def copySidecarDir(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val fs = srcP.getFileSystem(conf)
+    fs.delete(dstP, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP,
+      false, true, conf), s"sidecar copy failed: $src -> $dst")
   }
 
   /** Probe the on-disk IVF index: rank cells by probe↔centroid cosine,

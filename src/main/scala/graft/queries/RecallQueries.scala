@@ -160,7 +160,12 @@ object RecallQueries {
   private val q99 = cert(
     "q99_simhash_band_recall",
     (s, d) => {
-      val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      // fan out the streamed side of the quadratic reference join: the
+      // post-aggregation signature table coalesces to one tiny-bytes
+      // partition, putting all n²/2 bit_count evaluations on one core
+      // (guide §2.5; values are per-pair exact, partitioning-independent)
+      val sigs = graft.operators.Scale.fanOut(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), "doc_id")
       val exact = sigs.as("a").join(sigs.as("b"),
           col("a.doc_id") < col("b.doc_id") &&
           expr("bit_count(a.simhash ^ b.simhash)") <= 3)

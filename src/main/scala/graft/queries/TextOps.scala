@@ -554,7 +554,6 @@ object TextOps {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
-        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .flatMap { case (id, b) =>
           val pre = (id % 4) match {
@@ -603,7 +602,6 @@ object TextOps {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 8).as("b"))
-        .transform(graft.operators.Scale.fanOut(_, "doc_id"))
         .as[(Long, String)]
         .flatMap { case (id, b) =>
           val compat = (id % 4) match {

@@ -295,3 +295,82 @@ case class NormalizeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-probe ADC lookup table lut[m][j] = ‖q[m·subDim ..) − c_mj‖² as one
+  * generated loop over the literal codebooks. HOF twin: the
+  * array(array(d2Col(slice(q), c_mj))) literal tree — 256 fold subtrees
+  * whose serialized size dominated task binaries (measured ~50 ms of
+  * task DESERIALIZATION per task). Same left-to-right fold per (m, j),
+  * so every table entry is bit-identical. */
+case class PqLutExpr(child: Expression,
+    codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private def nSub = codebooks.length
+  private def nCodes = codebooks.head.length
+  private def subDim = codebooks.head.head.length
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  @transient private lazy val flat: Array[Array[Double]] =
+    codebooks.map(_.flatten.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val rows = new Array[Any](nSub)
+    var m = 0
+    while (m < nSub) {
+      val book = flat(m)
+      val base = m * subDim
+      val row = new Array[Double](nCodes)
+      var j = 0
+      while (j < nCodes) {
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = v.getDouble(base + i) - book(j * subDim + i)
+          s += d * d
+          i += 1
+        }
+        row(j) = s
+        j += 1
+      }
+      rows(m) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(row)
+      m += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val books = ctx.addReferenceObj("pqBooks", flat, "double[][]")
+      val rows = ctx.freshName("rows"); val row = ctx.freshName("row")
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val book = ctx.freshName("book")
+      s"""
+        Object[] $rows = new Object[$nSub];
+        for (int $m = 0; $m < $nSub; $m++) {
+          double[] $book = $books[$m];
+          double[] $row = new double[$nCodes];
+          for (int $j = 0; $j < $nCodes; $j++) {
+            double $s = 0.0;
+            for (int $i = 0; $i < $subDim; $i++) {
+              double $d = $v.getDouble($m * $subDim + $i) - $book[$j * $subDim + $i];
+              $s += $d * $d;
+            }
+            $row[$j] = $s;
+          }
+          $rows[$m] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray($row);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
