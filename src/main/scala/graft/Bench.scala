@@ -100,6 +100,9 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
         val qReps = if (idx < firstFamilyReps) reps.max(3) else reps
+        // memo-build attribution: SharedAnn records which query paid each
+        // shared model/index build (provenance only — no timing change)
+        graft.queries.SharedAnn.payer.set(name)
         val laq = loadavgNow()
         val steal0 = stealTicksNow()
         val times = (1 to qReps).map { _ =>
@@ -173,8 +176,12 @@ object Bench {
       s"\"${r.name}\":{\"reps\":$repsJson,\"loadavg\":\"${r.loadavg}\"," +
         s"\"steal_ticks\":${r.stealTicks}}"
     }.mkString("{", ",", "}")
+    // which query paid each SharedAnn memo build this run (first-payer
+    // attribution — makes per-query numbers mechanically adjudicable)
+    val memoPaid = graft.queries.SharedAnn.memoPaidBy.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_detail":$fullDetail,"failed":$failed,"sf":"$sfDir",$prov}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_detail":$fullDetail,"memo_paid_by":$memoPaid,"failed":$failed,"sf":"$sfDir",$prov}"""
     // anchor to the repo root (env override first, then the build's
     // user.dir if it holds build.sbt, else CWD) so running the bench from
     // another directory doesn't scatter the artifact

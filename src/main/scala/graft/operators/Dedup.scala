@@ -264,22 +264,22 @@ object Dedup {
       // exact path: common = per-pair emission count
       jaccardFromPairs(genPairs, counts, threshold)
     } else {
-      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select(col("shingle"))
-      // data-dependent short-circuit: when NO shingle exceeds the cap
-      // (the common case until a corpus actually carries stop-phrases),
-      // the capped plan is algebraically the uncapped one (left_anti
-      // against ∅ is identity, the hot-recount arm contributes 0) — skip
-      // its three extra joins/shuffles outright. One cheap existence
-      // probe over the cached shingle set decides (guide §2.4: remove
-      // shuffles, don't run provably-empty subplans).
-      if (hot.isEmpty)
-        return jaccardFromPairs(pairsFromPostings(sh), counts, threshold)
-      val genSide = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        .select(col("doc_id"), col("shingle")) // join key reorders columns
-      val nonHotCommon = pairsFromPostings(genSide)
+      // the cap is applied INSIDE pair generation (a posting list longer
+      // than dfCap emits nothing — identical pairs to the former
+      // anti-join against the hot set, without materializing it): one
+      // shuffle of sh replaces the round-15 chain of an EAGER hot-probe
+      // job + broadcast anti-join (guide §2.4; the probe also broke plan
+      // laziness — ADVICE r15). The hot-recount arm below stays in the
+      // plan lazily: when no shingle exceeds the cap, `hot` is empty and
+      // AQE's empty-relation propagation collapses the recount joins at
+      // runtime (left_outer against ∅ is identity), so the common case
+      // pays one tiny aggregation stage over the cached shingle set
+      // instead of the old pre-execution probe job.
+      val nonHotCommon = pairsFromPostings(sh, dfCap)
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("common"))
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("shingle"))
       val hotSh = sh.join(broadcast(hot), Seq("shingle"))
         .select(col("doc_id"), col("shingle"))
       val hotCommon = nonHotCommon.select(col("id_a"), col("id_b"))
@@ -299,19 +299,34 @@ object Dedup {
   }
 
   /** Inverted-index pair generation: each shingle's sorted posting list
-    * emits its ordered pairs (one shuffle, linear in postings). */
-  private def pairsFromPostings(postings: DataFrame): DataFrame = {
+    * emits its ordered pairs (one shuffle, linear in postings). With
+    * `dfCap > 0`, a posting list longer than the cap emits NO pairs —
+    * exactly the pair set of first anti-joining away hot shingles, but
+    * decided per group inside the one existing shuffle; the buffer stops
+    * at dfCap+1 docs, so a 100 TB stop-phrase's k-million-row posting
+    * list never materializes in memory. */
+  private def pairsFromPostings(postings: DataFrame, dfCap: Int = 0): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     postings.select(col("doc_id"), col("shingle")).as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_: String, it: Iterator[(Long, String)]) =>
-        val ds = it.map(_._1).toArray
-        java.util.Arrays.sort(ds)
-        for {
-          i <- ds.indices.iterator
-          j <- ((i + 1) until ds.length).iterator
-        } yield (ds(i), ds(j))
+        val cap = if (dfCap > 0) dfCap else Int.MaxValue
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()._1
+          if (buf.length > cap) over = true
+        }
+        if (over) Iterator.empty
+        else {
+          val ds = buf.toArray
+          java.util.Arrays.sort(ds)
+          for {
+            i <- ds.indices.iterator
+            j <- ((i + 1) until ds.length).iterator
+          } yield (ds(i), ds(j))
+        }
       }
       .toDF("id_a", "id_b")
   }
@@ -465,10 +480,22 @@ object Dedup {
       text: String, n: Int, threshold: Double): DataFrame = {
     val sh = shingleSet(df, id, text, n).localCheckpoint()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairShingles = candidates
-      .select(col("id_a"), col("id_b"))
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+    val cand = candidates.select(col("id_a"), col("id_b"))
+    // the candidate doc-id set is bounded by the (small) candidate pair
+    // table, while sh is the FULL corpus shingle set — pre-filter sh to
+    // candidate members through a broadcast semi-join so the corpus-sized
+    // side never shuffles (guide §3.2: reduce the big side before the
+    // exchange; the round-15 attempt that shuffled the full shingle table
+    // by doc_id measured 2× WORSE and was reverted). Only the recount
+    // joins see the filtered sets; `counts` still aggregates FULL sets,
+    // so reported Jaccard values are exact and unchanged.
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    val shCand = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val pairShingles = broadcast(cand)
+      .join(shCand.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shCand.as("sb"), col("id_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .select(col("id_a"), col("id_b"))
     jaccardFromPairs(pairShingles, counts, threshold)

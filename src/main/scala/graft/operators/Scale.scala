@@ -42,12 +42,70 @@ object Scale {
     * per-row CPU is still expensive). Callers fan out projections of
     * scalar columns, so the exchange carries bytes-per-row in the tens. */
   def fanOut(df: DataFrame, key: String): DataFrame = {
-    // streaming relations have no static partitioning to inspect (`.rdd`
-    // is illegal before start()); micro-batch sources parallelize by
-    // files/offsets instead, so pass them through untouched
+    // streaming relations have no static partitioning to inspect;
+    // micro-batch sources parallelize by files/offsets instead, so pass
+    // them through untouched
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (staticPartitionFloor(df) >= target) df
     else df.repartition(target, col(key))
+  }
+
+  /** Lower bound on the partition count `df` would scan with, derived from
+    * the ANALYZED logical plan — never from `df.rdd`, which under AQE
+    * materializes every upstream shuffle stage (real Spark jobs whose
+    * results the later execution does not reuse) just to report a
+    * partition count, and which made fanOut over a post-aggregation input
+    * run the whole upstream pipeline twice (round-15 ADVICE).
+    *
+    * Narrow chains (projections/filters/typed maps) over file scans
+    * estimate from the file listing: split packing charges each file
+    * `openCostInBytes` and packs into bins of at most `maxPartitionBytes`,
+    * so `ceil(charged / (maxPartitionBytes + openCost))` never exceeds the
+    * scan's true task count — the no-op branch (input already ≥ session
+    * parallelism) only fires when the real scan is at least that wide.
+    * Fixture single-file tables floor to 1 (→ fan out, same plan as
+    * before); a 100 TB table floors to thousands (→ plan-level no-op,
+    * nothing shuffled). Plans containing a shuffle-inducing or
+    * unrecognized operator return 0 — those inputs repartition
+    * unconditionally, which at fixture scale is the identical plan the
+    * .rdd probe produced (AQE coalesces small post-shuffle outputs below
+    * core count) and at cluster scale costs one bounded exchange of an
+    * already-aggregated table instead of an eager double execution. */
+  private def staticPartitionFloor(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.ExternalRDD
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    def floor(p: LogicalPlan): Long = p match {
+      case Project(_, c) => floor(c)
+      case Filter(_, c) => floor(c)
+      case SubqueryAlias(_, c) => floor(c)
+      case SerializeFromObject(_, c) => floor(c)
+      case DeserializeToObject(_, _, c) => floor(c)
+      case m: MapPartitions => floor(m.child)
+      case m: MapElements => floor(m.child)
+      case t: TypedFilter => floor(t.child)
+      case u: Union => u.children.map(floor).sum
+      case r: Repartition => r.numPartitions.toLong
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.map(_.toLong)
+          .getOrElse(conf.numShufflePartitions.toLong)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val open = math.max(0L, conf.filesOpenCostInBytes)
+          val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+          val nFiles = fs.location.inputFiles.length.toLong
+          val charged = math.max(0L, fs.location.sizeInBytes) + nFiles * open
+          math.max(if (nFiles > 0) 1L else 0L,
+            (charged + maxSplit + open - 1) / (maxSplit + open))
+        case _ => 0L
+      }
+      case r: LogicalRDD => r.rdd.getNumPartitions.toLong
+      case r: ExternalRDD[_] => r.rdd.getNumPartitions.toLong
+      case _ => 0L
+    }
+    floor(df.queryExecution.analyzed)
   }
 }

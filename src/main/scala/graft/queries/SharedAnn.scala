@@ -59,6 +59,16 @@ object SharedAnn {
   private val cache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), Any]()
 
+  /** Bench provenance (round-15 VERDICT item 8): which consumer paid each
+    * memoized build. The bench sets [[payer]] to the query name before
+    * each measurement; [[memo]] records the label at ACTUAL build time,
+    * so bench_full.json can attribute first-payer cost per query
+    * mechanically instead of by adjudication. Empty outside the bench. */
+  val payer = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val paidBy =
+    scala.collection.concurrent.TrieMap[String, String]()
+  def memoPaidBy: Map[String, String] = paidBy.toMap
+
   // one eviction listener per SparkContext: when the context ends, every
   // cache entry belonging to a session on it is dropped (releasing the
   // checkpointed RDD references) and its on-disk index dirs deleted —
@@ -109,7 +119,11 @@ object SharedAnn {
                 : Unit = evict(s.sparkContext)
           })
       })
-      cache.getOrElseUpdate((s, d, key), f).asInstanceOf[T]
+      cache.getOrElseUpdate((s, d, key), {
+        val who = Option(payer.get).filter(_.nonEmpty).getOrElse("unattributed")
+        paidBy.putIfAbsent(key, who)
+        f
+      }).asInstanceOf[T]
     }
 
   /** The registered probe set every ANN query/cert uses. */

@@ -186,43 +186,67 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
 
+  /** Harness state-partition count for the keyed-state fixture replays.
+    * The fixture's key cardinality (thousands of users/buckets/windows)
+    * wants FAR fewer shards than the session's CPU-count setting because
+    * every micro-batch pays a per-shard fixed cost (state-store provider
+    * load under a global KeyLock, a Hadoop Configuration parse, several
+    * small checkpoint file creations — sampled-profiler-verified ~0.5 s
+    * per shard-task regardless of row volume). Round-15 A/B across the
+    * suite: 4 beat 8 by ~10-15 % and 32 by 4-7×; the round-16 re-sweep
+    * with the lean checkpoint manager below confirmed the flat bottom
+    * stays at 4 (2/4/8 within noise of each other, 16+ strictly worse).
+    * A real deployment sizes state partitions by OBSERVED KEY VOLUME
+    * (state rows per shard in the low millions), never by core count —
+    * this constant is the fixture-derived default, overridable per run
+    * with SPARK_GRAFT_STATE_PARTITIONS. */
+  private val HarnessStatePartitions = 4
+
   /** State-partition sizing: streaming state shards by
-    * spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
-    * pays a per-shard fixed cost (state-store provider load under a
-    * global KeyLock, a Hadoop Configuration, checkpoint-file manager
-    * init, and several small file creations — sampled-profiler-verified
-    * ~0.5 s/task regardless of row volume at fixture scale). The
-    * fixture's key cardinality (thousands) wants far fewer shards than
-    * the session's CPU-count setting — a real deployment sizes state
-    * partitions by key volume, not cores. Measured across the harness
-    * suite (round-15 A/B, SPARK_GRAFT_STATE_PARTITIONS): 4 beats 8 by
-    * ~10-15 % and beats 32 by 4-7× per query. Temporarily lower the conf
-    * for the stream, restore after (queries run sequentially in the
-    * driver harness).
+    * spark.sql.shuffle.partitions AT QUERY START — temporarily lower the
+    * conf for the stream, restore after (queries run sequentially in the
+    * driver harness). See [[HarnessStatePartitions]] for the sizing
+    * rationale and A/B evidence.
     *
-    * Additionally disables checkpoint-file checksums for the harness
-    * stream: these checkpoints are JVM-lifetime temp dirs (TempDirs) —
-    * checksum-on-write protects a DURABLE checkpoint against storage
-    * corruption across restarts, which cannot matter for a scratch dir
-    * that dies with the run (measured ~1.5 s/query of Shell-forked file
-    * ops on the 4-batch replays). A deployment with durable checkpoints
-    * keeps the default. Restored after the body like the partition conf. */
+    * Additionally scopes two checkpoint-I/O settings to the harness
+    * stream, both restored after the body:
+    *   - checkpoint-file checksums OFF: these checkpoints are
+    *     JVM-lifetime temp dirs (TempDirs) — checksum-on-write protects a
+    *     DURABLE checkpoint against storage corruption across restarts,
+    *     which cannot matter for a scratch dir that dies with the run
+    *     (measured ~1.5 s/query of extra file ops on the 4-batch replays).
+    *   - [[graft.streaming.NioCheckpointFileManager]] as the checkpoint
+    *     file manager: same rename-based commit protocol, but through
+    *     java.nio instead of Hadoop's LocalFileSystem — no `.crc` sibling
+    *     per file, no Shell-forked chmods, no FileSystem-cache walks
+    *     (round-15's #1 residual: per-shard fixed cost).
+    * A deployment with durable checkpoints keeps both defaults. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    // dev-only A/B knob (the driver never sets it): override every
+    // dev-only A/B knobs (the driver never sets them): override every
     // harness query's state-partition count to isolate commit overhead
-    // (fewer shards) vs stateful-CPU parallelism (more shards)
+    // (fewer shards) vs stateful-CPU parallelism (more shards), and
+    // SPARK_GRAFT_CHECKPOINT_FM=default to fall back to Hadoop's manager
     val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
       .map(_.toInt).getOrElse(n)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevCk = s.conf.getOption(ck)
+    val fm = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevFm = s.conf.getOption(fm)
+    val useNio = !sys.env.get("SPARK_GRAFT_CHECKPOINT_FM").contains("default")
     s.conf.set("spark.sql.shuffle.partitions", eff.toString)
     s.conf.set(ck, "false")
+    if (useNio)
+      s.conf.set(fm, graft.streaming.NioCheckpointFileManager.className)
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       prevCk match {
         case Some(v) => s.conf.set(ck, v)
         case None => s.conf.unset(ck)
+      }
+      prevFm match {
+        case Some(v) => s.conf.set(fm, v)
+        case None => s.conf.unset(fm)
       }
     }
   }
@@ -253,7 +277,7 @@ object StreamingQueries {
     "q93_incremental_windows",
     (s, d) => {
       val dir = stage(s, d, nFiles = 4)
-      withStatePartitions(s, 4) {
+      withStatePartitions(s, HarnessStatePartitions) {
         val out = EventStreams.hourlyTypeCounts(eventStream(s, dir), NeverLate)
           .select(unix_micros(col("wstart")).as("w_us"), col("event_type"),
             col("n"), col("sum_value"))
@@ -302,7 +326,7 @@ object StreamingQueries {
     "q94_incremental_sessions",
     (s, d) => {
       val dir = stageWithSentinel(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 4) {
+      val table = withStatePartitions(s, HarnessStatePartitions) {
         val out = EventStreams.userSessions(eventStream(s, dir),
             gap = "10 minutes", watermark = NeverLate)
           .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
@@ -324,7 +348,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageWithSentinel(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 4) {
+      val table = withStatePartitions(s, HarnessStatePartitions) {
         val out = EventStreams.closedUserSessions(
             eventStream(s, dir).as[EventStreams.Event],
             gapMs = 600000L, watermark = NeverLate)
@@ -351,7 +375,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stage(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 4) {
+      val table = withStatePartitions(s, HarnessStatePartitions) {
         val out = EventStreams.runningUserStats(
           eventStream(s, dir).as[EventStreams.Event]).toDF()
         runToSink(s, out, OutputMode.Update(), Seq("user_id"))
@@ -377,7 +401,7 @@ object StreamingQueries {
     "q123_stream_stream_interval_join",
     (s, d) => {
       val dir = stage(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 4) {
+      val table = withStatePartitions(s, HarnessStatePartitions) {
         val c = eventStream(s, dir).filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
             col("ts").as("c_ts"))
@@ -441,7 +465,7 @@ object StreamingQueries {
           "doc_id", "text", 3)
         .select(col("doc_id").as("bench_id"), col("shingle"))
         .localCheckpoint()
-      withStatePartitions(s, 4) {
+      withStatePartitions(s, HarnessStatePartitions) {
         val corpus = docStream(s, dir)
           .filter(col("doc_id") % 12 =!= 0 || col("doc_id") >= 6000)
         val joined = Dedup.shingleSet(corpus, "doc_id", "text", 3)
@@ -483,7 +507,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageDocs(s, d, nFiles = 4)
-      val candidates = withStatePartitions(s, 4) {
+      val candidates = withStatePartitions(s, HarnessStatePartitions) {
         val keys = Dedup.bandKeys(docStream(s, dir), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8)
         val pairs = keys.as[(Long, Int, Long)]
@@ -529,7 +553,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageDocsByDay(s, d, nDays = 4)
-      val candidates = withStatePartitions(s, 4) {
+      val candidates = withStatePartitions(s, HarnessStatePartitions) {
         // day d → ts (d+1)·86400 s: the +1 keeps day 0 strictly ABOVE the
         // initial watermark (0) — the late-row filter before a stateful op
         // drops rows AT the watermark, so an epoch-0 event time would
@@ -563,7 +587,7 @@ object StreamingQueries {
     "q124_streaming_dedup",
     (s, d) => {
       val dir = stageDuplicated(s, d, nFiles = 4)
-      val table = withStatePartitions(s, 4) {
+      val table = withStatePartitions(s, HarnessStatePartitions) {
         val out = eventStream(s, dir)
           .withWatermark("ts", NeverLate)
           .dropDuplicates("event_id")
@@ -831,7 +855,7 @@ object StreamingQueries {
       val refIdx = SharedAnn.copyIndex(
         SharedAnn.baseIvfPqIndexDir(s, d), "graft_ivfpq_batch_idx")
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
-      withStatePartitions(s, 4) { // stateless stream; scopes the harness
+      withStatePartitions(s, HarnessStatePartitions) { // stateless stream; scopes the harness
         val q = s.readStream     // checkpoint-checksum setting (see above)
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
@@ -926,7 +950,7 @@ object StreamingQueries {
     (s, d) => {
       import s.implicits._
       val dir = stageWarcShards(s, d, nShards = 4)
-      withStatePartitions(s, 4) {
+      withStatePartitions(s, HarnessStatePartitions) {
         val containers = s.readStream.format("binaryFile")
           // the fixed binaryFile schema, stated explicitly: streaming
           // file sources refuse to infer

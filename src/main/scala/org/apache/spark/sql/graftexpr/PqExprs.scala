@@ -40,6 +40,22 @@ object PqExprs {
   /** Java source for [[better]], inlined into generated code. */
   private[graftexpr] def betterJava(d: String, best: String): String =
     s"($d < $best || (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($d)))"
+
+  /** Dimension guard shared by the codebook expressions: a vector shorter
+    * than nSub·subDim would read out-of-bounds UnsafeArrayData memory and
+    * yield silent garbage (the HOF twins degraded to nulls instead) —
+    * fail loudly with the sizes (ADVICE r15). */
+  @inline private[graftexpr] def requireDims(actual: Int, expected: Int): Unit =
+    if (actual != expected)
+      throw new IllegalArgumentException(
+        s"PQ expression input vector has $actual elements, model expects $expected")
+
+  /** Java source for [[requireDims]], inlined into generated code. */
+  private[graftexpr] def requireDimsJava(v: String, expected: Int): String =
+    s"""if ($v.numElements() != $expected)
+          throw new IllegalArgumentException(
+            "PQ expression input vector has " + $v.numElements() +
+            " elements, model expects $expected");"""
 }
 
 /** codes[m] = argmin_j ‖v[m·subDim ..) − codebook(m)(j)‖² — the whole
@@ -64,6 +80,7 @@ case class PqCodesExpr(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    PqExprs.requireDims(v.numElements(), nSub * subDim)
     val out = new Array[Int](nSub)
     var m = 0
     while (m < nSub) {
@@ -99,6 +116,7 @@ case class PqCodesExpr(child: Expression,
       val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
       val bestJ = ctx.freshName("bestJ"); val book = ctx.freshName("book")
       s"""
+        ${PqExprs.requireDimsJava(v, nSub * subDim)}
         int[] $out = new int[$nSub];
         for (int $m = 0; $m < $nSub; $m++) {
           double[] $book = $books[$m];
@@ -186,6 +204,7 @@ case class PqErrorExpr(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    PqExprs.requireDims(v.numElements(), nSub * subDim)
     var total = 0.0
     var m = 0
     while (m < nSub) {
@@ -218,6 +237,7 @@ case class PqErrorExpr(child: Expression,
       val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
       val total = ctx.freshName("total"); val book = ctx.freshName("book")
       s"""
+        ${PqExprs.requireDimsJava(v, nSub * subDim)}
         double $total = 0.0;
         for (int $m = 0; $m < $nSub; $m++) {
           double[] $book = $books[$m];
@@ -254,6 +274,14 @@ case class NormalizeExpr(child: Expression)
   }
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
+  /** Input arrays proven null-free by their schema take the primitive
+    * path (an UnsafeArrayData over a double[] — no per-element boxing);
+    * the nullable path preserves the HOF twin's null-stays-null rule. */
+  private def inputHasNulls: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
@@ -261,34 +289,54 @@ case class NormalizeExpr(child: Expression)
     var i = 0
     while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
     val nrm = math.sqrt(s)
-    val out = new Array[Any](n)
-    i = 0
-    while (i < n) {
-      out(i) = if (v.isNullAt(i)) null else (v.getDouble(i) / nrm)
-      i += 1
+    if (!inputHasNulls) {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (v.isNullAt(i)) null else (v.getDouble(i) / nrm)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val nrm = ctx.freshName("nrm")
-      val out = ctx.freshName("out")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val fill =
+        if (!inputHasNulls)
+          s"""
+          double[] $out = new double[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = $v.getDouble($i) / $nrm;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions
+            .UnsafeArrayData.fromPrimitiveArray($out);"""
+        else
+          s"""
+          Object[] $out = new Object[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = $v.isNullAt($i) ? null
+              : (Object) java.lang.Double.valueOf($v.getDouble($i) / $nrm);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
       s"""
         int $n = $v.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double x = $v.getDouble($i);
-          $s += x * x;
+          double $x = $v.getDouble($i);
+          $s += $x * $x;
         }
         double $nrm = java.lang.Math.sqrt($s);
-        Object[] $out = new Object[$n];
-        for (int $i = 0; $i < $n; $i++) {
-          $out[$i] = $v.isNullAt($i) ? null
-            : (Object) java.lang.Double.valueOf($v.getDouble($i) / $nrm);
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        $fill
       """
     })
 
@@ -319,6 +367,7 @@ case class PqLutExpr(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    PqExprs.requireDims(v.numElements(), nSub * subDim)
     val rows = new Array[Any](nSub)
     var m = 0
     while (m < nSub) {
@@ -352,6 +401,7 @@ case class PqLutExpr(child: Expression,
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
       val d = ctx.freshName("d"); val book = ctx.freshName("book")
       s"""
+        ${PqExprs.requireDimsJava(v, nSub * subDim)}
         Object[] $rows = new Object[$nSub];
         for (int $m = 0; $m < $nSub; $m++) {
           double[] $book = $books[$m];

@@ -82,10 +82,22 @@ class PlanSpec extends SparkSpec {
         "q170_html_extract", "q171_html_main_content",
         "q172_warc_ingest")) {
       val plan = finalPlan(q(name))
-      val keys = "Exchange hashpartitioning\\((\\w+)".r
-        .findAllMatchIn(plan).map(_.group(1)).toSet
-      assert(keys.forall(_.startsWith("doc_id")),
-        s"non-fan-out exchange keys $keys in $name:\n$plan")
+      // every hash exchange must be EXACTLY the fan-out shape: one key,
+      // that key doc_id, explicit-count repartition origin
+      // (REPARTITION_BY_NUM) — a payload shuffle (join keyed on doc_id,
+      // or hashpartitioning(doc_id, payload)) would not match (ADVICE r15)
+      val exchanges =
+        "Exchange hashpartitioning\\(([^)]*)\\), (\\w+)".r
+          .findAllMatchIn(plan)
+          .map(m => (m.group(1), m.group(2))).toSeq
+      exchanges.foreach { case (args, origin) =>
+        // args = "key1#id, key2#id, ..., numPartitions" — exactly one key
+        val keys = args.split(",").map(_.trim).dropRight(1)
+        assert(keys.length == 1 && keys.head.startsWith("doc_id"),
+          s"non-fan-out exchange keys [${keys.mkString(",")}] in $name:\n$plan")
+        assert(origin == "REPARTITION_BY_NUM",
+          s"fan-out exchange origin $origin != REPARTITION_BY_NUM in $name:\n$plan")
+      }
       // the fan-out is hash-keyed; a range/single-partition/round-robin
       // exchange would be a global sort or collapse sneaking in
       assert(!plan.contains("Exchange rangepartitioning") &&

@@ -28,6 +28,75 @@ class SaltedAggSpec extends SparkSpec {
   }
 }
 
+/** fanOut derives input width from the logical plan, never from `.rdd` —
+  * constructing the fanned-out DataFrame must run ZERO Spark jobs even
+  * over a post-aggregation input (under AQE, `Dataset.rdd` materializes
+  * every upstream shuffle stage just to report a partition count, so the
+  * round-15 form executed the whole upstream pipeline twice). */
+class FanOutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Count jobs started by `body`. The listener bus is async, so a marker
+    * job runs after the body; the bus is FIFO, so once the marker's start
+    * event is observed every event from the body has been delivered. */
+  private def jobsDuring[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.CountDownLatch(1)
+    val marker = "fanout-lazy-marker"
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(e.properties)
+            .exists(_.getProperty("spark.job.description") == marker))
+          markerSeen.countDown()
+        else jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      spark.sparkContext.setJobDescription(marker)
+      try spark.sparkContext.parallelize(1 to 1, 1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      assert(markerSeen.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "marker job event never arrived")
+      (r, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("fanOut is plan-time lazy: zero jobs to construct, even " +
+      "over a post-aggregation input") {
+    val base = (1L to 5000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val agg = base.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val (fanned, jobs) = jobsDuring {
+      Scale.fanOut(agg, "doc_id")
+    }
+    assert(jobs === 0, s"fanOut ran $jobs jobs at plan-construction time")
+    // and the result still computes correctly when an action runs
+    assert(fanned.count() === 5000)
+  }
+
+  test("fanOut widens a single-file scan and no-ops an already-wide input") {
+    val dir = graft.TempDirs.create("fanout_narrow")
+    (1L to 200L).map(i => (i, i * 2.0)).toDF("doc_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val narrow = spark.read.parquet(dir)
+    val target = spark.sparkContext.defaultParallelism
+    val fanned = Scale.fanOut(narrow, "doc_id")
+    assert(fanned.rdd.getNumPartitions === target,
+      "single-file scan must widen to session parallelism")
+    assert(fanned.queryExecution.analyzed.toString
+      .contains("RepartitionByExpression"))
+    // an input provably at-or-above parallelism passes through untouched
+    val wide = narrow.repartition(target + 4, col("doc_id"))
+    val untouched = Scale.fanOut(wide, "doc_id")
+    assert(untouched.queryExecution.analyzed eq
+      wide.queryExecution.analyzed,
+      "already-wide input must be a plan-level no-op")
+  }
+}
+
 /** Bucketing demo: pre-bucketed tables joined on the bucket key produce a
   * shuffle-free sort-merge join — the co-located-join technique for
   * repeated large joins at 100 TB. */
