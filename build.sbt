@@ -23,7 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Scratch I/O placement (optimization guide §6): everything the harness
+// JVMs write under java.io.tmpdir — Spark shuffle/broadcast blocks
+// (spark.local.dir defaults to it), TempDirs' staged stream replays,
+// temp streaming checkpoints, on-disk ANN index dirs — is JVM-lifetime
+// scratch, deleted at exit. On this VM the default /tmp is ext4 on a
+// virtio disk, and sampled task frames showed shuffle file open/mmap
+// dominating small-shuffle stages (DiskBlockObjectWriter.initialize,
+// FileChannelImpl.map0/unmap0); a RAM-backed scratch removes that
+// latency from every query without touching any plan. A real deployment
+// makes the same call by pointing spark.local.dir at local NVMe or a
+// RAM disk sized to shuffle volume — scratch placement is a deployment
+// knob, not a fixture constant. SPARK_GRAFT_SCRATCH overrides; when
+// neither it nor a writable /dev/shm exists, the system default stands.
+val scratchBase: Option[String] = sys.env.get("SPARK_GRAFT_SCRATCH")
+  .orElse(Some("/dev/shm").filter(d =>
+    java.nio.file.Files.isWritable(java.nio.file.Paths.get(d))))
+val scratchOpt: Seq[String] = scratchBase.map { base =>
+  val dir = java.nio.file.Paths.get(base, "graft-tmp")
+  java.nio.file.Files.createDirectories(dir)
+  s"-Djava.io.tmpdir=$dir"
+}.toSeq
+javaOptions ++= jdk17AddOpens ++ scratchOpt ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // keep catalog artifacts (bucketed-table warehouse, derby metastore)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation building blocks (SURVEY.md §8 scale notes).
@@ -49,6 +49,18 @@ object Scale {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (staticPartitionFloor(df) >= target) df
     else df.repartition(target, col(key))
+  }
+
+  /** `localCheckpoint()` unless `df` already IS a materialized leaf (the
+    * handle a prior localCheckpoint returned), whose lineage is already
+    * cut — re-checkpointing it would only copy the same blocks through
+    * one more eager job. */
+  def pinOnce(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case _: LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
   }
 
   /** Lower bound on the partition count `df` would scan with, derived from

@@ -100,7 +100,9 @@ object EpochPipeline {
     // every stage makes multiple passes over the epoch's pixels (detection
     // scans, box joins, the combine) — materialize the input once so those
     // passes read stored blocks instead of recomputing the source lineage
-    val pinned = pixels.localCheckpoint()
+    // (pinOnce: a caller handing in an already-checkpointed frame — e.g.
+    // the shared rendered-field intermediate — skips the redundant copy)
+    val pinned = graft.operators.Scale.pinOnce(pixels)
 
     reportPath.foreach { p =>
       graft.sources.Pdf.writeReport(p,
@@ -113,10 +115,17 @@ object EpochPipeline {
     val bufferable = width.toLong * height <= (1L << 20)
 
     // 1. per-image stats (one grouped pass) double as the image census —
-    // the stats row count IS the image count, so no separate distinct scan
-    val pixStats = Photometry.backgroundStats(pinned, bufferable = bufferable)
-      .localCheckpoint()
-    val nImages = pixStats.count()
+    // the stats row count IS the image count, so no separate distinct scan.
+    // One row per image = a model object (SURVEY.md abstraction #5):
+    // collect it ONCE and rebuild as a local relation, so the census is a
+    // driver-side length (no count job) and every broadcast of the stats
+    // below builds from driver memory instead of scheduling a cluster job.
+    val pixStatsDistributed = Photometry.backgroundStats(pinned,
+      bufferable = bufferable)
+    val pixStatsRows = pixStatsDistributed.collect()
+    val pixStats = spark.createDataFrame(
+      java.util.Arrays.asList(pixStatsRows: _*), pixStatsDistributed.schema)
+    val nImages = pixStatsRows.length.toLong
     val combined =
       if (nImages > 1)
         Photometry.alignAndCombine(pinned, width, height, nSigma)
@@ -133,10 +142,12 @@ object EpochPipeline {
     // checkpointed 1-row-per-image frame keeps its five consumers from
     // re-running the aggregate.
     val baseStats =
-      if (nImages > 1)
-        Photometry.backgroundStats(combined, bufferable = bufferable)
-          .localCheckpoint()
-      else pixStats.select(lit(0L).as("img_id"), col("bkg_mean"),
+      if (nImages > 1) {
+        // same local-relation treatment as pixStats: 1 row per combined
+        // image, consumed by several broadcasts below
+        val d = Photometry.backgroundStats(combined, bufferable = bufferable)
+        spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+      } else pixStats.select(lit(0L).as("img_id"), col("bkg_mean"),
         col("bkg_median"), col("bkg_std"))
     val sub = combined.join(broadcast(baseStats), Seq("img_id"))
       .select(col("img_id"), col("y"), col("x"),

@@ -544,7 +544,10 @@ object Photometry {
       psf: PsfModel, boxR: Int, nIters: Int, nSigma: Double,
       statsOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    var residual = pixels.localCheckpoint()
+    // round 0's residual IS the input image: callers hand in an
+    // already-checkpointed frame (EpochPipeline pins it; the q81/q125
+    // paths pass the memoized bgSub) — skip the redundant re-pin job
+    var residual = graft.operators.Scale.pinOnce(pixels)
     val fixedStats = statsOpt.getOrElse(backgroundStats(residual))
     var results = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], starSchema)
